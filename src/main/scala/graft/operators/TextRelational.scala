@@ -1,0 +1,131 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** SQL-expressible (DuckDB-oracle-checkable) profile of the fulltext
+  * pipeline, over the driver's `documents` table.
+  *
+  * These mirror the engine's core dataflow (SURVEY.md §2.2-§2.5) with a
+  * deliberately simple whitespace tokenizer so an independent DuckDB
+  * oracle can replay them exactly. The full code-profile tokenizer
+  * (identifier split, number normalization, Porter2) is exercised by the
+  * ScalaTest suites instead — it is not ANSI-SQL-expressible.
+  *
+  * Dataflow shape is the real one: tokenize (generator) → per-doc tf
+  * (hash agg) → df/cf stats (hash agg + HAVING pruning, reference
+  * indexer.py:604-615 analog) → BM25 score + top-k
+  * (TakeOrderedAndProject).
+  */
+object TextRelational {
+
+  /** Whitespace tokenizer, lowercased; the SQL-profile stand-in for the
+    * tokenizer flatMap (reference parser_module.py:58-241). */
+  def tokens(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    spark.read.parquet(s"$dir/documents.parquet")
+      .select($"doc_id", explode(split(lower($"text"), "\\s+")).as("term"))
+      .filter($"term" =!= "")
+  }
+
+  private val tokSql =
+    """SELECT doc_id, t AS term FROM (
+      |  SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\s+')) AS t
+      |  FROM documents) WHERE t <> ''""".stripMargin
+
+  /** Per-(doc, term) term frequency — reference A1 (parser_module.py:204-217). */
+  def termTf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    tokens(spark, dir)
+      .groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+      .orderBy($"doc_id", $"term")
+  }
+
+  val termTfSql: String =
+    s"""SELECT doc_id, term, count(*) AS tf FROM ($tokSql)
+       |GROUP BY doc_id, term ORDER BY doc_id, term""".stripMargin
+
+  /** Term dictionary stats: df + cf with singleton pruning (df > 1) —
+    * reference A3 (indexer.py:79-92) + A7 (indexer.py:604-615). */
+  def termStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    tokens(spark, dir)
+      .groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+      .groupBy($"term").agg(count(lit(1)).as("df"), sum($"tf").as("cf"))
+      .filter($"df" > 1)
+      .orderBy($"term")
+  }
+
+  val termStatsSql: String =
+    s"""SELECT term, count(*) AS df, CAST(sum(tf) AS BIGINT) AS cf FROM (
+       |  SELECT doc_id, term, count(*) AS tf FROM ($tokSql) GROUP BY doc_id, term)
+       |GROUP BY term HAVING count(*) > 1 ORDER BY term""".stripMargin
+
+  /** Per-document stats: dl, max_tf, distinct terms — reference A1/A2
+    * (parser_module.py:216-217, 321). */
+  def docStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    tokens(spark, dir)
+      .groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+      .groupBy($"doc_id")
+      .agg(sum($"tf").as("dl"), max($"tf").as("max_tf"),
+        count(lit(1)).as("uniq_terms"))
+      .orderBy($"doc_id")
+  }
+
+  val docStatsSql: String =
+    s"""SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl, CAST(max(tf) AS BIGINT) AS max_tf,
+       |  count(*) AS uniq_terms FROM (
+       |  SELECT doc_id, term, count(*) AS tf FROM ($tokSql) GROUP BY doc_id, term)
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  val K1 = 1.2
+  val B = 0.75
+
+  /** Exhaustive BM25 top-k (k1=1.2, b=0.75, Robertson/Lucene idf) for a
+    * fixed query — the relational mirror of the engine's scorer
+    * (SURVEY.md Q6/Q9/Q11). df/dl/avgdl/N are Catalyst aggregates; the
+    * tiny per-query-term df table is broadcast. */
+  def bm25TopK(spark: SparkSession, dir: String,
+               queryTerms: Seq[String] = Seq("spark", "join", "stream"),
+               k: Int = 20): DataFrame = {
+    import spark.implicits._
+    val tf = tokens(spark, dir)
+      .groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+    val dl = tf.groupBy($"doc_id").agg(sum($"tf").as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), avg($"dl").as("avgdl"))
+    val dfT = tf.filter($"term".isin(queryTerms: _*))
+      .groupBy($"term").agg(count(lit(1)).as("df"))
+    val idf: Column = log((($"n_docs" - $"df" + 0.5) / ($"df" + 0.5)) + 1.0)
+    val w: Column = idf * ($"tf" * (K1 + 1)) /
+      ($"tf" + lit(K1) * (lit(1 - B) + ($"dl" / $"avgdl") * B))
+    tf.filter($"term".isin(queryTerms: _*))
+      .join(dl, "doc_id")
+      .join(broadcast(dfT), "term")
+      .crossJoin(broadcast(stats))
+      .groupBy($"doc_id").agg(round(sum(w), 4).as("score"))
+      .orderBy($"score".desc, $"doc_id")
+      .limit(k)
+  }
+
+  def bm25TopKSql(queryTerms: Seq[String] = Seq("spark", "join", "stream"),
+                  k: Int = 20): String = {
+    val inList = queryTerms.map(t => s"'$t'").mkString(", ")
+    s"""WITH tok AS ($tokSql),
+       |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+       |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id),
+       |stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+       |dft AS (SELECT term, count(*) AS df FROM tf WHERE term IN ($inList) GROUP BY term)
+       |SELECT tf.doc_id AS doc_id,
+       |  round(sum(ln(((n_docs - df + 0.5) / (df + 0.5)) + 1.0)
+       |    * (tf * ${K1 + 1}) / (tf + $K1 * (1 - $B + $B * (dl / avgdl)))), 4) AS score
+       |FROM tf
+       |JOIN dl ON tf.doc_id = dl.doc_id
+       |JOIN dft ON tf.term = dft.term
+       |CROSS JOIN stats
+       |WHERE tf.term IN ($inList)
+       |GROUP BY tf.doc_id
+       |ORDER BY score DESC, doc_id
+       |LIMIT $k""".stripMargin
+  }
+}
