@@ -1,0 +1,181 @@
+package graft.index
+
+import java.io.{BufferedOutputStream, ByteArrayOutputStream, DataOutputStream}
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
+import com.fasterxml.jackson.databind.{DeserializationFeature, ObjectMapper}
+import com.fasterxml.jackson.module.scala.DefaultScalaModule
+import scala.collection.mutable.ArrayBuffer
+
+/** Posting-segment binary store + per-partition checkpoint markers.
+  *
+  * Replaces the reference's pickled posting segments + dict file pointers
+  * (reference indexer.py:551-578, utils.py:4-42). One segment file per
+  * shuffle partition; the term dictionary records (term, salt) ->
+  * (file, offset, length) exactly like the reference's `inverted_idx[term]
+  * [1]` posting-file pointer (indexer.py:571), made byte-addressable.
+  *
+  * Checkpoint/resume (north rule): before encoding, a task checks its
+  * partition marker; if the marker and segment file match, the partition
+  * is skipped without consuming the shuffle iterator. Markers carry
+  * lineage + rows/bytes metrics + the partition's dictionary entries, so
+  * a resumed build reconstructs the dictionary without re-encoding.
+  * Writes go through Hadoop FileSystem (works on file://, HDFS, S3A) with
+  * tmp + rename for atomicity; task retries are idempotent.
+  *
+  * Record layout per (term, salt):
+  *   df:int, nBlocks:int, then per block:
+  *     n:int, firstDocId:long, lastDocId:long, maxTf:int, maxU:double,
+  *     len:int, bytes[len]
+  */
+object SegmentStore {
+
+  final case class DictEntry(term: String, salt: Int, file: String,
+                             offset: Long, length: Int, df: Int)
+
+  final case class PartitionMarker(partitionId: Int, file: String,
+                                   rows: Long, bytes: Long, lineage: String,
+                                   entries: Seq[DictEntry])
+
+  private def mapper = {
+    val m = new ObjectMapper()
+    m.registerModule(DefaultScalaModule)
+    m.configure(DeserializationFeature.FAIL_ON_UNKNOWN_PROPERTIES, false)
+    m
+  }
+
+  def fs(dir: String): FileSystem =
+    new Path(dir).getFileSystem(new Configuration())
+
+  def markerPath(dir: String, pid: Int) = new Path(s"$dir/_markers/part-$pid.json")
+  def segmentPath(dir: String, pid: Int) = new Path(s"$dir/segment-$pid.bin")
+
+  def readMarker(dir: String, pid: Int): Option[PartitionMarker] = {
+    val f = fs(dir)
+    val p = markerPath(dir, pid)
+    if (!f.exists(p)) None
+    else {
+      val in: java.io.InputStream = f.open(p)
+      try Some(mapper.readValue(in, classOf[PartitionMarker]))
+      finally in.close()
+    }
+  }
+
+  def writeMarker(dir: String, m: PartitionMarker): Unit = {
+    val f = fs(dir)
+    val p = markerPath(dir, m.partitionId)
+    val tmp = new Path(p.toString + s".tmp-${java.util.UUID.randomUUID()}")
+    val out: java.io.OutputStream = f.create(tmp, true)
+    try mapper.writeValue(out, m) finally out.close()
+    if (f.exists(p)) f.delete(p, false)
+    f.rename(tmp, p)
+  }
+
+  /** True if partition `pid` is already complete for this lineage. */
+  def isComplete(dir: String, pid: Int, lineage: String): Boolean =
+    readMarker(dir, pid).exists { m =>
+      val sp = segmentPath(dir, pid)
+      m.lineage == lineage && fs(dir).exists(sp) &&
+        fs(dir).getFileStatus(sp).getLen == m.bytes
+    }
+
+  /** Encode + write one partition's (term, salt, sorted postings) groups.
+    * `it` must be sorted by (term, salt, docId) — guaranteed by the
+    * build's sortWithinPartitions. Returns the marker (also persisted). */
+  def writePartition(dir: String, pid: Int, lineage: String,
+                     it: Iterator[(String, Int, Codec.Posting)],
+                     scoreOf: (Int, Int) => Double): PartitionMarker = {
+    readMarker(dir, pid) match {
+      case Some(m) if m.lineage == lineage &&
+          fs(dir).exists(segmentPath(dir, pid)) &&
+          fs(dir).getFileStatus(segmentPath(dir, pid)).getLen == m.bytes =>
+        return m // resume: skip without consuming the shuffle iterator
+      case _ =>
+    }
+    val fileName = s"segment-$pid.bin"
+    val bytesOut = new ByteArrayOutputStream(1 << 20)
+    val out = new DataOutputStream(bytesOut)
+    val entries = ArrayBuffer.empty[DictEntry]
+    var rows = 0L
+
+    def flushGroup(term: String, salt: Int,
+                   ps: ArrayBuffer[Codec.Posting]): Unit = {
+      if (ps.isEmpty) return
+      val start = out.size().toLong
+      val arr = ps.toArray
+      val blocks = Codec.encode(arr, scoreOf)
+      out.writeInt(arr.length)
+      out.writeInt(blocks.length)
+      blocks.foreach { b =>
+        out.writeInt(b.n); out.writeLong(b.firstDocId)
+        out.writeLong(b.lastDocId); out.writeInt(b.maxTf)
+        out.writeDouble(b.maxScore); out.writeInt(b.bytes.length)
+        out.write(b.bytes)
+      }
+      entries += DictEntry(term, salt, fileName, start,
+        (out.size() - start).toInt, arr.length)
+      rows += arr.length
+      ps.clear()
+    }
+
+    var curTerm: String = null
+    var curSalt = -1
+    val buf = ArrayBuffer.empty[Codec.Posting]
+    it.foreach { case (term, salt, p) =>
+      if (term != curTerm || salt != curSalt) {
+        flushGroup(curTerm, curSalt, buf)
+        curTerm = term; curSalt = salt
+      }
+      buf += p
+    }
+    flushGroup(curTerm, curSalt, buf)
+    out.flush()
+
+    val f = fs(dir)
+    val seg = segmentPath(dir, pid)
+    val tmp = new Path(seg.toString + s".tmp-${java.util.UUID.randomUUID()}")
+    val os = new BufferedOutputStream(f.create(tmp, true))
+    try os.write(bytesOut.toByteArray) finally os.close()
+    if (f.exists(seg)) f.delete(seg, false)
+    f.rename(tmp, seg)
+
+    val marker = PartitionMarker(pid, fileName, rows, out.size().toLong,
+      lineage, entries.toSeq)
+    writeMarker(dir, marker)
+    marker
+  }
+
+  /** Read one (term, salt) record's blocks from a segment file. */
+  def readRecord(dir: String, e: DictEntry): (Int, Array[Codec.Block]) = {
+    val r = new SegmentReader(dir)
+    try r.record(e) finally r.close()
+  }
+}
+
+/** Byte-addressed segment reader with an open-handle cache — the analog
+  * of the reference's "reload segment only when it changes" locality
+  * optimization (reference searcher.py:59-70, 121-131; SURVEY Q5). */
+final class SegmentReader(dir: String) {
+  private val f = SegmentStore.fs(dir)
+  private val streams =
+    scala.collection.mutable.HashMap.empty[String, org.apache.hadoop.fs.FSDataInputStream]
+
+  def record(e: SegmentStore.DictEntry): (Int, Array[Codec.Block]) = {
+    val in = streams.getOrElseUpdate(e.file, f.open(new Path(s"$dir/${e.file}")))
+    val buf = new Array[Byte](e.length)
+    in.readFully(e.offset, buf, 0, e.length)
+    val din = new java.io.DataInputStream(new java.io.ByteArrayInputStream(buf))
+    val df = din.readInt()
+    val nBlocks = din.readInt()
+    val blocks = Array.fill(nBlocks) {
+      val n = din.readInt(); val first = din.readLong()
+      val last = din.readLong(); val maxTf = din.readInt()
+      val maxU = din.readDouble(); val len = din.readInt()
+      val bs = new Array[Byte](len); din.readFully(bs)
+      Codec.Block(bs, n, first, last, maxTf, maxU)
+    }
+    (df, blocks)
+  }
+
+  def close(): Unit = { streams.values.foreach(_.close()); streams.clear() }
+}

@@ -1,0 +1,235 @@
+package graft.query
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.analysis.Tokenizer
+import graft.index.{Codec, SegmentStore}
+import scala.collection.mutable
+
+/** Query service over a built index: dictionary lookup → pruned segment
+  * block fetch → BM25 scoring with block-max WAND top-k (north rule Δ of
+  * the reference's full-union cosine loop, searcher.py:133-159 +
+  * ranker.py:13-54 — SURVEY.md Q5-Q11).
+  *
+  * Runs driver-side against byte-addressed segment records (at cluster
+  * scale the dictionary names which executor-resident segment to consult;
+  * the per-query path never touches the cluster — SURVEY.md §3.2). The
+  * dictionary and term stats are read via predicate-pushdown parquet
+  * scans on the query's terms only.
+  *
+  * Rank identity (hard-part 3): WAND skips a candidate only when its
+  * upper bound is <= the current kth score with a FULL heap; traversal is
+  * in increasing docId and ties prefer smaller docId, so a tied candidate
+  * can never displace an incumbent — skipping on equality is exact.
+  */
+final class Engine(spark: SparkSession, indexDir: String,
+                   tokCfg: Tokenizer.Config = Tokenizer.default,
+                   pruneSingletons: Boolean = true,
+                   preload: Boolean = false) extends Serializable {
+  import spark.implicits._
+
+  val (nDocs, avgdl) = {
+    val r = spark.read.parquet(s"$indexDir/corpus_stats")
+      .select($"n_docs", $"avgdl").head()
+    (r.getLong(0), r.getDouble(1))
+  }
+
+  private val reader = new graft.index.SegmentReader(s"$indexDir/segments")
+
+  /** Preloaded dictionary (test/bench scale — the reference loads its
+    * whole pickled dict at startup, search_engine.py:62-71; at cluster
+    * scale `preload=false` keeps per-query pushdown scans instead). */
+  private val preStats: Option[Map[String, Long]] =
+    if (!preload) None
+    else Some(spark.read.parquet(s"$indexDir/term_stats")
+      .select($"term", $"df").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap)
+  private val preDict: Option[Map[String, Array[SegmentStore.DictEntry]]] =
+    if (!preload) None
+    else Some(spark.read.parquet(s"$indexDir/dict")
+      .as[SegmentStore.DictEntry].collect().groupBy(_.term))
+
+  final case class TermPostings(term: String, qtf: Int, df: Long,
+                                blocks: Array[Codec.Block])
+
+  /** Dictionary + stats lookup for a parsed query, with the reference's
+    * case-fold fallback (searcher.py:46-55, SURVEY Q3) and query-time
+    * singleton pruning (indexer.py:604-615, SURVEY A7). */
+  def lookup(queryTerms: Map[String, Int]): Seq[TermPostings] = {
+    if (queryTerms.isEmpty) return Nil
+    val variants = queryTerms.keys.flatMap(t =>
+      Seq(t, t.toLowerCase, t.toUpperCase)).toSeq.distinct
+    val stats: Map[String, Long] = preStats match {
+      case Some(m) => variants.flatMap(t => m.get(t).map(t -> _)).toMap
+      case None => spark.read.parquet(s"$indexDir/term_stats")
+        .filter($"term".isin(variants: _*))
+        .select($"term", $"df").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+    }
+    val resolved: Map[String, Int] = queryTerms.flatMap { case (t, qtf) =>
+      val hit =
+        if (stats.contains(t)) Some(t)
+        else if (stats.contains(t.toLowerCase)) Some(t.toLowerCase)
+        else if (stats.contains(t.toUpperCase)) Some(t.toUpperCase)
+        else None
+      hit.map(_ -> qtf)
+    }
+    val live = resolved.filter { case (t, _) =>
+      !pruneSingletons || stats(t) > 1 }
+    if (live.isEmpty) return Nil
+    val dict: Array[SegmentStore.DictEntry] = preDict match {
+      case Some(m) => live.keys.toArray.flatMap(t =>
+        m.getOrElse(t, Array.empty[SegmentStore.DictEntry]))
+      case None => spark.read.parquet(s"$indexDir/dict")
+        .filter($"term".isin(live.keys.toSeq: _*))
+        .as[SegmentStore.DictEntry].collect()
+    }
+    live.toSeq.sortBy(_._1).flatMap { case (t, qtf) => // Q4: sorted terms
+      val entries = dict.filter(_.term == t)
+      if (entries.isEmpty) None
+      else {
+        val blocks = entries.flatMap(e => reader.record(e)._2)
+          .sortBy(_.firstDocId)
+        Some(TermPostings(t, qtf, stats(t), blocks))
+      }
+    }
+  }
+
+  def close(): Unit = reader.close()
+
+  /** Exhaustive BM25: decode every posting of every query term, score all
+    * matching docs, exact top-k. The oracle for WAND rank identity. */
+  def searchExhaustive(query: String, k: Int): Array[(Long, Double)] = {
+    val tps = lookup(Tokenizer.tokenizeQuery(query, tokCfg))
+    val acc = mutable.HashMap.empty[Long, Double]
+    tps.foreach { tp =>
+      val c = BM25.termConst(nDocs, tp.df, tp.qtf)
+      Codec.decode(tp.blocks.toSeq).foreach { p =>
+        acc.updateWith(p.docId)(s =>
+          Some(s.getOrElse(0.0) + c * BM25.normPart(p.tf, p.dl, avgdl)))
+      }
+    }
+    topK(acc.iterator, k)
+  }
+
+  private def topK(it: Iterator[(Long, Double)], k: Int): Array[(Long, Double)] = {
+    // min-heap of the k best; worst = (lowest score, then LARGEST docId)
+    val ord = Ordering.by[(Long, Double), (Double, Long)] {
+      case (id, s) => (-s, id) }
+    val heap = mutable.PriorityQueue.empty[(Long, Double)](ord)
+    it.foreach { e =>
+      if (heap.size < k) heap.enqueue(e)
+      else if (e._2 > heap.head._2) { heap.dequeue(); heap.enqueue(e) }
+    }
+    heap.dequeueAll.reverse.toArray
+  }
+
+  // ---- block-max WAND -------------------------------------------------
+
+  private final class Cursor(val const: Double, blocks: Array[Codec.Block]) {
+    val globalUB: Double = const * (if (blocks.isEmpty) 0.0
+                                    else blocks.map(_.maxScore).max)
+    private var bi = 0
+    private var pi = 0
+    private var decoded: Array[Codec.Posting] =
+      if (blocks.nonEmpty) Codec.decodeBlock(blocks(0)) else Array.empty
+    def exhausted: Boolean = bi >= blocks.length
+    def curDoc: Long = if (exhausted) Long.MaxValue else decoded(pi).docId
+    def curScore: Double = {
+      val p = decoded(pi)
+      const * BM25.normPart(p.tf, p.dl, avgdl)
+    }
+    def next(): Unit = {
+      pi += 1
+      if (pi >= decoded.length) { bi += 1; pi = 0
+        if (!exhausted) decoded = Codec.decodeBlock(blocks(bi)) }
+    }
+    def advanceTo(target: Long): Unit = {
+      if (exhausted || curDoc >= target) return
+      if (blocks(bi).lastDocId < target) { // block skip: metadata only
+        while (bi < blocks.length && blocks(bi).lastDocId < target) bi += 1
+        pi = 0
+        if (exhausted) return
+        decoded = Codec.decodeBlock(blocks(bi))
+      }
+      while (pi < decoded.length && decoded(pi).docId < target) pi += 1
+      if (pi >= decoded.length) { bi += 1; pi = 0
+        if (!exhausted) decoded = Codec.decodeBlock(blocks(bi)) }
+    }
+    /** Max score of the block that would contain `doc` (metadata only). */
+    def blockUBFor(doc: Long): Double = {
+      var j = bi
+      while (j < blocks.length && blocks(j).lastDocId < doc) j += 1
+      if (j >= blocks.length) 0.0 else const * blocks(j).maxScore
+    }
+    def blockLastFor(doc: Long): Long = {
+      var j = bi
+      while (j < blocks.length && blocks(j).lastDocId < doc) j += 1
+      if (j >= blocks.length) Long.MaxValue else blocks(j).lastDocId
+    }
+  }
+
+  /** Block-max WAND top-k; provably rank-identical to searchExhaustive. */
+  def searchWand(query: String, k: Int): Array[(Long, Double)] = {
+    val tps = lookup(Tokenizer.tokenizeQuery(query, tokCfg))
+    if (tps.isEmpty || k <= 0) return Array.empty
+    val cursors = tps.map(tp =>
+      new Cursor(BM25.termConst(nDocs, tp.df, tp.qtf), tp.blocks)).toArray
+
+    val ord = Ordering.by[(Long, Double), (Double, Long)] {
+      case (id, s) => (-s, id) }
+    val heap = mutable.PriorityQueue.empty[(Long, Double)](ord)
+    def theta: Double = if (heap.size < k) Double.NegativeInfinity
+                        else heap.head._2
+
+    while (true) {
+      val live = cursors.filter(!_.exhausted).sortBy(_.curDoc)
+      if (live.isEmpty) return heap.dequeueAll.reverse.toArray
+      // pivot: first prefix whose global UB sum exceeds theta
+      var acc = 0.0
+      var p = -1
+      var i = 0
+      while (i < live.length && p < 0) {
+        acc += live(i).globalUB
+        if (acc > theta) p = i
+        i += 1
+      }
+      if (p < 0) return heap.dequeueAll.reverse.toArray
+      val pivotDoc = live(p).curDoc
+      // extend the pivot prefix over every cursor sitting on pivotDoc —
+      // the block bound must cover ALL of the pivot's contributions
+      while (p + 1 < live.length && live(p + 1).curDoc == pivotDoc) p += 1
+      // refine with block maxes at the pivot
+      var blockBound = 0.0
+      var j = 0
+      while (j <= p) { blockBound += live(j).blockUBFor(pivotDoc); j += 1 }
+      if (heap.size >= k && blockBound <= theta) {
+        // no doc in [pivotDoc, d') can beat theta; skip whole blocks
+        var dNext = if (p + 1 < live.length) live(p + 1).curDoc
+                    else Long.MaxValue
+        j = 0
+        while (j <= p) {
+          val bl = live(j).blockLastFor(pivotDoc)
+          if (bl != Long.MaxValue && bl + 1 < dNext) dNext = bl + 1
+          j += 1
+        }
+        if (dNext == pivotDoc) dNext = pivotDoc + 1 // safety: always progress
+        j = 0
+        while (j <= p) { live(j).advanceTo(dNext); j += 1 }
+      } else if (live(0).curDoc == pivotDoc) {
+        // fully evaluate the pivot
+        var score = 0.0
+        cursors.foreach { c =>
+          if (!c.exhausted && c.curDoc == pivotDoc) { score += c.curScore; c.next() }
+        }
+        if (heap.size < k) heap.enqueue((pivotDoc, score))
+        else if (score > heap.head._2) { heap.dequeue(); heap.enqueue((pivotDoc, score)) }
+      } else {
+        // align earlier cursors onto the pivot
+        j = 0
+        while (j < p) { live(j).advanceTo(pivotDoc); j += 1 }
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+}

@@ -1,0 +1,119 @@
+package graft.analysis
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Rule-by-rule goldens for the code-profile tokenizer (SURVEY.md §2.2
+  * F1-F19; §5 item 1). Reference semantics cited per rule. */
+class TokenizerSpec extends AnyFunSuite {
+
+  def terms(text: String, cfg: Tokenizer.Config = Tokenizer.default): Map[String, Int] =
+    Tokenizer.tokenize(text, cfg).terms
+
+  val noStem: Tokenizer.Config = Tokenizer.Config(stem = false)
+
+  test("F2: stopwords are dropped (parser_module.py:24-34, 67)") {
+    assert(terms("the quick if return fox") ==
+      Map("quick" -> 1, "fox" -> 1))
+  }
+
+  test("F3: lowercasing (parser_module.py:224)") {
+    assert(terms("Quick QUICK quick", noStem) == Map("quick" -> 3))
+  }
+
+  test("F6: non-ascii tokens dropped (parser_module.py:243-248)") {
+    assert(terms("café naïve plain", noStem).keySet == Set("plain"))
+  }
+
+  test("F7: number scaling (parser_module.py:412-522)") {
+    assert(terms("123").keySet == Set("123"))
+    assert(terms("15600").keySet == Set("15.6K"))
+    assert(terms("1200000").keySet == Set("1.2M"))
+    assert(terms("3500000000").keySet == Set("3.5B"))
+  }
+
+  test("F7: quantity-word fusion consumes the neighbor") {
+    val td = Tokenizer.tokenize("35 thousand lines")
+    assert(td.terms.keySet == Set("35K", "line"))
+  }
+
+  test("F7: percent and dollar fusion") {
+    assert(terms("45%").keySet == Set("45%"))
+    assert(terms("20 percent").keySet == Set("20%"))
+    assert(terms("$100").keySet == Set("100$"))
+    assert(terms("100 dollars").keySet == Set("100$"))
+  }
+
+  test("F7: fractions kept, and fused with a leading integer") {
+    assert(terms("3/4").keySet == Set("3/4"))
+    assert(terms("25 3/4").keySet == Set("25 3/4"))
+  }
+
+  test("F8: date tokens kept verbatim (parser_module.py:331-336)") {
+    assert(terms("12/25/2020").keySet == Set("12/25/2020"))
+    assert(terms("2020-01-15").keySet == Set("2020-01-15"))
+  }
+
+  test("F9: hyphen split emits whole + parts (parser_module.py:338-360)") {
+    assert(terms("covid-19", noStem).keySet == Set("covid-19", "covid", "19"))
+    // all-numeric compound stays whole
+    assert(terms("10-20", noStem).keySet == Set("10-20"))
+  }
+
+  test("F10: camelCase identifier split (hashtag analog, parser_module.py:384-394)") {
+    assert(terms("getUserConfig", noStem).keySet ==
+      Set("getuserconfig", "get", "user", "config"))
+  }
+
+  test("F10: snake_case identifier split") {
+    assert(terms("parse_query_string", noStem).keySet ==
+      Set("parse_query_string", "parse", "query", "string"))
+  }
+
+  test("F11: @mention drops token and successor (parser_module.py:147-151)") {
+    assert(terms("@Override public quick", noStem).keySet == Set("quick"))
+  }
+
+  test("F13: www url emits the domain label (parser_module.py:396-410)") {
+    assert(terms("https://www.example.com/path", noStem).keySet == Set("example"))
+    assert(terms("www.snowball.org", noStem).keySet == Set("snowball"))
+  }
+
+  test("F14: slash split keeps parts of len>1 (parser_module.py:187-191)") {
+    assert(terms("alpha/b/gamma", noStem).keySet == Set("alpha", "gamma"))
+  }
+
+  test("F15: quote/hyphen/dot trim (parser_module.py:119-123)") {
+    assert(terms("'quoted trailing.", noStem).keySet == Set("quoted", "trailing"))
+  }
+
+  test("F16: stemming applies to alphabetic tokens only (parser_module.py:195-202)") {
+    assert(terms("running").keySet == Set("run"))
+    // non-alpha token (digits) not stemmed
+    assert(terms("v2runs", noStem).keySet == Set("v2runs"))
+  }
+
+  test("A2: docLen counts post-stopword PRE-normalization tokens (parser_module.py:321)") {
+    val td = Tokenizer.tokenize("the getUserConfig runs 15600 times")
+    // pre tokens: [getUserConfig, runs, 15600, times] — 'the' dropped
+    assert(td.docLen == 4)
+    // emitted terms exceed docLen because of identifier expansion
+    assert(td.terms.values.sum > td.docLen)
+  }
+
+  test("A1: tf accumulates across rules; maxTf tracked (parser_module.py:204-217)") {
+    val td = Tokenizer.tokenize("merge merge merge split", Tokenizer.Config(stem = false))
+    assert(td.terms == Map("merge" -> 3, "split" -> 1))
+    assert(td.maxTf == 3)
+  }
+
+  test("plain profile matches lower+whitespace-split exactly") {
+    val td = Tokenizer.tokenize("The Quick  FOX the", Tokenizer.plainCfg)
+    assert(td.terms == Map("the" -> 2, "quick" -> 1, "fox" -> 1))
+    assert(td.docLen == 4)
+  }
+
+  test("determinism: tokenize is a pure function") {
+    val t = "getUserConfig 15600 covid-19 https://www.example.com the"
+    assert(Tokenizer.tokenize(t) == Tokenizer.tokenize(t))
+  }
+}

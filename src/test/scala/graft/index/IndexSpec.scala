@@ -1,0 +1,165 @@
+package graft.index
+
+import graft.SparkSpec
+import graft.corpus.Synth
+import graft.query.{BM25, Engine}
+import graft.analysis.Tokenizer
+import org.apache.hadoop.fs.Path
+import scala.util.Random
+
+/** End-to-end index build + query tests (SURVEY.md §5 items 2, 3, 6, 7).
+  * One shared 400-doc synthetic corpus; salting forced low so the salted
+  * path is exercised everywhere. */
+class IndexSpec extends SparkSpec {
+
+  private lazy val corpusDir = {
+    val d = tmpDir("graft-corpus")
+    Synth.write(spark, 400, d)
+    s"$d/snapshot-0"
+  }
+
+  private lazy val built: (String, Build.Result) = {
+    val idx = tmpDir("graft-index")
+    val res = Build.run(spark, spark.read.parquet(corpusDir), idx,
+      Build.Config(numPartitions = 8, nSalts = 4, saltDfThreshold = 50))
+    (idx, res)
+  }
+
+  test("sha256 ingest invariant holds on the synthetic corpus (north rule)") {
+    val viol = graft.corpus.Ingest
+      .shaViolations(spark.read.parquet(corpusDir)).count()
+    assert(viol == 0)
+  }
+
+  test("build produces consistent corpus stats") {
+    val (_, res) = built
+    assert(res.nDocs == 400)
+    assert(res.avgdl > 0)
+    assert(res.totalPostings > 0)
+    // totalPostings == number of distinct (term, doc) pairs
+    val staged = spark.read.parquet(s"${res.indexDir}/staging_postings")
+    assert(res.totalPostings == staged.count())
+  }
+
+  test("df in term_stats equals posting-list length (reference indexer.py:572 semantics)") {
+    val (idx, _) = built
+    import org.apache.spark.sql.functions._
+    val ts = spark.read.parquet(s"$idx/term_stats")
+    val fromDict = spark.read.parquet(s"$idx/dict")
+      .groupBy("term").agg(sum("df").as("df2"))
+    val joined = ts.join(fromDict, "term")
+      .filter(col("df") =!= col("df2"))
+    assert(joined.count() == 0)
+  }
+
+  test("salted build decodes to exactly the unsalted posting lists (hard-part 4)") {
+    val (idx, res) = built
+    val idx2 = tmpDir("graft-index-unsalted")
+    Build.run(spark, spark.read.parquet(corpusDir), idx2,
+      Build.Config(numPartitions = 8, nSalts = 1, saltDfThreshold = Long.MaxValue))
+    import spark.implicits._
+    val dict1 = spark.read.parquet(s"$idx/dict").as[SegmentStore.DictEntry].collect()
+    val dict2 = spark.read.parquet(s"$idx2/dict").as[SegmentStore.DictEntry].collect()
+    val salted = dict1.groupBy(_.term).filter(_._2.length > 1)
+    assert(salted.nonEmpty, "expected at least one salted heavy term")
+    val r1 = new SegmentReader(s"$idx/segments")
+    val r2 = new SegmentReader(s"$idx2/segments")
+    try {
+      salted.keys.take(10).foreach { t =>
+        val b1 = dict1.filter(_.term == t).flatMap(e => r1.record(e)._2)
+        val b2 = dict2.filter(_.term == t).flatMap(e => r2.record(e)._2)
+        assert(Codec.decode(b1.toSeq).toSeq == Codec.decode(b2.toSeq).toSeq,
+          s"posting mismatch for salted term $t")
+      }
+    } finally { r1.close(); r2.close() }
+  }
+
+  test("WAND is rank-identical to exhaustive BM25 (north rule; SURVEY §5 item 3b)") {
+    val (idx, _) = built
+    val eng = new Engine(spark, idx, preload = true)
+    val r = new Random(42)
+    val hot = Seq("the", "if", "return", "import", "license")
+    val cold = (0 until 50).map(i => Synth.coldTerm(30 + r.nextInt(2000)))
+    val queries =
+      hot.map(t => s"$t") ++
+      (1 to 15).map(_ => Seq.fill(1 + r.nextInt(4))(
+        if (r.nextBoolean()) hot(r.nextInt(hot.size)) else cold(r.nextInt(cold.size)))
+        .mkString(" ")) ++
+      Seq("the if return import license", "zzzznotaterm", "")
+    for (q <- queries; k <- Seq(1, 5, 50, 250)) {
+      val ex = eng.searchExhaustive(q, k)
+      val wd = eng.searchWand(q, k)
+      assert(wd.toSeq == ex.toSeq,
+        s"WAND != exhaustive for query='$q' k=$k:\n wand=${wd.take(5).toSeq}\n ex=${ex.take(5).toSeq}")
+    }
+  }
+
+  test("BM25 scores match hand-computed values on a tiny fixture (SURVEY §5 item 3a)") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "apple banana apple"),
+      (1L, "apple cherry"),
+      (2L, "banana banana banana cherry"),
+      (3L, "durian"),
+      (4L, "apple banana cherry durian")
+    ).toDF("doc_id", "content")
+    val idx = tmpDir("graft-index-tiny")
+    Build.run(spark, docs, idx, Build.Config(numPartitions = 2, nSalts = 1,
+      saltDfThreshold = Long.MaxValue, verifySha = false,
+      tokenizer = Tokenizer.plainCfg))
+    val eng = new Engine(spark, idx, Tokenizer.plainCfg,
+      pruneSingletons = false, preload = true)
+    // hand numbers: N=5, dls: 3,2,4,1,4 -> avgdl=2.8
+    val n = 5L; val avgdl = 2.8
+    def s(tf: Int, dl: Int, df: Long) = BM25.score(tf, dl, avgdl, n, df)
+    val want = Map(
+      0L -> s(2, 3, 3), 1L -> s(1, 2, 3), 4L -> s(1, 4, 3))
+    val got = eng.searchExhaustive("apple", 10).toMap
+    assert(got.keySet == want.keySet)
+    want.foreach { case (id, sc) => assert(math.abs(got(id) - sc) < 1e-12) }
+    // two-term query, ordering: (score desc, docId asc)
+    val res = eng.searchWand("apple banana", 10)
+    assert(res.map(_._1).toSeq ==
+      eng.searchExhaustive("apple banana", 10).map(_._1).toSeq)
+    val sorted = res.sortBy { case (id, sc) => (-sc, id) }
+    assert(res.toSeq == sorted.toSeq)
+  }
+
+  test("resume: killed partitions rebuild; completed partitions are skipped byte-identically (SURVEY §5 item 6)") {
+    val (idx, res) = built
+    val segDir = s"$idx/segments"
+    val f = SegmentStore.fs(segDir)
+    // record all segment bytes
+    def segBytes(): Map[Int, Long] =
+      (0 until 8).map(p => p ->
+        f.getFileStatus(SegmentStore.segmentPath(segDir, p)).getLen).toMap
+    val before = segBytes()
+    // simulate mid-build failure: partitions 2 and 5 lost
+    Seq(2, 5).foreach { p =>
+      f.delete(SegmentStore.segmentPath(segDir, p), false)
+      f.delete(SegmentStore.markerPath(segDir, p), false)
+    }
+    // markers of completed partitions: remember modification times
+    val keptMarker = SegmentStore.markerPath(segDir, 0)
+    val mtimeBefore = f.getFileStatus(keptMarker).getModificationTime
+    val res2 = Build.run(spark, spark.read.parquet(corpusDir), idx,
+      Build.Config(numPartitions = 8, nSalts = 4, saltDfThreshold = 50))
+    assert(segBytes() == before, "rebuilt index must be byte-identical")
+    assert(res2.lineage == res.lineage)
+    assert(f.getFileStatus(keptMarker).getModificationTime == mtimeBefore,
+      "completed partition 0 must not be rewritten on resume")
+    // manifest metrics: rows sum equals total postings
+    val rows = (0 until 8).map(p =>
+      SegmentStore.readMarker(segDir, p).get.rows).sum
+    assert(rows == res.totalPostings)
+  }
+
+  test("sha violation aborts the build") {
+    import spark.implicits._
+    val bad = Seq(("r", "p", "c", "scala", "hello", 0L, "deadbeef"))
+      .toDF("repo", "path", "commit", "lang", "content", "doc_id", "content_sha256")
+    val idx = tmpDir("graft-index-bad")
+    assertThrows[IllegalArgumentException](
+      Build.run(spark, bad, idx, Build.Config(numPartitions = 2)))
+  }
+}
