@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Relational, TextRelational}
+import graft.operators.{Dedup, IndexOps, Multimodal, Relational, Similarity, TextAnalysis, TextRelational}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -28,6 +28,25 @@ object SparkEntry {
     "q06_term_stats" -> ((s, d) => TextRelational.termStats(s, d)),
     "q07_doc_stats" -> ((s, d) => TextRelational.docStats(s, d)),
     "q08_bm25_topk" -> ((s, d) => TextRelational.bm25TopK(s, d)),
+    // The REAL index engine (codec + salted shuffle + block-max WAND)
+    // against the same independent BM25 oracle
+    "q09_index_bm25" -> ((s, d) => IndexOps.bm25TopK(s, d)),
+    // Dedup family (training-data pipeline)
+    "q10_dedup_exact" -> ((s, d) => Dedup.exact(s, d)),
+    "q11_dedup_ngram" -> ((s, d) => Dedup.ngramJaccard(s, d)),
+    "q12_dedup_minhash" -> ((s, d) => Dedup.minhashLsh(s, d)),
+    "q13_dedup_simhash" -> ((s, d) => Dedup.simhash(s, d)),
+    "q14_dedup_embedding" -> ((s, d) => Dedup.embeddingCosine(s, d)),
+    // Similarity search
+    "q15_ann_brute" -> ((s, d) => Similarity.annBruteForce(s, d)),
+    "q16_ann_lsh" -> ((s, d) => Similarity.annLsh(s, d)),
+    // Text analysis
+    "q17_lang_id" -> ((s, d) => TextAnalysis.langId(s, d)),
+    "q18_quality" -> ((s, d) => TextAnalysis.quality(s, d)),
+    "q19_token_counts" -> ((s, d) => TextAnalysis.tokenCounts(s, d)),
+    "q20_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(s, d)),
+    // Multimodal plumbing (decode stubbed — no codecs in sandbox)
+    "q21_multimodal" -> ((s, d) => Multimodal.features(s, d)),
   )
 
   /** DuckDB equivalents, same column names + total ORDER BY. */
@@ -39,5 +58,16 @@ object SparkEntry {
     "q06_term_stats" -> TextRelational.termStatsSql,
     "q07_doc_stats" -> TextRelational.docStatsSql,
     "q08_bm25_topk" -> TextRelational.bm25TopKSql(),
+    "q09_index_bm25" -> IndexOps.bm25TopKSql,
+    "q10_dedup_exact" -> Dedup.exactSql,
+    "q11_dedup_ngram" -> Dedup.ngramJaccardSql,
+    // q12/q13/q16/q21: not SQL-expressible (custom hashes / LSH /
+    // binary decode) → rows-only check; semantics pinned in ScalaTest
+    "q14_dedup_embedding" -> Dedup.embeddingCosineSql,
+    "q15_ann_brute" -> Similarity.annBruteForceSql,
+    "q17_lang_id" -> TextAnalysis.langIdSql,
+    "q18_quality" -> TextAnalysis.qualitySql,
+    "q19_token_counts" -> TextAnalysis.tokenCountsSql,
+    "q20_fingerprint" -> TextAnalysis.fingerprintSql,
   )
 }

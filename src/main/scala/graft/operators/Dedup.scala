@@ -1,0 +1,222 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.analysis.Fingerprints
+
+/** Deduplication operator family over the `documents` table — the
+  * training-data-pipeline ops the builder prompt makes first-class:
+  * exact (hash groupBy), n-gram Jaccard (shingle inverted-index join),
+  * MinHash+LSH (band-bucket join), SimHash (bit-chunk pigeonhole join).
+  *
+  * Scale design notes (100 TB / 1000-executor framing):
+  *  - exact dedup is ONE hash aggregate on a 128-bit digest — no text
+  *    shuffle, map-side partial agg does the heavy lifting;
+  *  - Jaccard candidates come from a shingle inverted index with a
+  *    hot-shingle cap (df <= MaxShingleDf) so no quadratic blowup on
+  *    boilerplate shingles (the same skew logic as the index build);
+  *  - MinHash/LSH shuffles fixed-width signatures (k longs/doc), never
+  *    the text, and joins on band keys only;
+  *  - SimHash near-dup join uses the 4×16-bit pigeonhole chunks, so
+  *    candidates are equal-chunk hash-join buckets, not a cross join.
+  */
+object Dedup {
+
+  // ---- q10: exact dedup ---------------------------------------------
+
+  def exact(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    spark.read.parquet(s"$dir/documents.parquet")
+      .groupBy(md5($"text").as("h"))
+      .agg(count(lit(1)).as("cnt"), min($"doc_id").as("keep_id"))
+      .orderBy($"h")
+  }
+
+  val exactSql: String =
+    """SELECT md5(text) AS h, count(*) AS cnt, min(doc_id) AS keep_id
+      |FROM documents GROUP BY md5(text) ORDER BY h""".stripMargin
+
+  // ---- q11: word-bigram Jaccard near-dup ----------------------------
+
+  val MaxShingleDf = 50
+  val JaccardMin = 0.2
+  val TopPairs = 100
+
+  /** Distinct word-bigram shingles per doc (docs with >= 2 tokens). */
+  private def shingleDf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    spark.read.parquet(s"$dir/documents.parquet")
+      .select($"doc_id",
+        split(lower($"text"), "\\s+").as("toks"))
+      .select($"doc_id", expr("filter(toks, t -> t <> '')").as("toks"))
+      .filter(size($"toks") >= 2)
+      .select($"doc_id", explode(expr(
+        "transform(sequence(0, size(toks)-2), i -> concat(toks[i], ' ', toks[i+1]))"
+      )).as("sh"))
+      .distinct()
+  }
+
+  def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val sh = shingleDf(spark, dir)
+    // hot-shingle cap: boilerplate shingles would otherwise create
+    // quadratic candidate buckets (skew handling, cf. salted build)
+    val capped = sh.withColumn("sdf",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy($"sh")))
+      .filter($"sdf" <= MaxShingleDf)
+      .select($"doc_id", $"sh")
+    val sizes = capped.groupBy($"doc_id").agg(count(lit(1)).as("sz"))
+    val a = capped.as("a"); val b = capped.as("b")
+    val inter = a.join(b, $"a.sh" === $"b.sh" && $"a.doc_id" < $"b.doc_id")
+      .groupBy($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "doc_a")
+        .withColumnRenamed("sz", "sza"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b")
+        .withColumnRenamed("sz", "szb"), "doc_b")
+      .select($"doc_a", $"doc_b",
+        round($"inter" / ($"sza" + $"szb" - $"inter"), 4).as("jaccard"))
+      .filter($"jaccard" >= JaccardMin)
+      .orderBy($"jaccard".desc, $"doc_a", $"doc_b")
+      .limit(TopPairs)
+  }
+
+  val ngramJaccardSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t <> '') AS arr
+       |  FROM documents),
+       |sh0 AS (
+       |  SELECT DISTINCT doc_id,
+       |    unnest(list_transform(range(1, len(arr)), i -> arr[i] || ' ' || arr[i+1])) AS sh
+       |  FROM toks WHERE len(arr) >= 2),
+       |capped AS (
+       |  SELECT doc_id, sh FROM (
+       |    SELECT doc_id, sh, count(*) OVER (PARTITION BY sh) AS sdf FROM sh0)
+       |  WHERE sdf <= $MaxShingleDf),
+       |sizes AS (SELECT doc_id, count(*) AS sz FROM capped GROUP BY doc_id),
+       |inter AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+       |  FROM capped a JOIN capped b ON a.sh = b.sh AND a.doc_id < b.doc_id
+       |  GROUP BY a.doc_id, b.doc_id)
+       |SELECT doc_a, doc_b,
+       |  round(inter / (sa.sz + sb.sz - inter), 4) AS jaccard
+       |FROM inter
+       |JOIN sizes sa ON sa.doc_id = doc_a
+       |JOIN sizes sb ON sb.doc_id = doc_b
+       |WHERE round(inter / (sa.sz + sb.sz - inter), 4) >= $JaccardMin
+       |ORDER BY jaccard DESC, doc_a, doc_b
+       |LIMIT $TopPairs""".stripMargin
+
+  // ---- q12: MinHash + LSH near-dup (not SQL-expressible) ------------
+
+  val MinhashK = 32
+  val Bands = 8
+  val RowsPerBand = 4
+  val LshJaccardMin = 0.5
+
+  def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select($"doc_id".cast("long"), $"text").as[(Long, String)]
+    // fixed-width signatures; the text never shuffles
+    val sigs = docs.map { case (id, text) =>
+      val sh = Fingerprints.shingles(text, 2)
+      (id, Fingerprints.minhash(sh, MinhashK))
+    }.toDF("doc_id", "sig")
+    val bandKeys = sigs.as[(Long, Array[Long])].flatMap { case (id, sig) =>
+      Fingerprints.lshBands(sig, Bands, RowsPerBand).map(k => (k, id))
+    }.toDF("band", "doc_id")
+    val cand = bandKeys.as("a")
+      .join(bandKeys.as("b"),
+        $"a.band" === $"b.band" && $"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
+      .distinct()
+    // verify candidates with exact Jaccard (text joined back only for
+    // the small candidate set)
+    val txt = spark.read.parquet(s"$dir/documents.parquet")
+      .select($"doc_id".cast("long").as("doc_id"), $"text")
+    cand
+      .join(txt.withColumnRenamed("doc_id", "doc_a")
+        .withColumnRenamed("text", "ta"), "doc_a")
+      .join(txt.withColumnRenamed("doc_id", "doc_b")
+        .withColumnRenamed("text", "tb"), "doc_b")
+      .select($"doc_a", $"doc_b", $"ta", $"tb") // joins reorder key cols
+      .as[(Long, Long, String, String)]
+      .map { case (aId, bId, ta, tb) =>
+        val j = Fingerprints.jaccard(
+          Fingerprints.shingles(ta, 2), Fingerprints.shingles(tb, 2))
+        (aId, bId, math.rint(j * 10000) / 10000)
+      }.toDF("doc_a", "doc_b", "jaccard")
+      .filter($"jaccard" >= LshJaccardMin)
+      .orderBy($"jaccard".desc, $"doc_a", $"doc_b")
+  }
+
+  // ---- q13: SimHash fingerprints (not SQL-expressible) --------------
+
+  def simhash(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    spark.read.parquet(s"$dir/documents.parquet")
+      .select($"doc_id".cast("long"), $"text").as[(Long, String)]
+      .map { case (id, text) =>
+        val fp = Fingerprints.simhash(text)
+        (id, f"$fp%016x")
+      }.toDF("doc_id", "simhash")
+      .orderBy($"doc_id")
+  }
+
+  /** SimHash near-dup pairs via the 4x16-bit pigeonhole chunk join: any
+    * pair at hamming distance <= 3 must agree on >= 1 chunk. */
+  def simhashPairs(spark: SparkSession, dir: String,
+                   maxHamming: Int = 3): DataFrame = {
+    import spark.implicits._
+    val fps = spark.read.parquet(s"$dir/documents.parquet")
+      .select($"doc_id".cast("long"), $"text").as[(Long, String)]
+      .map { case (id, text) => (id, Fingerprints.simhash(text)) }
+      .toDF("doc_id", "fp")
+    val chunks = fps.as[(Long, Long)].flatMap { case (id, fp) =>
+      (0 until 4).map(c => (c.toLong << 16 | ((fp >>> (c * 16)) & 0xFFFFL), id, fp))
+    }.toDF("chunk", "doc_id", "fp")
+    chunks.as("a").join(chunks.as("b"),
+        $"a.chunk" === $"b.chunk" && $"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"),
+        $"a.fp".as("fa"), $"b.fp".as("fb"))
+      .distinct()
+      .as[(Long, Long, Long, Long)]
+      .map { case (aId, bId, fa, fb) => (aId, bId, Fingerprints.hamming(fa, fb)) }
+      .toDF("doc_a", "doc_b", "hamming")
+      .filter($"hamming" <= maxHamming)
+      .orderBy($"hamming", $"doc_a", $"doc_b")
+  }
+
+  // ---- q14: embedding-cosine near-dup -------------------------------
+
+  val CosMin = 0.3
+
+  /** Pairwise cosine over the embeddings table. Correctness baseline is
+    * the all-pairs join; the scale path is Similarity.annLsh's bucketed
+    * variant. Cosine computed with double zip_with in index order. */
+  def embeddingCosine(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select($"vec_id", $"embedding")
+    val cosExpr = expr(
+      """aggregate(zip_with(ea, eb, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)
+        | / (sqrt(aggregate(transform(ea, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v))
+        |  * sqrt(aggregate(transform(eb, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)))""".stripMargin)
+    e.as("a").join(e.as("b"), $"a.vec_id" < $"b.vec_id")
+      .select($"a.vec_id".as("vec_a"), $"b.vec_id".as("vec_b"),
+        $"a.embedding".as("ea"), $"b.embedding".as("eb"))
+      .select($"vec_a", $"vec_b", round(cosExpr, 4).as("cos"))
+      .filter($"cos" >= CosMin)
+      .orderBy($"cos".desc, $"vec_a", $"vec_b")
+  }
+
+  // DOUBLE[] casts: DuckDB computes float32 on FLOAT lists otherwise
+  val embeddingCosineSql: String =
+    s"""SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       |  round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 4) AS cos
+       |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+       |WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 4) >= $CosMin
+       |ORDER BY cos DESC, vec_a, vec_b""".stripMargin
+}

@@ -1,0 +1,111 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.analysis.Fingerprints
+
+/** Similarity search over the `embeddings` table (builder-prompt
+  * training-data pipeline ops): brute-force cosine top-k as the exact
+  * baseline, and a random-hyperplane LSH-bucketed variant as the scale
+  * path.
+  *
+  * Scale design: brute force is ONE narrow pass over the vectors with a
+  * broadcast query + TakeOrderedAndProject — it parallelizes perfectly
+  * but reads everything. The LSH variant buckets vectors by sign
+  * signature so a query probes only its own and adjacent (hamming-1)
+  * buckets — at 10^11 vectors that's the difference between a full scan
+  * and a partition-pruned read (bucket = partition key on disk).
+  */
+object Similarity {
+
+  val K = 20
+  val QueryVecId = 0
+
+  private val cosExpr = expr(
+    """aggregate(zip_with(embedding, qe, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)
+      | / (sqrt(aggregate(transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v))
+      |  * sqrt(aggregate(transform(qe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)))""".stripMargin)
+
+  /** q15: exact top-k cosine neighbors of QueryVecId's embedding.
+    * Broadcast the 1-row query side; the big side never shuffles —
+    * TakeOrderedAndProject does the global top-k. */
+  def annBruteForce(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+    val q = e.filter($"vec_id" === QueryVecId)
+      .select($"embedding".as("qe"))
+    e.filter($"vec_id" =!= QueryVecId)
+      .crossJoin(broadcast(q))
+      .select($"vec_id", round(cosExpr, 4).as("cos"))
+      .orderBy($"cos".desc, $"vec_id")
+      .limit(K)
+  }
+
+  // DOUBLE[] casts: DuckDB's list_cosine_similarity computes in float32
+  // on FLOAT lists; Spark computes in double — cast for bit parity
+  val annBruteForceSql: String =
+    s"""SELECT e.vec_id AS vec_id,
+       |  round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.qe AS DOUBLE[])), 4) AS cos
+       |FROM embeddings e
+       |CROSS JOIN (SELECT embedding AS qe FROM embeddings
+       |            WHERE vec_id = $QueryVecId) q
+       |WHERE e.vec_id <> $QueryVecId
+       |ORDER BY cos DESC, vec_id
+       |LIMIT $K""".stripMargin
+
+  // ---- LSH-bucketed ANN (scale path; not SQL-expressible) -----------
+
+  val NBits = 8 // 2^8 buckets; scale with corpus size (buckets ~ n/1k)
+
+  /** Deterministic pseudo-random hyperplane component b of plane p. */
+  private[operators] def plane(p: Int, dim: Int): Array[Double] =
+    Array.tabulate(dim) { i =>
+      // uniform in [-1, 1) from the splittable hash
+      val h = graft.corpus.Synth.mix(0x9A7E5EEDL ^ (p.toLong << 32) ^ i.toLong)
+      (h >>> 11) * (2.0 / (1L << 53)) - 1.0
+    }
+
+  private[operators] def signature(v: Array[Double],
+                                   planes: Array[Array[Double]]): Int = {
+    var sig = 0
+    var p = 0
+    while (p < planes.length) {
+      var dot = 0.0
+      var i = 0
+      while (i < v.length) { dot += v(i) * planes(p)(i); i += 1 }
+      if (dot > 0) sig |= (1 << p)
+      p += 1
+    }
+    sig
+  }
+
+  /** q16: LSH-bucketed approximate top-k for the same query: candidates
+    * from the query's bucket plus all hamming-1 buckets (multi-probe),
+    * exact cosine re-rank within candidates. */
+  def annLsh(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val dim = 64
+    val planes = Array.tabulate(NBits)(p => plane(p, dim))
+    val planesBc = spark.sparkContext.broadcast(planes)
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select($"vec_id".cast("long"), $"embedding").as[(Long, Array[Float])]
+    val bucketed = e.map { case (id, emb) =>
+      val v = emb.map(_.toDouble)
+      (id, signature(v, planesBc.value), emb)
+    }.toDF("vec_id", "bucket", "embedding")
+    // at scale `bucketed` is written partitioned by bucket; here the
+    // probe set drives a pushdown filter instead
+    val qRow = bucketed.filter($"vec_id" === QueryVecId)
+      .select($"bucket", $"embedding").head()
+    val qSig = qRow.getInt(0)
+    val qEmb = qRow.getSeq[Float](1).toArray
+    val probes = (qSig +: (0 until NBits).map(b => qSig ^ (1 << b))).toSeq
+    val qe = typedLit(qEmb)
+    bucketed
+      .filter($"bucket".isin(probes: _*) && $"vec_id" =!= QueryVecId)
+      .withColumn("qe", qe)
+      .select($"vec_id", round(cosExpr, 4).as("cos"))
+      .orderBy($"cos".desc, $"vec_id")
+      .limit(K)
+  }
+}

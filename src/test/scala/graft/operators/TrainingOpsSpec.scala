@@ -1,0 +1,118 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.analysis.Fingerprints
+
+/** Specs for the training-data pipeline operators that have no SQL
+  * oracle (q12/q13/q16/q21): semantics pinned against brute force on
+  * corpora with PLANTED duplicates, plus plan-shape checks. */
+class TrainingOpsSpec extends SparkSpec {
+
+  /** A small corpus with planted near-duplicate pairs, written as a
+    * documents.parquet so the operators run unmodified. */
+  private lazy val plantedDir: String = {
+    import spark.implicits._
+    val r = new scala.util.Random(42)
+    def text(n: Int) = Seq.fill(n)("w" + r.nextInt(400)).mkString(" ")
+    val originals = (0L until 40L).map(i => (i, text(120)))
+    // plant: docs 1000+i are docs i with ~5% token edits
+    val dups = originals.take(15).map { case (i, t) =>
+      val toks = t.split(" ")
+      val mut = toks.map(tk => if (r.nextDouble() < 0.05) "mut" + r.nextInt(100) else tk)
+      (1000L + i, mut.mkString(" "))
+    }
+    val d = tmpDir("graft-planted")
+    (originals ++ dups).toDF("doc_id", "text")
+      .withColumn("lang", org.apache.spark.sql.functions.lit("en"))
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    d
+  }
+
+  test("q12 MinHash+LSH finds every planted near-dup pair and nothing below threshold") {
+    val pairs = Dedup.minhashLsh(spark, plantedDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // brute-force oracle: exact jaccard over all pairs
+    val docs = spark.read.parquet(s"$plantedDir/documents.parquet")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val truth = (for {
+      (a, ta) <- docs; (b, tb) <- docs if a < b
+      j = Fingerprints.jaccard(
+        Fingerprints.shingles(ta, 2), Fingerprints.shingles(tb, 2))
+      if j >= Dedup.LshJaccardMin
+    } yield (a, b)).toSet
+    assert(truth.size >= 10, s"expected planted dups in truth, got ${truth.size}")
+    // verified-LSH output must be a subset of truth (no false positives
+    // survive verification) and recall must be 1.0 at this similarity
+    // level (8 bands x 4 rows at j>=0.8 -> p_miss < 1e-6)
+    val got = pairs.map(p => (p._1, p._2)).toSet
+    assert(got.subsetOf(truth), s"false positives: ${got.diff(truth)}")
+    val high = (for {
+      (a, ta) <- docs; (b, tb) <- docs if a < b
+      j = Fingerprints.jaccard(
+        Fingerprints.shingles(ta, 2), Fingerprints.shingles(tb, 2))
+      if j >= 0.8
+    } yield (a, b)).toSet
+    assert(high.subsetOf(got), s"missed high-sim pairs: ${high.diff(got)}")
+  }
+
+  test("q13 simhash chunk-join finds exactly the brute-force pairs at hamming<=3") {
+    val got = Dedup.simhashPairs(spark, plantedDir, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val docs = spark.read.parquet(s"$plantedDir/documents.parquet")
+      .collect().map(r => (r.getLong(0), Fingerprints.simhash(r.getString(1))))
+    val truth = (for {
+      (a, fa) <- docs; (b, fb) <- docs if a < b
+      h = Fingerprints.hamming(fa, fb) if h <= 3
+    } yield (a, b, h)).toSet
+    assert(got == truth)
+    assert(truth.nonEmpty, "planted dups should land within hamming 3")
+  }
+
+  test("q16 LSH ANN re-ranks candidates with exact cosine and overlaps brute force") {
+    val dir = "/root/testdata/sf0.001"
+    val brute = Similarity.annBruteForce(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val lsh = Similarity.annLsh(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // any id both return must carry the IDENTICAL exact cosine
+    brute.keySet.intersect(lsh.keySet).foreach { id =>
+      assert(brute(id) == lsh(id), s"cos mismatch for $id")
+    }
+    // approximate, but must find a nonzero share of the true top-k on
+    // weakly-correlated random vectors (8-bit multi-probe)
+    val recall = brute.keySet.intersect(lsh.keySet).size.toDouble / brute.size
+    assert(recall >= 0.1, s"recall=$recall")
+  }
+
+  test("q21 multimodal features are deterministic with a valid feature schema") {
+    val a = Multimodal.features(spark, "/root/testdata/sf0.001").collect()
+    val b = Multimodal.features(spark, "/root/testdata/sf0.001").collect()
+    assert(a.map(_.toString).toSeq == b.map(_.toString).toSeq)
+    assert(a.nonEmpty)
+    a.foreach { r =>
+      assert(r.getInt(2) > 0) // n_bytes
+      val feat = r.getSeq[Double](5)
+      // feats are rounded to 4 decimals -> sum within 4 * 5e-5 of 1
+      assert(feat.length == 4 && math.abs(feat.sum - 1.0) <= 2.5e-4)
+    }
+  }
+
+  test("multimodal metadata query prunes the binary column from the scan") {
+    val plan = Multimodal.metaOnly(spark, "/root/testdata/sf0.001")
+      .queryExecution.optimizedPlan.toString
+    // the media payload must not survive column pruning into the scan
+    assert(!plan.contains("media#") ||
+      !plan.split("Relation").last.contains("media"),
+      s"binary column not pruned:\n$plan")
+  }
+
+  test("q11 jaccard pairs on planted corpus surface the planted dups first") {
+    import spark.implicits._
+    val top = Dedup.ngramJaccard(spark, plantedDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(top.nonEmpty)
+    // the most similar pairs should be (i, 1000+i) plants
+    assert(top.take(5).forall { case (a, b) => b == a + 1000 },
+      s"top pairs not the planted dups: ${top.take(5).toSeq}")
+  }
+}
