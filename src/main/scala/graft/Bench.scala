@@ -1,24 +1,128 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main (driver contract): one JSON line on stdout.
+  *
+  * Reports the BASELINE.json headline metrics:
+  *  - per-query wall times for every SparkEntry query at
+  *    SPARK_GRAFT_SF_DIR (the driver's round benchmark),
+  *  - index-build throughput (docs/sec) on the synthetic code corpus,
+  *  - top-k BM25 query p50/p95 latency (ms, warm, k=250),
+  *  - throughput scaling efficiency between N and 4N cores on identical
+  *    input — the sandbox stand-in for N vs 4N executors per
+  *    BASELINE.md's measurement protocol.
+  *
+  * Each scaling measurement runs in a FRESH forked JVM (graft.BuildBench)
+  * — the analog of separate `spark-submit`s per cluster size; sharing one
+  * JVM contaminated timings with cross-run GC/JIT state.
+  */
 object Bench {
+
+  private def timed[T](f: => T): (T, Double) = {
+    val t0 = System.nanoTime()
+    val r = f
+    (r, (System.nanoTime() - t0) / 1e9)
+  }
+
+  private val addOpens = Seq(
+    "java.base/java.lang", "java.base/java.lang.invoke",
+    "java.base/java.lang.reflect", "java.base/java.io",
+    "java.base/java.net", "java.base/java.nio",
+    "java.base/java.util", "java.base/java.util.concurrent",
+    "java.base/java.util.concurrent.atomic",
+    "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+    "java.base/sun.security.action", "java.base/sun.util.calendar"
+  ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+
+  /** Fork one measurement JVM; returns its KEY=VALUE output lines. */
+  private def fork(cores: Int, corpusDir: String, idxDir: String,
+                   latency: Boolean): Map[String, String] = {
+    val javaBin = s"${System.getProperty("java.home")}/bin/java"
+    val xmx = s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}"
+    val cmd = Seq(javaBin, xmx) ++ addOpens ++ Seq(
+      "-Dspark.ui.enabled=false", "-cp", System.getProperty("java.class.path"),
+      "graft.BuildBench", cores.toString, corpusDir, idxDir) ++
+      (if (latency) Seq("latency") else Nil)
+    val out = new StringBuilder
+    val proc = new ProcessBuilder(cmd: _*).redirectErrorStream(false).start()
+    val rd = new java.io.BufferedReader(
+      new java.io.InputStreamReader(proc.getInputStream))
+    val drainErr = new Thread(() => {
+      val er = new java.io.BufferedReader(
+        new java.io.InputStreamReader(proc.getErrorStream))
+      while (er.readLine() != null) {} // discard child logs
+    })
+    drainErr.setDaemon(true); drainErr.start()
+    var line = rd.readLine()
+    while (line != null) { out.append(line).append('\n'); line = rd.readLine() }
+    val code = proc.waitFor()
+    require(code == 0, s"BuildBench child (cores=$cores) exited $code")
+    out.toString.linesIterator
+      .filter(_.startsWith("BENCH_"))
+      .map { l => val Array(k, v) = l.split("=", 2); k -> v }
+      .toMap
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val buildDocs = sys.env.getOrElse("SPARK_GRAFT_BENCH_DOCS", "40000").toLong
+    val nCores = math.max(1, cpus / 4)
+
+    // 1. driver-contract queries at sfDir + corpus synth (one session)
+    val corpusDir = java.nio.file.Files
+      .createTempDirectory("graft-bench-corpus").toString
+    val queryTimes = {
+      val spark = SparkSession.builder()
+        .master(s"local[$cpus]")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      spark.sparkContext.setLogLevel("WARN")
+      try {
+        val qt = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+          val (_, sec) = timed {
+            try fn(spark, sfDir).count()
+            catch { case e: Throwable =>
+              System.err.println(s"[bench] $name failed: ${e.getMessage}"); -1L }
+          }
+          name -> sec
+        }
+        graft.corpus.Synth.write(spark, buildDocs, corpusDir)
+        qt
+      } finally {
+        spark.stop()
+        SparkSession.clearActiveSession()
+        SparkSession.clearDefaultSession()
+      }
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+
+    // 2. scaling: identical input, fresh JVM per core count
+    def tmp(p: String) = java.nio.file.Files.createTempDirectory(p).toString
+    val idxN = tmp("graft-idx-n"); val idx4N = tmp("graft-idx-4n")
+    val rN = fork(nCores, s"$corpusDir/snapshot-0", idxN, latency = false)
+    val r4N = fork(cpus, s"$corpusDir/snapshot-0", idx4N, latency = true)
+    // clean up bench scratch (corpus + both indexes, ~0.5 GB/run)
+    Seq(corpusDir, idxN, idx4N).foreach { d =>
+      scala.reflect.io.Directory(new java.io.File(d)).deleteRecursively()
+    }
+    val secN = rN("BENCH_BUILD_SECONDS").toDouble
+    val sec4N = r4N("BENCH_BUILD_SECONDS").toDouble
+    val thrN = buildDocs / secN
+    val thr4N = buildDocs / sec4N
+    val eff = (thr4N / thrN) / (cpus.toDouble / nCores)
+
+    val qs = queryTimes.map { case (k, v) => s""""$k":$v""" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
-    spark.stop()
+    val total = queryTimes.map(_._2).sum
+    println(
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir",""" +
+      s""""build_docs":$buildDocs,"build_docs_per_sec_${nCores}c":${f"$thrN%.1f"},""" +
+      s""""build_docs_per_sec_${cpus}c":${f"$thr4N%.1f"},""" +
+      s""""scaling_efficiency":${f"$eff%.3f"},""" +
+      s""""query_p50_ms":${r4N.getOrElse("BENCH_P50_MS", "-1")},""" +
+      s""""query_p95_ms":${r4N.getOrElse("BENCH_P95_MS", "-1")},"query_k":250}""")
   }
 }

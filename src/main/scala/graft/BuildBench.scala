@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import graft.analysis.Tokenizer
+import graft.index.Build
+import graft.query.Engine
+
+/** Single-measurement child main: one index build (and optionally the
+  * query-latency measurement) at a given core count in a FRESH JVM —
+  * the sandbox analog of one `spark-submit` at one cluster size.
+  * Spawned by graft.Bench; prints parseable KEY=VALUE lines. */
+object BuildBench {
+  def main(args: Array[String]): Unit = {
+    val cores = args(0).toInt
+    val corpusDir = args(1)
+    val idxDir = args(2)
+    val withLatency = args.length > 3 && args(3) == "latency"
+
+    val spark = SparkSession.builder()
+      .master(s"local[$cores]")
+      .config("spark.sql.shuffle.partitions", cores)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val docsDf = spark.read.parquet(corpusDir)
+    val nDocs = docsDf.count()
+    val cfg = Build.Config(numPartitions = cores, nSalts = 8,
+      saltDfThreshold = nDocs / 2, tokenizer = Tokenizer.default)
+    val t0 = System.nanoTime()
+    Build.run(spark, docsDf, idxDir, cfg)
+    val sec = (System.nanoTime() - t0) / 1e9
+    println(f"BENCH_BUILD_SECONDS=$sec%.3f")
+    println(s"BENCH_BUILD_DOCS=$nDocs")
+
+    if (withLatency) {
+      val eng = new Engine(spark, idxDir, preload = true)
+      val r = new scala.util.Random(42)
+      val hot = Seq("the", "if", "return", "import", "license", "apache")
+      val cold = (0 until 40).map(i => graft.corpus.Synth.coldTerm(30 + i * 37))
+      val queries = (1 to 25).map { _ =>
+        val n = 1 + r.nextInt(4)
+        Seq.fill(n)(if (r.nextBoolean()) hot(r.nextInt(hot.size))
+                    else cold(r.nextInt(cold.size))).mkString(" ")
+      }
+      queries.foreach(q => eng.searchWand(q, 250)) // warm
+      val lat = (1 to 8).flatMap(_ => queries.map { q =>
+        val q0 = System.nanoTime()
+        eng.searchWand(q, 250)
+        (System.nanoTime() - q0) / 1e6
+      }).sorted
+      eng.close()
+      println(f"BENCH_P50_MS=${lat(lat.size / 2)}%.3f")
+      println(f"BENCH_P95_MS=${lat((lat.size * 95) / 100)}%.3f")
+    }
+    spark.stop()
+  }
+}

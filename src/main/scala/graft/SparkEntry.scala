@@ -13,9 +13,10 @@ import graft.operators.{Dedup, IndexOps, Multimodal, Relational, Similarity, Tex
   */
 object SparkEntry {
 
-  /** Flagship: BM25 top-k over the documents table on sf=0.001. */
+  /** Flagship: top-k BM25 through the REAL engine (tokenize → salted
+    * compressed index build → block-max WAND) on sf=0.001. */
   def entry(spark: SparkSession): DataFrame =
-    TextRelational.bm25TopK(spark, "/root/testdata/sf0.001")
+    IndexOps.bm25TopK(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

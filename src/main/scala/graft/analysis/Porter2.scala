@@ -33,6 +33,49 @@ object Porter2 {
 
   private def isVowel(w: String, i: Int): Boolean = vowels(w.charAt(i))
 
+  // rule tables hoisted to object scope: stem() runs per token in the
+  // indexing hot path, and per-call Seq construction was measurable GC
+  private val step2: Seq[(String, String => Option[String])] = Seq(
+    "ization" -> (s => Some(s + "ize")),
+    "ational" -> (s => Some(s + "ate")),
+    "fulness" -> (s => Some(s + "ful")),
+    "ousness" -> (s => Some(s + "ous")),
+    "iveness" -> (s => Some(s + "ive")),
+    "tional" -> (s => Some(s + "tion")),
+    "biliti" -> (s => Some(s + "ble")),
+    "lessli" -> (s => Some(s + "less")),
+    "entli" -> (s => Some(s + "ent")),
+    "ation" -> (s => Some(s + "ate")),
+    "alism" -> (s => Some(s + "al")),
+    "aliti" -> (s => Some(s + "al")),
+    "ousli" -> (s => Some(s + "ous")),
+    "iviti" -> (s => Some(s + "ive")),
+    "fulli" -> (s => Some(s + "ful")),
+    "enci" -> (s => Some(s + "ence")),
+    "anci" -> (s => Some(s + "ance")),
+    "abli" -> (s => Some(s + "able")),
+    "izer" -> (s => Some(s + "ize")),
+    "ator" -> (s => Some(s + "ate")),
+    "alli" -> (s => Some(s + "al")),
+    "bli" -> (s => Some(s + "ble")),
+    "ogi" -> (s => if (s.endsWith("l")) Some(s + "og") else None),
+    "li" -> (s => if (s.nonEmpty && liEnding(s.last)) Some(s) else None))
+
+  private val step3: Seq[(String, String => Option[String])] = Seq(
+    "ational" -> (s => Some(s + "ate")),
+    "tional" -> (s => Some(s + "tion")),
+    "alize" -> (s => Some(s + "al")),
+    "icate" -> (s => Some(s + "ic")),
+    "iciti" -> (s => Some(s + "ic")),
+    "ative" -> (s => Some(s)), // only if in R2, handled in stem()
+    "ical" -> (s => Some(s + "ic")),
+    "ness" -> (s => Some(s)),
+    "ful" -> (s => Some(s)))
+
+  private val step4 = Seq("ement", "ance", "ence", "able", "ible", "ment",
+    "ant", "ent", "ism", "ate", "iti", "ous", "ive", "ize",
+    "ion", "al", "er", "ic")
+
   /** Index where R1 starts (region after the first non-vowel that follows a
     * vowel), with the special-prefix rule for gener/commun/arsen. */
   private def r1Of(w: String): Int = {
@@ -134,47 +177,12 @@ object Porter2 {
       w = w.dropRight(1) + "i"
 
     // Step 2 (longest suffix, in R1)
-    val step2: Seq[(String, String => Option[String])] = Seq(
-      "ization" -> (s => Some(s + "ize")),
-      "ational" -> (s => Some(s + "ate")),
-      "fulness" -> (s => Some(s + "ful")),
-      "ousness" -> (s => Some(s + "ous")),
-      "iveness" -> (s => Some(s + "ive")),
-      "tional" -> (s => Some(s + "tion")),
-      "biliti" -> (s => Some(s + "ble")),
-      "lessli" -> (s => Some(s + "less")),
-      "entli" -> (s => Some(s + "ent")),
-      "ation" -> (s => Some(s + "ate")),
-      "alism" -> (s => Some(s + "al")),
-      "aliti" -> (s => Some(s + "al")),
-      "ousli" -> (s => Some(s + "ous")),
-      "iviti" -> (s => Some(s + "ive")),
-      "fulli" -> (s => Some(s + "ful")),
-      "enci" -> (s => Some(s + "ence")),
-      "anci" -> (s => Some(s + "ance")),
-      "abli" -> (s => Some(s + "able")),
-      "izer" -> (s => Some(s + "ize")),
-      "ator" -> (s => Some(s + "ate")),
-      "alli" -> (s => Some(s + "al")),
-      "bli" -> (s => Some(s + "ble")),
-      "ogi" -> (s => if (s.endsWith("l")) Some(s + "og") else None),
-      "li" -> (s => if (s.nonEmpty && liEnding(s.last)) Some(s) else None))
     step2.find { case (suf, _) => w.endsWith(suf) }.foreach {
       case (suf, f) =>
         if (inR1(w, suf.length)) f(w.dropRight(suf.length)).foreach(w = _)
     }
 
     // Step 3 (longest suffix, in R1; ative needs R2)
-    val step3: Seq[(String, String => Option[String])] = Seq(
-      "ational" -> (s => Some(s + "ate")),
-      "tional" -> (s => Some(s + "tion")),
-      "alize" -> (s => Some(s + "al")),
-      "icate" -> (s => Some(s + "ic")),
-      "iciti" -> (s => Some(s + "ic")),
-      "ative" -> (s => Some(s)), // only if in R2, handled below
-      "ical" -> (s => Some(s + "ic")),
-      "ness" -> (s => Some(s)),
-      "ful" -> (s => Some(s)))
     step3.find { case (suf, _) => w.endsWith(suf) }.foreach {
       case ("ative", _) =>
         if (inR2(w, 5)) w = w.dropRight(5)
@@ -183,9 +191,6 @@ object Porter2 {
     }
 
     // Step 4 (longest suffix, in R2)
-    val step4 = Seq("ement", "ance", "ence", "able", "ible", "ment",
-      "ant", "ent", "ism", "ate", "iti", "ous", "ive", "ize",
-      "ion", "al", "er", "ic")
     step4.find(w.endsWith) match {
       case Some("ion") =>
         if (inR2(w, 3) &&

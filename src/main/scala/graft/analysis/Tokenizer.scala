@@ -49,9 +49,13 @@ final case class TokenizedDoc(
   */
 object Tokenizer extends Serializable {
 
+  /** `positions`: F19 position tracking is computed-but-dropped in the
+    * reference (indexer.py:108) — off by default to keep the indexing
+    * hot path allocation-free; tests that need it opt in. */
   final case class Config(stem: Boolean = true,
                           stopwords: Set[String] = Stopwords.all,
-                          plain: Boolean = false)
+                          plain: Boolean = false,
+                          positions: Boolean = false)
 
   val default: Config = Config()
 
@@ -121,17 +125,27 @@ object Tokenizer extends Serializable {
   private[analysis] def expand(tok: String, next: Option[String],
                                cfg: Config): (List[String], Boolean) = {
     val lower = tok.toLowerCase
+    // hot-path gate: every digit-driven rule (F7/F8) needs a digit —
+    // one char scan replaces four regex attempts on the common case
+    val hasDigit = {
+      var i = 0; var found = false
+      while (i < tok.length && !found) {
+        if (tok.charAt(i) >= '0' && tok.charAt(i) <= '9') found = true
+        i += 1
+      }
+      found
+    }
 
     // F8: date tokens kept verbatim
-    if (datePat.matches(tok)) return (List(tok), false)
+    if (hasDigit && datePat.matches(tok)) return (List(tok), false)
 
     // F7: fractions — "3/4" verbatim; "25" + "3/4" fuse into one term
-    if (fractionPat.matches(tok)) return (List(tok), false)
-    if (allDigits.matches(tok) && next.exists(fractionPat.matches))
+    if (hasDigit && fractionPat.matches(tok)) return (List(tok), false)
+    if (hasDigit && allDigits.matches(tok) && next.exists(fractionPat.matches))
       return (List(s"$tok ${next.get}"), true)
 
     // F7: numbers — quantity-word / percent / dollar fusion, K/M/B scale
-    if (isNumber(tok)) {
+    if (hasDigit && isNumber(tok)) {
       val v = tok.toDouble
       next.map(_.toLowerCase) match {
         case Some("thousand") => return (List(formatNumber(v * 1e3)), true)
@@ -145,9 +159,9 @@ object Tokenizer extends Serializable {
       }
     }
     // F7: sign-prefixed numbers: $100 -> 100$, 45% stays 45%
-    if (tok.length > 1 && tok.head == '$' && isNumber(tok.tail))
+    if (hasDigit && tok.length > 1 && tok.head == '$' && isNumber(tok.tail))
       return (List(formatNumber(tok.tail.toDouble) + "$"), false)
-    if (tok.length > 1 && tok.last == '%' && isNumber(tok.dropRight(1)))
+    if (hasDigit && tok.length > 1 && tok.last == '%' && isNumber(tok.dropRight(1)))
       return (List(formatNumber(tok.dropRight(1).toDouble) + "%"), false)
 
     // F13: urls — www.X.Y emits the middle label; other urls the host
@@ -185,7 +199,18 @@ object Tokenizer extends Serializable {
         .flatMap(finish), false)
 
     // F10: identifier split — camelCase / snake_case / dotted
-    val parts = identSplit.split(tok).filter(_.nonEmpty)
+    // gate: splitting can only trigger on uppercase, '_' or '.'
+    val canSplit = {
+      var i = 0; var found = false
+      while (i < tok.length && !found) {
+        val c = tok.charAt(i)
+        if ((c >= 'A' && c <= 'Z') || c == '_' || c == '.') found = true
+        i += 1
+      }
+      found
+    }
+    val parts = if (canSplit) identSplit.split(tok).filter(_.nonEmpty)
+                else Array(tok)
     if (parts.length > 1) {
       val whole = if (cfg.stopwords(lower)) Nil else List(lower)
       val sub = parts.toList.flatMap(p =>
@@ -215,7 +240,8 @@ object Tokenizer extends Serializable {
       val (terms, consumed) = expand(pre(i), next, cfg)
       terms.foreach { t =>
         tf.updateWith(t) { c => Some(c.getOrElse(0) + 1) }
-        pos.updateWith(t) { l => Some(emitted :: l.getOrElse(Nil)) }
+        if (cfg.positions)
+          pos.updateWith(t) { l => Some(emitted :: l.getOrElse(Nil)) }
         emitted += 1
       }
       i += (if (consumed) 2 else 1)

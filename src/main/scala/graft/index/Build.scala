@@ -43,60 +43,97 @@ object Build {
   final case class PostingRow(term: String, docId: Long, tf: Int, dl: Int)
 
   def postingsOf(spark: SparkSession, docs: DataFrame,
-                 cfg: Tokenizer.Config): Dataset[PostingRow] = {
+                 cfg: Tokenizer.Config): Dataset[PostingRow] =
+    postingsVerified(spark, docs, cfg, None)
+
+  /** Tokenize; when `shaViolations` is given, verify the per-row sha256
+    * ingest invariant IN the same pass (north rule) — the corpus is
+    * scanned once, not once per concern. */
+  def postingsVerified(spark: SparkSession, docs: DataFrame,
+                       cfg: Tokenizer.Config,
+                       shaViolations: Option[org.apache.spark.util.LongAccumulator])
+      : Dataset[PostingRow] = {
     import spark.implicits._
-    // column pruning: only (doc_id, content) reach the scan
-    docs.select($"doc_id".cast("long"), $"content").as[(Long, String)]
-      .flatMap { case (id, text) =>
-        val td = Tokenizer.tokenize(text, cfg)
-        td.terms.iterator.map { case (t, tf) => PostingRow(t, id, tf, td.docLen) }
+    val withSha = shaViolations.isDefined && docs.columns.contains("content_sha256")
+    // column pruning: only the needed columns reach the scan
+    val src =
+      if (withSha) docs.select($"doc_id".cast("long"), $"content",
+        $"content_sha256")
+      else docs.select($"doc_id".cast("long"), $"content",
+        lit(null).cast("string").as("content_sha256"))
+    src.as[(Long, String, String)].flatMap { case (id, text, sha) =>
+      if (withSha && sha != null) {
+        val digest = java.security.MessageDigest.getInstance("SHA-256")
+          .digest(text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          .map("%02x".format(_)).mkString
+        if (digest != sha) shaViolations.get.add(1)
       }
+      val td = Tokenizer.tokenize(text, cfg)
+      td.terms.iterator.map { case (t, tf) => PostingRow(t, id, tf, td.docLen) }
+    }
+  }
+
+  private val verbose = sys.env.contains("GRAFT_BUILD_VERBOSE")
+  private def phase[T](name: String)(f: => T): T = {
+    val t0 = System.nanoTime()
+    val r = f
+    if (verbose) System.err.println(
+      f"[build] $name: ${(System.nanoTime() - t0) / 1e9}%.2fs")
+    r
   }
 
   def run(spark: SparkSession, docs: DataFrame, indexDir: String,
           cfg: Config = Config()): Result = {
     import spark.implicits._
 
-    val shaViol =
-      if (cfg.verifySha && docs.columns.contains("content_sha256"))
-        graft.corpus.Ingest.shaViolations(docs).count()
-      else 0L
-    require(shaViol == 0, s"$shaViol rows fail the sha256 ingest invariant")
-
     val docsWithId = graft.corpus.Ingest.withDocId(docs)
 
-    // ---- one tokenize pass → staging postings ------------------------
+    // ---- one tokenize pass: sha verify + staging postings ------------
+    val shaAcc =
+      if (cfg.verifySha) Some(spark.sparkContext.longAccumulator("shaViolations"))
+      else None
     val stagingDir = s"$indexDir/staging_postings"
-    val postings: DataFrame =
+    val postings: DataFrame = phase("tokenize+verify+stage") {
       if (cfg.stagePostings) {
-        postingsOf(spark, docsWithId, cfg.tokenizer)
+        postingsVerified(spark, docsWithId, cfg.tokenizer, shaAcc)
           .write.mode(SaveMode.Overwrite).parquet(stagingDir)
         spark.read.parquet(stagingDir)
-      } else postingsOf(spark, docsWithId, cfg.tokenizer).toDF()
+      } else postingsVerified(spark, docsWithId, cfg.tokenizer, shaAcc).toDF()
+    }
+    val shaViol = shaAcc.map(_.value.toLong).getOrElse(0L)
+    require(shaViol == 0, s"$shaViol rows fail the sha256 ingest invariant")
 
-    // ---- stats: Catalyst aggregates (north rule) ---------------------
-    val docStats = postings.groupBy($"docId".as("doc_id"))
-      .agg(first($"dl").as("dl"), max($"tf").as("max_tf"),
-        count(lit(1)).as("uniq_terms"))
-    docStats.write.mode(SaveMode.Overwrite).parquet(s"$indexDir/doc_stats")
+    // ---- stats: Catalyst aggregates (north rule); corpus-level stats
+    // ride the doc-stats write via observe() — no extra job ------------
+    val obs = new org.apache.spark.sql.Observation("corpus_stats")
+    phase("doc-stats") {
+      postings.groupBy($"docId".as("doc_id"))
+        .agg(first($"dl").as("dl"), max($"tf").as("max_tf"),
+          count(lit(1)).as("uniq_terms"))
+        .observe(obs, count(lit(1)).as("n"), avg($"dl").as("avgdl"),
+          max($"doc_id").as("maxId"))
+        .write.mode(SaveMode.Overwrite).parquet(s"$indexDir/doc_stats")
+    }
+    val obsRow = obs.get
+    val n = obsRow("n").asInstanceOf[Long]
+    val av = obsRow("avgdl").asInstanceOf[Double]
+    val maxId = obsRow("maxId").asInstanceOf[Long]
 
-    val termStats = postings.groupBy($"term")
-      .agg(count(lit(1)).as("df"), sum($"tf").as("cf"))
-    termStats.write.mode(SaveMode.Overwrite).parquet(s"$indexDir/term_stats")
-
-    val statsRow = spark.read.parquet(s"$indexDir/doc_stats")
-      .agg(count(lit(1)), avg($"dl"), max($"doc_id")).head()
-    val n = statsRow.getLong(0)
-    val av = statsRow.getDouble(1)
-    val maxId = statsRow.getLong(2)
+    phase("term-stats") {
+      postings.groupBy($"term")
+        .agg(count(lit(1)).as("df"), sum($"tf").as("cf"))
+        .write.mode(SaveMode.Overwrite).parquet(s"$indexDir/term_stats")
+    }
 
     Seq((n, av)).toDF("n_docs", "avgdl")
       .write.mode(SaveMode.Overwrite).parquet(s"$indexDir/corpus_stats")
 
     // ---- heavy-term set for skew salting -----------------------------
-    val heavy: Set[String] = spark.read.parquet(s"$indexDir/term_stats")
-      .filter($"df" >= cfg.saltDfThreshold)
-      .select($"term").as[String].collect().toSet
+    val heavy: Set[String] = phase("heavy-terms") {
+      spark.read.parquet(s"$indexDir/term_stats")
+        .filter($"df" >= cfg.saltDfThreshold)
+        .select($"term").as[String].collect().toSet
+    }
     val heavyBc = spark.sparkContext.broadcast(heavy)
     val nSalts = cfg.nSalts
     val lineage = s"docs=$n|avgdl=$av|salts=$nSalts|P=${cfg.numPartitions}|" +
@@ -127,10 +164,13 @@ object Build {
         marker.entries.iterator
       }
 
-    entries.toDF().write.mode(SaveMode.Overwrite).parquet(s"$indexDir/dict")
+    phase("segments+dict") {
+      entries.toDF().write.mode(SaveMode.Overwrite).parquet(s"$indexDir/dict")
+    }
 
-    val totalPostings = spark.read.parquet(s"$indexDir/dict")
-      .agg(sum($"df")).head().getLong(0)
+    // manifest markers already carry per-partition rows — no extra job
+    val totalPostings = (0 until cfg.numPartitions)
+      .flatMap(p => SegmentStore.readMarker(segDir, p)).map(_.rows).sum
 
     Result(indexDir, n, av, totalPostings, shaViol, lineage)
   }

@@ -1,0 +1,63 @@
+package graft.query
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.analysis.Tokenizer
+
+/** Batch query surface replaying the reference's driver loop
+  * (SURVEY S3/S7/Q12):
+  *  - queries file in the reference's numbered format
+  *    ("N. query text", reference search_engine.py:84-98),
+  *  - per-query top-k via the engine,
+  *  - results as (query_num, doc_id, rank, score) rows / CSV
+  *    (reference search_engine.py:113-123 writes [Query_num, Tweet_id,
+  *    Rank]; score added for auditability).
+  */
+object QueryRunner {
+
+  /** Parse the reference's numbered query-file format. Lines without a
+    * "N." prefix are tolerated and numbered by position. */
+  def parseQueries(lines: Seq[String]): Seq[(Int, String)] = {
+    val numbered = "^\\s*(\\d+)\\.\\s*(.*)$".r
+    lines.map(_.trim).filter(_.nonEmpty).zipWithIndex.map {
+      case (numbered(n, q), _) => (n.toInt, q)
+      case (q, i) => (i + 1, q)
+    }
+  }
+
+  def readQueriesFile(path: String): Seq[(Int, String)] = {
+    val src = scala.io.Source.fromFile(path)
+    try parseQueries(src.getLines().toSeq) finally src.close()
+  }
+
+  /** Run every query; k capped at 2000 like the reference
+    * (ranker.py:48-49). */
+  def run(engine: Engine, queries: Seq[(Int, String)],
+          k: Int = 250,
+          spellDf: Option[String => Option[Long]] = None,
+          tokCfg: Tokenizer.Config = Tokenizer.default)
+      : Seq[(Int, Long, Int, Double)] = {
+    val kCapped = math.min(k, 2000)
+    queries.flatMap { case (qnum, q) =>
+      val corrected = spellDf match {
+        case Some(df) =>
+          Tokenizer.tokenizeQuery(q, tokCfg).keys
+            .map(t => Spell.correct(t, df)).mkString(" ")
+        case None => q
+      }
+      engine.searchWand(corrected, kCapped).zipWithIndex.map {
+        case ((docId, score), i) => (qnum, docId, i + 1, score)
+      }
+    }
+  }
+
+  def toDF(spark: SparkSession,
+           rows: Seq[(Int, Long, Int, Double)]): DataFrame = {
+    import spark.implicits._
+    rows.toDF("query_num", "doc_id", "rank", "score")
+  }
+
+  def writeCsv(spark: SparkSession, rows: Seq[(Int, Long, Int, Double)],
+               path: String): Unit =
+    toDF(spark, rows).coalesce(1)
+      .write.mode("overwrite").option("header", "true").csv(path)
+}

@@ -1,0 +1,76 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import graft.analysis.Tokenizer
+
+/** Structured Streaming ingest: the incremental analog of the batch
+  * index build (SURVEY §2.6 lists streaming as absent in the reference —
+  * its only hook is `is_last_doc` finalization, indexer.py:36, 142-152;
+  * this module is the graft's optional streaming surface, done
+  * Spark-first).
+  *
+  * Dataflow: readStream(docs) → tokenizer flatMap (the same pure
+  * function as the batch build — one tokenizer, two runtimes) →
+  *  - `termStatsStream`: running (term, df, cf) via stateful agg
+  *  - `docRateStream`: per-window ingest metrics with watermarking
+  *
+  * State is per-term via mapGroupsWithState — the KeyValueGroupedDataset
+  * path the builder prompt calls out. Checkpointing is Spark's own
+  * (streaming checkpointLocation), complementing the batch build's
+  * per-partition manifest.
+  */
+object StreamIngest {
+
+  final case class DocEvent(doc_id: Long, content: String, ts: java.sql.Timestamp)
+  final case class TermUpdate(term: String, df: Long, cf: Long)
+
+  /** Tokenize a stream of docs into (term, docId, tf) posting rows. */
+  def postingsStream(docs: Dataset[DocEvent],
+                     cfg: Tokenizer.Config = Tokenizer.default): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs.flatMap { d =>
+      val td = Tokenizer.tokenize(d.content, cfg)
+      td.terms.iterator.map { case (t, tf) => (t, d.doc_id, tf, d.ts) }
+    }.toDF("term", "docId", "tf", "ts")
+  }
+
+  /** Running term statistics via per-term state (df, cf), emitting an
+    * update per term per micro-batch. */
+  def termStatsStream(docs: Dataset[DocEvent],
+                      cfg: Tokenizer.Config = Tokenizer.default): Dataset[TermUpdate] = {
+    import docs.sparkSession.implicits._
+    postingsStream(docs, cfg)
+      .as[(String, Long, Int, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[(Long, Long), TermUpdate](GroupStateTimeout.NoTimeout) {
+        case (term, rows, state: GroupState[(Long, Long)]) =>
+          val (df0, cf0) = state.getOption.getOrElse((0L, 0L))
+          var df = df0; var cf = cf0
+          rows.foreach { r => df += 1; cf += r._3 }
+          state.update((df, cf))
+          TermUpdate(term, df, cf)
+      }
+  }
+
+  /** Watermarked per-minute ingest-rate metrics (docs, tokens). */
+  def docRateStream(docs: Dataset[DocEvent],
+                    cfg: Tokenizer.Config = Tokenizer.default): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs.map(d => (d.ts, 1L, Tokenizer.tokenize(d.content, cfg).docLen.toLong))
+      .toDF("ts", "docs", "tokens")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window($"ts", "1 minute"))
+      .agg(sum($"docs").as("docs"), sum($"tokens").as("tokens"))
+  }
+
+  /** Convenience: run a stream of docs to completion against an
+    * in-memory sink; returns the sink table name. */
+  def runToMemory[T](ds: Dataset[T], name: String, mode: OutputMode): Unit = {
+    val q = ds.writeStream.format("memory").queryName(name)
+      .outputMode(mode).start()
+    q.processAllAvailable()
+    q.stop()
+  }
+}

@@ -1,0 +1,110 @@
+package graft.query
+
+import graft.SparkSpec
+import graft.analysis.Tokenizer
+import graft.index.{Build, Codec}
+
+/** Spell correction, queries-file replay, and the cosine parity scorer
+  * (SURVEY Q2, Q12, §5 items 3c/4). */
+class QuerySurfaceSpec extends SparkSpec {
+
+  test("spell: known term passes through; unknown corrects to argmax-df edit-1") {
+    val df = Map("spark" -> 100L, "spars" -> 10L, "sharp" -> 50L)
+    def lookup(t: String) = df.get(t)
+    assert(Spell.correct("spark", lookup) == "spark")
+    // 'spork' -> edit1 candidates include spark(100) and spars? no —
+    // spork->spars needs 2 edits; spark wins
+    assert(Spell.correct("spork", lookup) == "spark")
+    assert(Spell.correct("zzz", lookup) == "zzz") // no candidate
+  }
+
+  test("spell: ties break lexicographically (deterministic)") {
+    val df = Map("aaab" -> 5L, "aaac" -> 5L)
+    assert(Spell.correct("aaad", df.get) == "aaab")
+  }
+
+  test("edits1 contains deletes/transposes/replaces/inserts, no duplicates") {
+    val e = Spell.edits1("ab").toSeq
+    assert(e.contains("a") && e.contains("b"))  // deletes
+    assert(e.contains("ba"))                     // transpose
+    assert(e.contains("cb") && e.contains("ac")) // replaces
+    assert(e.contains("abc") && e.contains("cab")) // inserts
+    assert(e.distinct.size == e.size)
+  }
+
+  test("queries file: reference numbered format parsed like search_engine.py:84-98") {
+    val qs = QueryRunner.parseQueries(Seq(
+      "1. first query here", "2. second", "", "17. seventeen",
+      "unnumbered line"))
+    // unnumbered lines are numbered by position among non-empty lines
+    assert(qs == Seq((1, "first query here"), (2, "second"),
+      (17, "seventeen"), (4, "unnumbered line")))
+  }
+
+  test("end-to-end replay: queries file -> ranked CSV rows with capped k") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "spark shuffle join"), (1L, "spark spark streaming"),
+      (2L, "join order benchmark"), (3L, "unrelated words entirely")
+    ).toDF("doc_id", "content")
+    val idx = tmpDir("graft-qr-index")
+    Build.run(spark, docs, idx, Build.Config(numPartitions = 2,
+      verifySha = false, tokenizer = Tokenizer.plainCfg))
+    val eng = new Engine(spark, idx, Tokenizer.plainCfg,
+      pruneSingletons = false, preload = true)
+    val rows = QueryRunner.run(eng,
+      Seq((1, "spark"), (2, "join benchmark")), k = 5000,
+      tokCfg = Tokenizer.plainCfg)
+    val q1 = rows.filter(_._1 == 1)
+    assert(q1.map(_._2) == Seq(1L, 0L)) // doc 1 has tf=2
+    assert(q1.map(_._3) == Seq(1, 2))   // ranks are 1-based
+    val q2 = rows.filter(_._1 == 2)
+    assert(q2.head._2 == 2L)            // both terms hit doc 2
+    // k caps at 2000 (ranker.py:48-49)
+    assert(rows.groupBy(_._1).values.forall(_.size <= 2000))
+  }
+
+  test("spell correction folds into the query path (argmax-df via term_stats)") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "gamma gamma gamma delta"), (1L, "gamma epsilon"),
+      (2L, "gamma delta")).toDF("doc_id", "content")
+    val idx = tmpDir("graft-spell-index")
+    Build.run(spark, docs, idx, Build.Config(numPartitions = 2,
+      verifySha = false, tokenizer = Tokenizer.plainCfg))
+    val eng = new Engine(spark, idx, Tokenizer.plainCfg,
+      pruneSingletons = false, preload = true)
+    val stats = spark.read.parquet(s"$idx/term_stats")
+      .select($"term", $"df").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // 'gamm' (unknown) -> 'gamma' (df=3)
+    val rows = QueryRunner.run(eng, Seq((1, "gamm")), k = 10,
+      spellDf = Some(stats.get), tokCfg = Tokenizer.plainCfg)
+    assert(rows.map(_._2).toSet == Set(0L, 1L, 2L))
+  }
+
+  test("cosine parity scorer reproduces reference tf-idf/query-dim-cosine on a fixture") {
+    // 3 docs, query 'apple banana' — hand-check the reference math:
+    // N=3, df(apple)=2, df(banana)=1
+    // idf(apple)=log10(1.5), idf(banana)=log10(3)
+    val postings = Seq(
+      Parity.TermVec("apple", 1, 2, Array(
+        Codec.Posting(0, 2, 0), Codec.Posting(1, 1, 0))),
+      Parity.TermVec("banana", 1, 1, Array(Codec.Posting(0, 1, 0))))
+    val maxTf = Map(0L -> 2, 1L -> 1)
+    val res = Parity.rank(postings, 3, maxTf, 10)
+    // doc0: apple (2/2)*idfA, banana (1/2)*idfB; doc1: apple (1/1)*idfA
+    val idfA = math.log10(1.5); val idfB = math.log10(3.0)
+    val q = Array(1.0, 1.0).map(_ / 1.0)
+    val d0 = Array(idfA, 0.5 * idfB)
+    val cos0 = (d0(0) + d0(1)) /
+      (math.sqrt(d0.map(x => x * x).sum) * math.sqrt(2.0))
+    // doc1 vector (idfA, 0) — query-dim-only norm = idfA (the quirk)
+    val cos1 = idfA / (idfA * math.sqrt(2.0))
+    assert(res.length == 2)
+    assert(math.abs(res.find(_._1 == 0L).get._2 - cos0) < 1e-12)
+    assert(math.abs(res.find(_._1 == 1L).get._2 - cos1) < 1e-12)
+    // reference quirk check: doc1 cosine is 1/sqrt(2) regardless of idf
+    assert(math.abs(cos1 - 1.0 / math.sqrt(2)) < 1e-12)
+  }
+}

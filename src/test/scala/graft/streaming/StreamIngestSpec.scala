@@ -1,0 +1,59 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.analysis.Tokenizer
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+/** Structured Streaming ingest spec: incremental term stats must agree
+  * with the batch tokenizer's answer on the same docs. */
+class StreamIngestSpec extends SparkSpec {
+
+  private def ts(s: Long) = new java.sql.Timestamp(s * 1000)
+
+  test("streaming term stats converge to the batch df/cf on the same docs") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[StreamIngest.DocEvent]
+    val updates = StreamIngest.termStatsStream(input.toDS(), Tokenizer.plainCfg)
+    val q = updates.writeStream.format("memory").queryName("term_updates")
+      .outputMode(OutputMode.Update).start()
+    try {
+      input.addData(StreamIngest.DocEvent(0, "alpha beta alpha", ts(0)))
+      q.processAllAvailable()
+      input.addData(
+        StreamIngest.DocEvent(1, "beta gamma", ts(60)),
+        StreamIngest.DocEvent(2, "alpha gamma gamma", ts(120)))
+      q.processAllAvailable()
+      // latest update per term == batch truth
+      val latest = spark.sql(
+        """SELECT term, df, cf FROM (
+          |  SELECT *, row_number() OVER (PARTITION BY term ORDER BY df DESC) rn
+          |  FROM term_updates) WHERE rn = 1""".stripMargin)
+        .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      assert(latest == Map(
+        "alpha" -> ((2L, 3L)), "beta" -> ((2L, 2L)), "gamma" -> ((2L, 3L))))
+    } finally q.stop()
+  }
+
+  test("watermarked ingest-rate windows aggregate docs and tokens") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[StreamIngest.DocEvent]
+    val rates = StreamIngest.docRateStream(input.toDS(), Tokenizer.plainCfg)
+    val q = rates.writeStream.format("memory").queryName("rates")
+      .outputMode(OutputMode.Complete).start()
+    try {
+      input.addData(
+        StreamIngest.DocEvent(0, "a b c", ts(10)),
+        StreamIngest.DocEvent(1, "d e", ts(20)),
+        StreamIngest.DocEvent(2, "f", ts(70)))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT window.start, docs, tokens FROM rates ORDER BY 1")
+        .collect()
+      assert(rows.length == 2)
+      assert(rows(0).getLong(1) == 2 && rows(0).getLong(2) == 5)
+      assert(rows(1).getLong(1) == 1 && rows(1).getLong(2) == 1)
+    } finally q.stop()
+  }
+}
