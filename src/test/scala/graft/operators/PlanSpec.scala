@@ -1,0 +1,75 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+
+/** Physical-plan gates: the properties that make these operators hold up
+  * at scale (pushdown, pruning, broadcast, partial aggregation) are
+  * asserted, not assumed — a regression that silently de-optimizes a
+  * plan fails CI, not the 100 TB run. */
+class PlanSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+  private def plan(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("q03: dimension joins broadcast; lineitem never shuffles for the join") {
+    val p = plan(Relational.topRevenue(spark, dir))
+    assert(p.contains("BroadcastHashJoin"), p.take(500))
+    assert(!p.contains("SortMergeJoin"), "big-side shuffle join crept in")
+    assert(p.contains("TakeOrderedAndProject"), "top-k must not global-sort")
+  }
+
+  test("q03: filters push into the parquet scans") {
+    val p = plan(Relational.topRevenue(spark, dir))
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), GreaterThan(l_shipdate"))
+    assert(p.contains("PushedFilters: [IsNotNull(o_orderdate), LessThan(o_orderdate"))
+  }
+
+  test("q05: scan prunes to (doc_id, text); aggregation is partial+final") {
+    val p = plan(TextRelational.termTf(spark, dir))
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      "column pruning lost: scan reads more than doc_id+text")
+    assert(p.contains("partial_count"), "map-side partial aggregation missing")
+  }
+
+  test("q01: pricing summary keeps whole-stage codegen and partial aggregation") {
+    val df = Relational.pricingSummary(spark, dir)
+    val p = plan(df)
+    assert(p.contains("partial_sum"))
+    // codegen spans only materialize in the AQE final plan — execute first
+    df.collect()
+    // codegen spans render as "*(n)" prefixes in the final plan string
+    val fin = df.queryExecution.executedPlan.toString
+    assert(fin.contains("*(") , "q01 dropped out of whole-stage codegen")
+  }
+
+  test("index build postings scan prunes to the tokenizer's columns") {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select($"doc_id", $"text".as("content"))
+    val ds = graft.index.Build.postingsOf(spark, docs.toDF(),
+      graft.analysis.Tokenizer.plainCfg)
+    val p = ds.queryExecution.executedPlan.toString
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"), p.take(800))
+  }
+
+  test("engine dictionary lookup pushes the term predicate into parquet") {
+    import spark.implicits._
+    val docs = Seq((0L, "alpha beta"), (1L, "beta gamma")).toDF("doc_id", "content")
+    val idx = tmpDir("graft-plan-idx")
+    graft.index.Build.run(spark, docs, idx, graft.index.Build.Config(
+      numPartitions = 2, verifySha = false,
+      tokenizer = graft.analysis.Tokenizer.plainCfg))
+    val lookup = spark.read.parquet(s"$idx/term_stats")
+      .filter($"term".isin("alpha", "beta"))
+    val p = lookup.queryExecution.executedPlan.toString
+    assert(p.contains("PushedFilters: [In(term"), p.take(800))
+  }
+
+  test("q15 ANN: query side broadcasts; big side has no shuffle before top-k") {
+    val p = plan(Similarity.annBruteForce(spark, dir))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"))
+    assert(p.contains("TakeOrderedAndProject"))
+  }
+}
