@@ -28,6 +28,12 @@ object BuildBench {
     val nDocs = docsDf.count()
     val cfg = Build.Config(numPartitions = cores, nSalts = 8,
       saltDfThreshold = nDocs / 2, tokenizer = Tokenizer.default)
+    // JIT/classload warmup on a small slice (untimed) so the timed run
+    // measures steady-state throughput, not cold-JVM compilation
+    val warmDir = java.nio.file.Files
+      .createTempDirectory("graft-bench-warm").toString
+    Build.run(spark, docsDf.filter(s"doc_id < ${math.min(nDocs, 1000L)}"),
+      warmDir, cfg)
     val t0 = System.nanoTime()
     Build.run(spark, docsDf, idxDir, cfg)
     val sec = (System.nanoTime() - t0) / 1e9

@@ -22,8 +22,10 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Relational coverage (hash agg / broadcast join / top-k / window)
     "q01_pricing_summary" -> ((s, d) => Relational.pricingSummary(s, d)),
+    "q02_revenue_filter" -> ((s, d) => Relational.revenueFilter(s, d)),
     "q03_top_revenue" -> ((s, d) => Relational.topRevenue(s, d)),
     "q04_supplier_top_parts" -> ((s, d) => Relational.supplierTopParts(s, d)),
+    "q22_event_sessions" -> ((s, d) => Relational.eventSessions(s, d)),
     // Fulltext pipeline, SQL-checkable profile (SURVEY §2.2-§2.5)
     "q05_term_tf" -> ((s, d) => TextRelational.termTf(s, d)),
     "q06_term_stats" -> ((s, d) => TextRelational.termStats(s, d)),
@@ -41,6 +43,7 @@ object SparkEntry {
     // Similarity search
     "q15_ann_brute" -> ((s, d) => Similarity.annBruteForce(s, d)),
     "q16_ann_lsh" -> ((s, d) => Similarity.annLsh(s, d)),
+    "q23_label_centroids" -> ((s, d) => Similarity.labelCentroids(s, d)),
     // Text analysis
     "q17_lang_id" -> ((s, d) => TextAnalysis.langId(s, d)),
     "q18_quality" -> ((s, d) => TextAnalysis.quality(s, d)),
@@ -53,8 +56,10 @@ object SparkEntry {
   /** DuckDB equivalents, same column names + total ORDER BY. */
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" -> Relational.pricingSummarySql,
+    "q02_revenue_filter" -> Relational.revenueFilterSql,
     "q03_top_revenue" -> Relational.topRevenueSql,
     "q04_supplier_top_parts" -> Relational.supplierTopPartsSql,
+    "q22_event_sessions" -> Relational.eventSessionsSql,
     "q05_term_tf" -> TextRelational.termTfSql,
     "q06_term_stats" -> TextRelational.termStatsSql,
     "q07_doc_stats" -> TextRelational.docStatsSql,
@@ -66,6 +71,7 @@ object SparkEntry {
     // binary decode) → rows-only check; semantics pinned in ScalaTest
     "q14_dedup_embedding" -> Dedup.embeddingCosineSql,
     "q15_ann_brute" -> Similarity.annBruteForceSql,
+    "q23_label_centroids" -> Similarity.labelCentroidsSql,
     "q17_lang_id" -> TextAnalysis.langIdSql,
     "q18_quality" -> TextAnalysis.qualitySql,
     "q19_token_counts" -> TextAnalysis.tokenCountsSql,

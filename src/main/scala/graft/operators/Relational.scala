@@ -52,6 +52,74 @@ object Relational {
       |GROUP BY l_returnflag, l_linestatus
       |ORDER BY l_returnflag, l_linestatus""".stripMargin
 
+  /** TPC-H Q6-shaped: tight filter + single global agg — the pure
+    * scan-throughput shape (all predicates push into the parquet scan;
+    * one partial+final agg, no join, no wide shuffle). */
+  def revenueFilter(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+    li.filter($"l_shipdate" >= lit(java.sql.Timestamp.valueOf("1997-01-01 00:00:00")) &&
+        $"l_shipdate" < lit(java.sql.Timestamp.valueOf("1998-01-01 00:00:00")) &&
+        $"l_discount".between(0.02, 0.06) && $"l_quantity" < 24)
+      .agg(sum(dec($"l_extendedprice", 12, 2) * dec($"l_discount", 4, 2))
+        .cast("double").as("revenue"),
+        count(lit(1)).as("n_rows"))
+  }
+
+  val revenueFilterSql: String =
+    """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue,
+      |  count(*) AS n_rows
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+      |  AND l_discount BETWEEN 0.02 AND 0.06 AND l_quantity < 24""".stripMargin
+
+  /** Sessionization over the `events` stream table: 30-minute-gap
+    * sessions per user via lag + cumulative window sum — the classic
+    * two-window pattern; partitioned by user so the shuffle is one
+    * hash exchange on the session key. */
+  def eventSessions(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+    val byUser = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val withGap = ev.withColumn("prev_ts", lag($"ts", 1).over(byUser))
+      .withColumn("new_session",
+        when($"prev_ts".isNull ||
+          unix_timestamp($"ts") - unix_timestamp($"prev_ts") > 1800, 1)
+          .otherwise(0))
+    val withSid = withGap.withColumn("session_seq",
+      sum($"new_session").over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+    withSid.groupBy($"user_id", $"session_seq")
+      .agg(count(lit(1)).as("n_events"),
+        // decimal sum: order-independent, bit-identical across engines
+        sum(dec($"value", 18, 6)).cast("double").as("total_value"),
+        min($"ts").as("session_start"))
+      .select($"user_id", $"session_seq", $"n_events",
+        round($"total_value", 4).as("total_value"),
+        date_format($"session_start", "yyyy-MM-dd HH:mm:ss").as("session_start"))
+      .orderBy($"user_id", $"session_seq")
+  }
+
+  val eventSessionsSql: String =
+    """WITH g AS (
+      |  SELECT user_id, event_id, ts, value,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |           OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+      |         THEN 1 ELSE 0 END AS new_session
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |s AS (
+      |  SELECT *, sum(new_session) OVER (
+      |    PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+      |  FROM g)
+      |SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq, count(*) AS n_events,
+      |  round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4) AS total_value,
+      |  strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start
+      |FROM s GROUP BY user_id, session_seq
+      |ORDER BY user_id, session_seq""".stripMargin
+
   /** TPC-H Q3-shaped: broadcast dim joins + top-k by revenue.
     * customer and orders are small relative to lineitem at scale →
     * broadcast them; lineitem never shuffles for the join. */

@@ -53,6 +53,40 @@ object Similarity {
        |ORDER BY cos DESC, vec_id
        |LIMIT $K""".stripMargin
 
+  /** q23: per-label embedding centroids (the IVF coarse-quantizer step:
+    * centroid per cluster, here per given label) — posexplode + two hash
+    * aggs; component averages are the classic array-column aggregation. */
+  def labelCentroids(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+    val comp = e.select($"label",
+      posexplode($"embedding").as(Seq("pos", "v")))
+    val cent = comp.groupBy($"label", $"pos")
+      .agg(avg($"v".cast("double")).as("c"))
+    val norms = cent.groupBy($"label")
+      .agg(round(sqrt(sum($"c" * $"c")), 4).as("centroid_norm"))
+    val counts = e.groupBy($"label").agg(count(lit(1)).as("n_vecs"))
+    counts.join(norms, "label")
+      .select($"label", $"n_vecs", $"centroid_norm")
+      .orderBy($"label")
+  }
+
+  val labelCentroidsSql: String =
+    """WITH comp AS (
+      |  SELECT label, unnest(range(1, len(embedding)+1)) AS pos,
+      |         unnest(embedding) AS v
+      |  FROM embeddings),
+      |cent AS (
+      |  SELECT label, pos, avg(CAST(v AS DOUBLE)) AS c
+      |  FROM comp GROUP BY label, pos),
+      |norms AS (
+      |  SELECT label, round(sqrt(sum(c*c)), 4) AS centroid_norm
+      |  FROM cent GROUP BY label),
+      |counts AS (SELECT label, count(*) AS n_vecs FROM embeddings GROUP BY label)
+      |SELECT counts.label AS label, n_vecs, centroid_norm
+      |FROM counts JOIN norms ON counts.label = norms.label
+      |ORDER BY label""".stripMargin
+
   // ---- LSH-bucketed ANN (scale path; not SQL-expressible) -----------
 
   val NBits = 8 // 2^8 buckets; scale with corpus size (buckets ~ n/1k)
