@@ -29,4 +29,4 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // local[32] with 32 concurrent parquet writers + tokenizer churn needs
   // headroom: 8g caused GC-bound negative scaling in the build bench
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
-)
+) ++ sys.env.get("GRAFT_EXTRA_JAVA_OPTS").toSeq.flatMap(_.split(" ").filter(_.nonEmpty))

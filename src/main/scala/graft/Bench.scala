@@ -39,8 +39,12 @@ object Bench {
   private def fork(cores: Int, corpusDir: String, idxDir: String,
                    latency: Boolean): Map[String, String] = {
     val javaBin = s"${System.getProperty("java.home")}/bin/java"
-    val xmx = s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}"
-    val cmd = Seq(javaBin, xmx) ++ addOpens ++ Seq(
+    // fixed pre-touched heap: demand-zeroing a growing multi-GB heap
+    // under 32 allocating threads page-fault-storms the whole stage
+    // (measured 6-10x wall-clock swings); pre-touch removes it
+    val mem = sys.env.getOrElse("SPARK_BENCH_MEM", "16g")
+    val cmd = Seq(javaBin, s"-Xms$mem", s"-Xmx$mem",
+      "-XX:+AlwaysPreTouch") ++ addOpens ++ Seq(
       "-Dspark.ui.enabled=false", "-cp", System.getProperty("java.class.path"),
       "graft.BuildBench", cores.toString, corpusDir, idxDir) ++
       (if (latency) Seq("latency") else Nil)
@@ -67,7 +71,7 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
-    val buildDocs = sys.env.getOrElse("SPARK_GRAFT_BENCH_DOCS", "40000").toLong
+    val buildDocs = sys.env.getOrElse("SPARK_GRAFT_BENCH_DOCS", "120000").toLong
     val nCores = math.max(1, cpus / 4)
 
     // 1. driver-contract queries at sfDir + corpus synth (one session)

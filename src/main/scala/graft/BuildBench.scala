@@ -16,9 +16,17 @@ object BuildBench {
     val idxDir = args(2)
     val withLatency = args.length > 3 && args(3) == "latency"
 
+    // Input split sizing: the synthetic corpus is ~200 MB, and default
+    // 128 MB splits + 4 MB open-cost coalesce it into ~3 scan tasks —
+    // the CPU-bound tokenize stage then can't use the cores at all
+    // (observed: 29/32 executor threads parked). At real corpus scale
+    // the default is right; for the bench corpus, size splits so the
+    // scan yields >= 2 tasks per core.
     val spark = SparkSession.builder()
       .master(s"local[$cores]")
       .config("spark.sql.shuffle.partitions", cores)
+      .config("spark.sql.files.maxPartitionBytes", s"${4 * 1024 * 1024}")
+      .config("spark.sql.files.openCostInBytes", s"${256 * 1024}")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -26,7 +34,9 @@ object BuildBench {
 
     val docsDf = spark.read.parquet(corpusDir)
     val nDocs = docsDf.count()
-    val cfg = Build.Config(numPartitions = cores, nSalts = 8,
+    // 4 waves per core: hash-partition imbalance otherwise leaves the
+    // last wave straggling on the largest partition
+    val cfg = Build.Config(numPartitions = cores * 4, nSalts = 8,
       saltDfThreshold = nDocs / 2, tokenizer = Tokenizer.default)
     // JIT/classload warmup on a small slice (untimed) so the timed run
     // measures steady-state throughput, not cold-JVM compilation

@@ -95,8 +95,13 @@ object Build {
     val stagingDir = s"$indexDir/staging_postings"
     val postings: DataFrame = phase("tokenize+verify+stage") {
       if (cfg.stagePostings) {
+        // uncompressed staging: snappy's JNI critical sections (GCLocker)
+        // stall allocation-heavy tokenizer threads at high parallelism;
+        // staging is a transient artifact, trade space for wall-clock
         postingsVerified(spark, docsWithId, cfg.tokenizer, shaAcc)
-          .write.mode(SaveMode.Overwrite).parquet(stagingDir)
+          .write.mode(SaveMode.Overwrite)
+          .option("compression", "uncompressed")
+          .parquet(stagingDir)
         spark.read.parquet(stagingDir)
       } else postingsVerified(spark, docsWithId, cfg.tokenizer, shaAcc).toDF()
     }

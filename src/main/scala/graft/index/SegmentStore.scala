@@ -33,9 +33,16 @@ object SegmentStore {
   final case class DictEntry(term: String, salt: Int, file: String,
                              offset: Long, length: Int, df: Int)
 
-  final case class PartitionMarker(partitionId: Int, file: String,
+  final case class FileMeta(name: String, bytes: Long)
+
+  final case class PartitionMarker(partitionId: Int, files: Seq[FileMeta],
                                    rows: Long, bytes: Long, lineage: String,
                                    entries: Seq[DictEntry])
+
+  /** Segment files roll at ~2M postings (the reference's segment budget,
+    * indexer.py:551-554) so no single file grows unbounded at corpus
+    * scale and the writer streams — nothing partition-sized in memory. */
+  val SegmentPostingBudget = 2000000L
 
   private def mapper = {
     val m = new ObjectMapper()
@@ -71,36 +78,70 @@ object SegmentStore {
     f.rename(tmp, p)
   }
 
-  /** True if partition `pid` is already complete for this lineage. */
+  /** True if partition `pid` is already complete for this lineage:
+    * marker matches and every rolled file exists at its recorded size. */
   def isComplete(dir: String, pid: Int, lineage: String): Boolean =
     readMarker(dir, pid).exists { m =>
-      val sp = segmentPath(dir, pid)
-      m.lineage == lineage && fs(dir).exists(sp) &&
-        fs(dir).getFileStatus(sp).getLen == m.bytes
+      val f = fs(dir)
+      m.lineage == lineage && m.files.forall { fm =>
+        val p = new Path(s"$dir/${fm.name}")
+        f.exists(p) && f.getFileStatus(p).getLen == fm.bytes
+      }
     }
 
   /** Encode + write one partition's (term, salt, sorted postings) groups.
     * `it` must be sorted by (term, salt, docId) — guaranteed by the
-    * build's sortWithinPartitions. Returns the marker (also persisted). */
+    * build's sortWithinPartitions. Streams straight to the filesystem
+    * (only one (term,salt) group buffered at a time) and rolls to a new
+    * file every SegmentPostingBudget postings, at group boundaries.
+    * Returns the marker (also persisted). */
   def writePartition(dir: String, pid: Int, lineage: String,
                      it: Iterator[(String, Int, Codec.Posting)],
-                     scoreOf: (Int, Int) => Double): PartitionMarker = {
+                     scoreOf: (Int, Int) => Double,
+                     postingBudget: Long = SegmentPostingBudget): PartitionMarker = {
     readMarker(dir, pid) match {
-      case Some(m) if m.lineage == lineage &&
-          fs(dir).exists(segmentPath(dir, pid)) &&
-          fs(dir).getFileStatus(segmentPath(dir, pid)).getLen == m.bytes =>
+      case Some(m) if isComplete(dir, pid, lineage) =>
         return m // resume: skip without consuming the shuffle iterator
       case _ =>
     }
-    val fileName = s"segment-$pid.bin"
-    val bytesOut = new ByteArrayOutputStream(1 << 20)
-    val out = new DataOutputStream(bytesOut)
+    val f = fs(dir)
     val entries = ArrayBuffer.empty[DictEntry]
+    val files = ArrayBuffer.empty[FileMeta]
     var rows = 0L
+    var totalBytes = 0L
+
+    var fileIdx = -1
+    var fileName: String = null
+    var tmpPath: Path = null
+    var out: DataOutputStream = null
+    var rowsInFile = 0L
+
+    def openFile(): Unit = {
+      fileIdx += 1
+      fileName = if (fileIdx == 0) s"segment-$pid.bin"
+                 else s"segment-$pid-$fileIdx.bin"
+      tmpPath = new Path(s"$dir/$fileName.tmp-${java.util.UUID.randomUUID()}")
+      out = new DataOutputStream(new BufferedOutputStream(f.create(tmpPath, true)))
+      rowsInFile = 0L
+    }
+
+    def closeFile(): Unit = {
+      if (out == null) return
+      out.flush(); out.close()
+      val fin = new Path(s"$dir/$fileName")
+      if (f.exists(fin)) f.delete(fin, false)
+      f.rename(tmpPath, fin)
+      files += FileMeta(fileName, f.getFileStatus(fin).getLen)
+      totalBytes += files.last.bytes
+      out = null
+    }
+
+    openFile()
 
     def flushGroup(term: String, salt: Int,
                    ps: ArrayBuffer[Codec.Posting]): Unit = {
       if (ps.isEmpty) return
+      if (rowsInFile >= postingBudget) { closeFile(); openFile() }
       val start = out.size().toLong
       val arr = ps.toArray
       val blocks = Codec.encode(arr, scoreOf)
@@ -115,6 +156,7 @@ object SegmentStore {
       entries += DictEntry(term, salt, fileName, start,
         (out.size() - start).toInt, arr.length)
       rows += arr.length
+      rowsInFile += arr.length
       ps.clear()
     }
 
@@ -129,17 +171,9 @@ object SegmentStore {
       buf += p
     }
     flushGroup(curTerm, curSalt, buf)
-    out.flush()
+    closeFile()
 
-    val f = fs(dir)
-    val seg = segmentPath(dir, pid)
-    val tmp = new Path(seg.toString + s".tmp-${java.util.UUID.randomUUID()}")
-    val os = new BufferedOutputStream(f.create(tmp, true))
-    try os.write(bytesOut.toByteArray) finally os.close()
-    if (f.exists(seg)) f.delete(seg, false)
-    f.rename(tmp, seg)
-
-    val marker = PartitionMarker(pid, fileName, rows, out.size().toLong,
+    val marker = PartitionMarker(pid, files.toSeq, rows, totalBytes,
       lineage, entries.toSeq)
     writeMarker(dir, marker)
     marker
