@@ -86,7 +86,15 @@ object Build {
           cfg: Config = Config()): Result = {
     import spark.implicits._
 
+    val hadDocId = docs.columns.contains("doc_id")
     val docsWithId = graft.corpus.Ingest.withDocId(docs)
+    if (!hadDocId) phase("docid-collision-check") {
+      // doc_id was derived via xxhash64(repo,path,commit) — a collision
+      // would silently merge two documents' postings (Ingest scaladoc)
+      val r = docsWithId.agg(countDistinct($"doc_id"), count(lit(1))).head()
+      require(r.getLong(0) == r.getLong(1),
+        s"doc_id hash collision: ${r.getLong(1) - r.getLong(0)} duplicates")
+    }
 
     // ---- one tokenize pass: sha verify + staging postings ------------
     val shaAcc =

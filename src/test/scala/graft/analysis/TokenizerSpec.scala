@@ -112,6 +112,33 @@ class TokenizerSpec extends AnyFunSuite {
     assert(td.docLen == 4)
   }
 
+  test("F7: decimal and boundary number formatting") {
+    assert(terms("10.6").keySet == Set("10.6"))
+    assert(terms("999").keySet == Set("999"))
+    assert(terms("1000").keySet == Set("1K"))
+    assert(terms("0.5 billion").keySet == Set("500M"))
+    assert(terms("1.5 thousand").keySet == Set("1.5K"))
+    assert(terms("999999999").keySet == Set("1000M")) // <1e9 stays M-scaled
+  }
+
+  test("F7/F15 interaction: trailing punctuation trimmed before number parse") {
+    assert(terms("15600.").keySet == Set("15.6K"))
+    assert(terms("'123'").keySet == Set("123"))
+  }
+
+  test("mixed-rule document parses deterministically with expected terms") {
+    val td = Tokenizer.tokenize(
+      "getUserConfig returns 15600 results; visit https://www.example.org/docs " +
+        "covid-19 cases rose 20 percent on 12/25/2020", noStem)
+    val t = td.terms.keySet
+    assert(t.contains("getuserconfig") && t.contains("config"))
+    assert(t.contains("15.6K"))
+    assert(t.contains("example"))
+    assert(t.contains("covid-19") && t.contains("covid"))
+    assert(t.contains("20%"))
+    assert(t.contains("12/25/2020"))
+  }
+
   test("determinism: tokenize is a pure function") {
     val t = "getUserConfig 15600 covid-19 https://www.example.com the"
     assert(Tokenizer.tokenize(t) == Tokenizer.tokenize(t))
