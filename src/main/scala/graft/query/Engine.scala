@@ -97,6 +97,22 @@ final class Engine(spark: SparkSession, indexDir: String,
 
   def close(): Unit = reader.close()
 
+  private lazy val maxTfMap: Map[Long, Int] =
+    spark.read.parquet(s"$indexDir/doc_stats")
+      .select($"doc_id", $"max_tf").collect()
+      .map(r => r.getLong(0) -> r.getAs[Number](1).intValue).toMap
+
+  /** Reference-parity ranking mode: tf-idf vectors + query-dimension
+    * cosine exactly as the reference scores (SURVEY Q6-Q8; Parity
+    * scaladoc has the per-rule citations). BM25/WAND is the production
+    * path; this mode exists to replay reference semantics end-to-end. */
+  def searchCosineParity(query: String, k: Int): Array[(Long, Double)] = {
+    val tps = lookup(Tokenizer.tokenizeQuery(query, tokCfg))
+    val termVecs = tps.map(tp => Parity.TermVec(tp.term, tp.qtf, tp.df,
+      graft.index.Codec.decode(tp.blocks.toSeq)))
+    Parity.rank(termVecs, nDocs, id => maxTfMap.getOrElse(id, 1), k)
+  }
+
   /** Exhaustive BM25: decode every posting of every query term, score all
     * matching docs, exact top-k. The oracle for WAND rank identity. */
   def searchExhaustive(query: String, k: Int): Array[(Long, Double)] = {

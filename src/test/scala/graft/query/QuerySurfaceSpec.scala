@@ -83,6 +83,26 @@ class QuerySurfaceSpec extends SparkSpec {
     assert(rows.map(_._2).toSet == Set(0L, 1L, 2L))
   }
 
+  test("engine-level cosine-parity mode ranks through the real index") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "apple banana apple"), (1L, "apple cherry"),
+      (2L, "banana banana banana")).toDF("doc_id", "content")
+    val idx = tmpDir("graft-parity-index")
+    Build.run(spark, docs, idx, Build.Config(numPartitions = 2,
+      verifySha = false, tokenizer = Tokenizer.plainCfg))
+    val eng = new Engine(spark, idx, Tokenizer.plainCfg,
+      pruneSingletons = false, preload = true)
+    val res = eng.searchCosineParity("apple banana", 10)
+    // doc0 matches both query dims -> highest cosine; all matched docs present
+    assert(res.map(_._1).toSet == Set(0L, 1L, 2L))
+    assert(res.head._1 == 0L)
+    // single-dim matches score 1/sqrt(2) (reference query-dim-only norm quirk)
+    val single = res.filter(r => r._1 == 1L || r._1 == 2L)
+    single.foreach(r => assert(math.abs(r._2 - 1.0 / math.sqrt(2)) < 1e-12))
+    eng.close()
+  }
+
   test("cosine parity scorer reproduces reference tf-idf/query-dim-cosine on a fixture") {
     // 3 docs, query 'apple banana' — hand-check the reference math:
     // N=3, df(apple)=2, df(banana)=1
