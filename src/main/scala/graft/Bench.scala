@@ -71,7 +71,9 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
-    val buildDocs = sys.env.getOrElse("SPARK_GRAFT_BENCH_DOCS", "120000").toLong
+    // 60k docs ≈ 4-minute bench end-to-end: big enough that compute
+    // dominates fixed stage costs, small enough for a per-round run
+    val buildDocs = sys.env.getOrElse("SPARK_GRAFT_BENCH_DOCS", "60000").toLong
     val nCores = math.max(1, cpus / 4)
 
     // 1. driver-contract queries at sfDir + corpus synth (one session)
