@@ -44,6 +44,7 @@ object SparkEntry {
     "q15_ann_brute" -> ((s, d) => Similarity.annBruteForce(s, d)),
     "q16_ann_lsh" -> ((s, d) => Similarity.annLsh(s, d)),
     "q23_label_centroids" -> ((s, d) => Similarity.labelCentroids(s, d)),
+    "q24_ann_ivf" -> ((s, d) => Similarity.annIvf(s, d)),
     // Text analysis
     "q17_lang_id" -> ((s, d) => TextAnalysis.langId(s, d)),
     "q18_quality" -> ((s, d) => TextAnalysis.quality(s, d)),

@@ -87,6 +87,60 @@ object Similarity {
       |FROM counts JOIN norms ON counts.label = norms.label
       |ORDER BY label""".stripMargin
 
+  // ---- IVF ANN (coarse-quantizer scale path; not SQL-expressible) ---
+
+  val IvfLists = 16
+  val IvfProbes = 4
+
+  /** Deterministic coarse centroids: IvfLists seed vectors drawn from
+    * the splittable hash (a stand-in for a trained k-means codebook —
+    * the assignment/probe dataflow is the part that matters here). */
+  private[operators] def ivfCentroid(c: Int, dim: Int): Array[Double] =
+    Array.tabulate(dim) { i =>
+      val h = graft.corpus.Synth.mix(0x1FFC0DEL ^ (c.toLong << 24) ^ i.toLong)
+      (h >>> 11) * (2.0 / (1L << 53)) - 1.0
+    }
+
+  private def nearestCentroids(v: Array[Double],
+                               cents: Array[Array[Double]], n: Int): Seq[Int] =
+    cents.indices.map { c =>
+      var dot = 0.0; var nc = 0.0; var nv = 0.0
+      var i = 0
+      while (i < v.length) {
+        dot += v(i) * cents(c)(i); nc += cents(c)(i) * cents(c)(i)
+        nv += v(i) * v(i); i += 1
+      }
+      c -> dot / math.sqrt(nc * nv)
+    }.sortBy { case (c, s) => (-s, c) }.take(n).map(_._1)
+
+  /** q24: IVF-style ANN — every vector assigned to its nearest coarse
+    * list (one narrow pass, broadcast codebook); the query probes its
+    * IvfProbes nearest lists and exact-cosine re-ranks only those
+    * candidates. At 10^11 vectors the lists are disk partitions and the
+    * probe set prunes the scan exactly like partition pruning. */
+  def annIvf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val dim = 64
+    val cents = Array.tabulate(IvfLists)(c => ivfCentroid(c, dim))
+    val centsBc = spark.sparkContext.broadcast(cents)
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select($"vec_id".cast("long"), $"embedding").as[(Long, Array[Float])]
+    val assigned = e.map { case (id, emb) =>
+      val v = emb.map(_.toDouble)
+      (id, nearestCentroids(v, centsBc.value, 1).head, emb)
+    }.toDF("vec_id", "list", "embedding")
+    val qRow = assigned.filter($"vec_id" === QueryVecId)
+      .select($"embedding").head()
+    val qEmb = qRow.getSeq[Float](0).toArray
+    val probes = nearestCentroids(qEmb.map(_.toDouble), cents, IvfProbes)
+    assigned
+      .filter($"list".isin(probes: _*) && $"vec_id" =!= QueryVecId)
+      .withColumn("qe", typedLit(qEmb))
+      .select($"vec_id", round(cosExpr, 4).as("cos"))
+      .orderBy($"cos".desc, $"vec_id")
+      .limit(K)
+  }
+
   // ---- LSH-bucketed ANN (scale path; not SQL-expressible) -----------
 
   val NBits = 8 // 2^8 buckets; scale with corpus size (buckets ~ n/1k)

@@ -84,6 +84,21 @@ class TrainingOpsSpec extends SparkSpec {
     assert(recall >= 0.1, s"recall=$recall")
   }
 
+  test("q24 IVF ANN re-ranks with exact cosine and overlaps brute force") {
+    val dir = "/root/testdata/sf0.001"
+    val brute = Similarity.annBruteForce(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val ivf = Similarity.annIvf(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    brute.keySet.intersect(ivf.keySet).foreach { id =>
+      assert(brute(id) == ivf(id), s"cos mismatch for $id")
+    }
+    val recall = brute.keySet.intersect(ivf.keySet).size.toDouble / brute.size
+    assert(recall >= 0.1, s"recall=$recall") // 4/16 lists probed
+    // probing must prune: candidate set smaller than the corpus
+    assert(ivf.size == Similarity.K)
+  }
+
   test("q21 multimodal features are deterministic with a valid feature schema") {
     val a = Multimodal.features(spark, "/root/testdata/sf0.001").collect()
     val b = Multimodal.features(spark, "/root/testdata/sf0.001").collect()
