@@ -125,6 +125,56 @@ class IndexSpec extends SparkSpec {
     assert(res.toSeq == sorted.toSeq)
   }
 
+  test("WAND tie handling: identical docs produce identical scores, ranked by docId (hard-part 3)") {
+    import spark.implicits._
+    // 12 byte-identical docs -> every match ties exactly; k cuts mid-tie
+    val docs = (0L until 12L).map(i => (i, "apple banana apple cherry"))
+      .toDF("doc_id", "content")
+    val idx = tmpDir("graft-tie-idx")
+    Build.run(spark, docs, idx, Build.Config(numPartitions = 2,
+      verifySha = false, tokenizer = Tokenizer.plainCfg))
+    val eng = new Engine(spark, idx, Tokenizer.plainCfg,
+      pruneSingletons = false, preload = true)
+    for (k <- Seq(1, 5, 12, 20)) {
+      val ex = eng.searchExhaustive("apple cherry", k)
+      val wd = eng.searchWand("apple cherry", k)
+      assert(wd.toSeq == ex.toSeq, s"k=$k")
+      // ties resolve to the LOWEST docIds, in ascending order
+      assert(wd.map(_._1).toSeq == (0L until math.min(k, 12).toLong))
+      assert(wd.map(_._2).distinct.length == 1)
+    }
+    eng.close()
+  }
+
+  test("total-skew term: a term in every doc salts across partitions and queries correctly") {
+    import spark.implicits._
+    val n = 300
+    val docs = (0L until n.toLong).map(i =>
+      (i, s"omnipresent filler${i % 7} pad${i % 3}")).toDF("doc_id", "content")
+    val idx = tmpDir("graft-skew-idx")
+    Build.run(spark, docs, idx, Build.Config(numPartitions = 4, nSalts = 4,
+      saltDfThreshold = 50, verifySha = false,
+      tokenizer = Tokenizer.plainCfg))
+    val dict = spark.read.parquet(s"$idx/dict")
+      .filter($"term" === "omnipresent")
+      .select($"salt").distinct().count()
+    assert(dict >= 3, s"expected the df=$n term split across salts, got $dict")
+    val eng = new Engine(spark, idx, Tokenizer.plainCfg,
+      pruneSingletons = false, preload = true)
+    val res = eng.searchWand("omnipresent", n + 10)
+    assert(res.length == n, "every doc must match the omnipresent term")
+    assert(res.toSeq == eng.searchExhaustive("omnipresent", n + 10).toSeq)
+    eng.close()
+  }
+
+  test("ingest rejects a corpus missing required columns") {
+    import spark.implicits._
+    val bad = tmpDir("graft-badcorpus")
+    Seq(("r", "x")).toDF("repo", "other").write.mode("overwrite").parquet(bad)
+    assertThrows[IllegalArgumentException](
+      graft.corpus.Ingest.read(spark, bad))
+  }
+
   test("resume: killed partitions rebuild; completed partitions are skipped byte-identically (SURVEY §5 item 6)") {
     val (idx, res) = built
     val segDir = s"$idx/segments"
