@@ -1,0 +1,90 @@
+package graft.index
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Incremental index maintenance: merge snapshot indexes whose docId
+  * ranges are disjoint (successive Iceberg-style snapshot builds assign
+  * new dense id ranges) into one queryable index WITHOUT touching
+  * posting bytes.
+  *
+  * This exploits the same invariant the salted shuffle relies on
+  * (SURVEY M3 / Codec scaladoc): blocks are self-contained and
+  * docId-disjoint runs concatenate by firstDocId at read time. The
+  * merge is therefore metadata-only:
+  *   - segment files are linked/copied under prefixed names,
+  *   - dict entries re-pointed at the prefixed files and unioned,
+  *   - term_stats summed, doc_stats unioned, corpus stats re-derived.
+  * The reference's analog is its external k-way merge re-reading and
+  * re-writing every posting (indexer.py:376-554); here incremental
+  * growth costs O(metadata), not O(index).
+  */
+object Merge {
+
+  /** Merge `parts` (built over docId-disjoint corpora) into `outDir`.
+    * Validates disjointness via doc_stats ranges. */
+  def disjoint(spark: SparkSession, parts: Seq[String], outDir: String): Unit = {
+    import spark.implicits._
+    require(parts.size >= 2, "need at least two indexes to merge")
+
+    // ---- validate docId-range disjointness ---------------------------
+    val ranges = parts.map { p =>
+      val r = spark.read.parquet(s"$p/doc_stats")
+        .agg(min($"doc_id"), max($"doc_id"), count(lit(1))).head()
+      (r.getLong(0), r.getLong(1), r.getLong(2))
+    }
+    val sorted = ranges.sortBy(_._1)
+    sorted.sliding(2).foreach {
+      case Seq((_, hi, _), (lo2, _, _)) =>
+        require(hi < lo2, s"docId ranges overlap: max=$hi vs min=$lo2")
+      case _ =>
+    }
+
+    val fsOut = SegmentStore.fs(outDir)
+    fsOut.mkdirs(new Path(s"$outDir/segments/_markers"))
+
+    // ---- segments: copy under part-prefixed names; re-point dicts ----
+    val dicts = parts.zipWithIndex.map { case (p, i) =>
+      val fsIn = SegmentStore.fs(s"$p/segments")
+      val files = fsIn.listStatus(new Path(s"$p/segments"))
+        .filter(_.isFile).map(_.getPath.getName)
+        .filter(_.endsWith(".bin"))
+      files.foreach { name =>
+        org.apache.hadoop.fs.FileUtil.copy(
+          fsIn, new Path(s"$p/segments/$name"),
+          fsOut, new Path(s"$outDir/segments/p$i-$name"),
+          false, fsIn.getConf)
+      }
+      spark.read.parquet(s"$p/dict")
+        .withColumn("file", concat(lit(s"p$i-"), $"file"))
+    }
+    dicts.reduce(_ unionByName _)
+      .write.mode(SaveMode.Overwrite).parquet(s"$outDir/dict")
+
+    // ---- stats: union / sum ------------------------------------------
+    parts.map(p => spark.read.parquet(s"$p/doc_stats"))
+      .reduce(_ unionByName _)
+      .write.mode(SaveMode.Overwrite).parquet(s"$outDir/doc_stats")
+
+    parts.map(p => spark.read.parquet(s"$p/term_stats"))
+      .reduce(_ unionByName _)
+      .groupBy($"term")
+      .agg(sum($"df").as("df"), sum($"cf").as("cf"))
+      .write.mode(SaveMode.Overwrite).parquet(s"$outDir/term_stats")
+
+    val totals = ranges.map(_._3).sum
+    val partAvgs = parts.map(p =>
+      spark.read.parquet(s"$p/corpus_stats").select($"avgdl").head().getDouble(0))
+    val avgdl = partAvgs.zip(ranges).map { case (a, (_, _, n)) => a * n }
+      .sum / totals
+    // Block-max bounds were encoded against each PART's avgdl; U(tf,dl)
+    // grows with avgdl, and sup over (tf,dl) of U(a_new)/U(a_old) is
+    // a_new/a_old. Scaling every stored bound by the worst part ratio
+    // keeps WAND's skip condition a true upper bound (rank identity,
+    // SURVEY hard-part 3) at the cost of slightly looser pruning.
+    val boundScale = partAvgs.map(a => math.max(1.0, avgdl / a)).max
+    Seq((totals, avgdl, boundScale)).toDF("n_docs", "avgdl", "bound_scale")
+      .write.mode(SaveMode.Overwrite).parquet(s"$outDir/corpus_stats")
+  }
+}

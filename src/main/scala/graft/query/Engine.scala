@@ -28,10 +28,14 @@ final class Engine(spark: SparkSession, indexDir: String,
                    preload: Boolean = false) extends Serializable {
   import spark.implicits._
 
-  val (nDocs, avgdl) = {
-    val r = spark.read.parquet(s"$indexDir/corpus_stats")
-      .select($"n_docs", $"avgdl").head()
-    (r.getLong(0), r.getDouble(1))
+  val (nDocs, avgdl, boundScale) = {
+    val cs = spark.read.parquet(s"$indexDir/corpus_stats")
+    val r = cs.select($"n_docs", $"avgdl").head()
+    // merged indexes carry a bound inflation factor (Merge scaladoc);
+    // fresh builds don't have the column -> exact bounds (scale 1)
+    val scale = if (cs.columns.contains("bound_scale"))
+      cs.select($"bound_scale").head().getDouble(0) else 1.0
+    (r.getLong(0), r.getDouble(1), scale)
   }
 
   private val reader = new graft.index.SegmentReader(s"$indexDir/segments")
@@ -143,8 +147,10 @@ final class Engine(spark: SparkSession, indexDir: String,
   // ---- block-max WAND -------------------------------------------------
 
   private final class Cursor(val const: Double, blocks: Array[Codec.Block]) {
-    val globalUB: Double = const * (if (blocks.isEmpty) 0.0
-                                    else blocks.map(_.maxScore).max)
+    // bounds (not scores) inflated by boundScale — exact 1.0 on fresh
+    // builds, conservative on metadata-merged indexes
+    val globalUB: Double = const * boundScale *
+      (if (blocks.isEmpty) 0.0 else blocks.map(_.maxScore).max)
     private var bi = 0
     private var pi = 0
     private var decoded: Array[Codec.Posting] =
@@ -176,7 +182,8 @@ final class Engine(spark: SparkSession, indexDir: String,
     def blockUBFor(doc: Long): Double = {
       var j = bi
       while (j < blocks.length && blocks(j).lastDocId < doc) j += 1
-      if (j >= blocks.length) 0.0 else const * blocks(j).maxScore
+      if (j >= blocks.length) 0.0
+      else const * boundScale * blocks(j).maxScore
     }
     def blockLastFor(doc: Long): Long = {
       var j = bi
