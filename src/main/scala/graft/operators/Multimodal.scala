@@ -23,9 +23,13 @@ object Multimodal {
 
   final case class MediaRow(doc_id: Long, format: String, width: Int,
                             height: Int, media: Array[Byte])
+  /** `feat` is serialized as a JSON array string (not Array[Double]):
+    * the driver's rows-compare sorts every output column and arrays are
+    * unhashable there — a string column is compare-friendly while
+    * keeping the payload lossless and deterministic. */
   final case class MediaFeatures(doc_id: Long, format: String,
                                  n_bytes: Int, mean_byte: Double,
-                                 frames: Int, feat: Array[Double])
+                                 frames: Int, feat: String)
 
   /** Deterministic synthetic media table derived from documents: payload
     * bytes are a pure function of doc_id (stands in for real image
@@ -68,7 +72,8 @@ object Multimodal {
           val frames = if (m.format == "wav") m.media.length / 64 else 1
           MediaFeatures(m.doc_id, m.format, m.media.length,
             math.rint(mean * 10000) / 10000, frames,
-            px.map(v => math.rint(v * 10000) / 10000))
+            px.map(v => math.rint(v * 10000) / 10000)
+              .mkString("[", ",", "]"))
         }
       }.toDF()
       .orderBy($"doc_id")

@@ -120,9 +120,12 @@ object Relational {
       |FROM s GROUP BY user_id, session_seq
       |ORDER BY user_id, session_seq""".stripMargin
 
-  /** TPC-H Q3-shaped: broadcast dim joins + top-k by revenue.
-    * customer and orders are small relative to lineitem at scale →
-    * broadcast them; lineitem never shuffles for the join. */
+  /** TPC-H Q3-shaped: broadcast the customer DIMENSION only + top-k by
+    * revenue. orders is a fact table (second-largest in the schema):
+    * broadcasting it would exceed any sane autoBroadcastJoinThreshold at
+    * scale and OOM executors, so orders⋈lineitem is left to the planner
+    * — a shuffle join at scale, auto-broadcast under AQE when the
+    * filtered side is genuinely small. */
   def topRevenue(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val cust = spark.read.parquet(s"$dir/customer.parquet")
@@ -133,7 +136,7 @@ object Relational {
       .filter($"l_shipdate" > lit(java.sql.Timestamp.valueOf("1998-01-01 00:00:00")))
     val discPrice = (dec($"l_extendedprice", 12, 2) * (lit(1) - dec($"l_discount", 4, 2)))
       .cast(DecimalType(16, 4))
-    li.join(broadcast(ord), li("l_orderkey") === ord("o_orderkey"))
+    li.join(ord, li("l_orderkey") === ord("o_orderkey"))
       .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
       .groupBy($"l_orderkey", date_format($"o_orderdate", "yyyy-MM-dd").as("o_date"))
       .agg(sum(discPrice).cast("double").as("revenue"))

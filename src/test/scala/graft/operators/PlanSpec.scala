@@ -13,10 +13,15 @@ class PlanSpec extends SparkSpec {
   private def plan(df: DataFrame): String =
     df.queryExecution.executedPlan.toString
 
-  test("q03: dimension joins broadcast; lineitem never shuffles for the join") {
-    val p = plan(Relational.topRevenue(spark, dir))
+  test("q03: ONLY the customer dimension carries a broadcast hint; top-k stays heap-based") {
+    val df = Relational.topRevenue(spark, dir)
+    // exactly one explicit broadcast hint — on customer; orders is a
+    // fact table and an explicit broadcast of it is a 100x-scale OOM
+    val opt = df.queryExecution.optimizedPlan.toString
+    val hints = "strategy=broadcast".r.findAllIn(opt).size
+    assert(hints == 1, s"expected exactly 1 broadcast hint (customer), got $hints:\n${opt.take(1200)}")
+    val p = plan(df)
     assert(p.contains("BroadcastHashJoin"), p.take(500))
-    assert(!p.contains("SortMergeJoin"), "big-side shuffle join crept in")
     assert(p.contains("TakeOrderedAndProject"), "top-k must not global-sort")
   }
 

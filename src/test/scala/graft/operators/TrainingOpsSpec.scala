@@ -106,7 +106,10 @@ class TrainingOpsSpec extends SparkSpec {
     assert(a.nonEmpty)
     a.foreach { r =>
       assert(r.getInt(2) > 0) // n_bytes
-      val feat = r.getSeq[Double](5)
+      // feat is a JSON array string (driver-compare-friendly)
+      val s = r.getString(5)
+      assert(s.startsWith("[") && s.endsWith("]"), s)
+      val feat = s.drop(1).dropRight(1).split(',').map(_.toDouble)
       // feats are rounded to 4 decimals -> sum within 4 * 5e-5 of 1
       assert(feat.length == 4 && math.abs(feat.sum - 1.0) <= 2.5e-4)
     }
