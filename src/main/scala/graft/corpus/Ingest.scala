@@ -40,13 +40,16 @@ object Ingest {
       sha2(col("content"), 256) =!= col("content_sha256"))
       .select("repo", "path", "commit")
 
-  /** Ensure a dense deterministic doc_id. If the table carries one
-    * (synth does), keep it; otherwise derive a stable id from the natural
-    * key — xxhash64 over (repo, path, commit) is collision-checked at
-    * build time rather than using zipWithIndex (a full-scan barrier at
-    * 10^12 rows). */
+  /** Ensure a deterministic non-negative doc_id. If the table carries
+    * one (synth does), keep it; otherwise derive a stable id from the
+    * natural key — xxhash64 over (repo, path, commit), sign bit masked
+    * off (varbyte block encoding requires non-negative ids and writes a
+    * block's first docId absolute). The masked 63-bit id space is
+    * collision-checked at build time rather than using zipWithIndex (a
+    * full-scan barrier at 10^12 rows). */
   def withDocId(docs: DataFrame): DataFrame =
     if (docs.columns.contains("doc_id")) docs
     else docs.withColumn("doc_id",
-      xxhash64(col("repo"), col("path"), col("commit")))
+      xxhash64(col("repo"), col("path"), col("commit"))
+        .bitwiseAND(lit(Long.MaxValue)))
 }

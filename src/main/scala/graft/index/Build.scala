@@ -124,13 +124,15 @@ object Build {
         .agg(first($"dl").as("dl"), max($"tf").as("max_tf"),
           count(lit(1)).as("uniq_terms"))
         .observe(obs, count(lit(1)).as("n"), avg($"dl").as("avgdl"),
-          max($"doc_id").as("maxId"))
+          max($"doc_id").as("maxId"), min($"doc_id").as("minId"))
         .write.mode(SaveMode.Overwrite).parquet(s"$indexDir/doc_stats")
     }
     val obsRow = obs.get
     val n = obsRow("n").asInstanceOf[Long]
     val av = obsRow("avgdl").asInstanceOf[Double]
     val maxId = obsRow("maxId").asInstanceOf[Long]
+    require(obsRow("minId").asInstanceOf[Long] >= 0,
+      "doc_id must be non-negative (varbyte codec encodes absolute first ids)")
 
     phase("term-stats") {
       postings.groupBy($"term")
@@ -159,9 +161,12 @@ object Build {
       .select($"term", $"docId", $"tf", $"dl")
       .as[(String, Long, Int, Int)]
       .map { case (term, docId, tf, dl) =>
+        // docId/(maxId+1) in double space: ids may span the full 63-bit
+        // hashed range, where the old integer `maxId + 1` overflowed
         val salt =
           if (heavyBc.value.contains(term))
-            ((docId.toDouble * nSalts) / (maxId + 1)).toInt.min(nSalts - 1)
+            ((docId.toDouble / (maxId.toDouble + 1.0)) * nSalts).toInt
+              .min(nSalts - 1).max(0)
           else 0
         (term, salt, docId, tf, dl)
       }

@@ -74,16 +74,26 @@ object Merge {
       .write.mode(SaveMode.Overwrite).parquet(s"$outDir/term_stats")
 
     val totals = ranges.map(_._3).sum
-    val partAvgs = parts.map(p =>
-      spark.read.parquet(s"$p/corpus_stats").select($"avgdl").head().getDouble(0))
-    val avgdl = partAvgs.zip(ranges).map { case (a, (_, _, n)) => a * n }
-      .sum / totals
+    val partStats = parts.map { p =>
+      val cs = spark.read.parquet(s"$p/corpus_stats")
+      val a = cs.select($"avgdl").head().getDouble(0)
+      // a part that is itself a merge result carries its own scale —
+      // its stored bounds are only valid multiplied by it
+      val s = if (cs.columns.contains("bound_scale"))
+        cs.select($"bound_scale").head().getDouble(0) else 1.0
+      (a, s)
+    }
+    val avgdl = partStats.map(_._1).zip(ranges)
+      .map { case (a, (_, _, n)) => a * n }.sum / totals
     // Block-max bounds were encoded against each PART's avgdl; U(tf,dl)
     // grows with avgdl, and sup over (tf,dl) of U(a_new)/U(a_old) is
-    // a_new/a_old. Scaling every stored bound by the worst part ratio
-    // keeps WAND's skip condition a true upper bound (rank identity,
-    // SURVEY hard-part 3) at the cost of slightly looser pruning.
-    val boundScale = partAvgs.map(a => math.max(1.0, avgdl / a)).max
+    // a_new/a_old. Each part's guarantee is partScale * storedBound >=
+    // U(partAvgdl), so the composed scale is partScale * max(1,
+    // mergedAvgdl/partAvgdl), worst over parts — re-merging a merged
+    // part stays a true upper bound (rank identity, SURVEY hard-part 3)
+    // at the cost of slightly looser pruning.
+    val boundScale = partStats
+      .map { case (a, s) => s * math.max(1.0, avgdl / a) }.max
     Seq((totals, avgdl, boundScale)).toDF("n_docs", "avgdl", "bound_scale")
       .write.mode(SaveMode.Overwrite).parquet(s"$outDir/corpus_stats")
   }

@@ -167,6 +167,36 @@ class IndexSpec extends SparkSpec {
     eng.close()
   }
 
+  test("input_hint corpus WITHOUT doc_id builds and queries via hashed ids (incl. salted path)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, min => smin}
+    // the documented primary schema: no doc_id column at all
+    val docs = (0 until 300).map { i =>
+      ("repo" + (i % 7), s"src/f$i.scala", "c" * 8 + i,
+        "scala", s"omnipresent apple word${i % 11} word${i % 5}")
+    }.toDF("repo", "path", "commit", "lang", "content")
+    val withIds = graft.corpus.Ingest.withDocId(docs)
+    // hashed ids are non-negative and collision-free on this corpus
+    assert(withIds.agg(smin(col("doc_id"))).head().getLong(0) >= 0L)
+    val idx = tmpDir("graft-hashid-idx")
+    Build.run(spark, docs, idx, Build.Config(numPartitions = 4, nSalts = 4,
+      saltDfThreshold = 50, verifySha = false,
+      tokenizer = Tokenizer.plainCfg))
+    // the df=300 term must have salted across the full 63-bit id range
+    val salts = spark.read.parquet(s"$idx/dict")
+      .filter(col("term") === "omnipresent")
+      .select("salt").distinct().count()
+    assert(salts >= 2, s"heavy term not salted across hashed-id ranges: $salts")
+    val eng = new Engine(spark, idx, Tokenizer.plainCfg,
+      pruneSingletons = false, preload = true)
+    for (q <- Seq("omnipresent", "apple word3", "omnipresent apple word1")) {
+      val ex = eng.searchExhaustive(q, 310)
+      assert(ex.nonEmpty)
+      assert(eng.searchWand(q, 310).toSeq == ex.toSeq, s"q=$q")
+    }
+    eng.close()
+  }
+
   test("ingest rejects a corpus missing required columns") {
     import spark.implicits._
     val bad = tmpDir("graft-badcorpus")

@@ -55,6 +55,56 @@ class MergeSpec extends SparkSpec {
     engM.close(); engF.close()
   }
 
+  test("re-merging a merged part composes bound_scale; WAND stays exact (advice: scale composition)") {
+    import spark.implicits._
+    // avgdl fixture from the composition argument: A dl=2, B dl=6
+    // (first merge avg 4, scale 2), then C dl=3 at 2x count
+    // (second merge avg 3.5). A's segments were encoded against avgdl 2,
+    // so they need scale up to 3.5/2 = 1.75; a non-composing merge
+    // would record only max(1, 3.5/4) = 0.875 -> 1.1667 via C.
+    val mk = (ids: Range, text: Long => String) =>
+      ids.map(i => (i.toLong, text(i.toLong))).toDF("doc_id", "content")
+    val docsA = mk(0 until 50, i => s"apple tie${i % 3}")
+    val docsB = mk(200 until 250, i => s"apple apple tie${i % 3} filler$i pad$i end$i")
+    val docsC = mk(400 until 500, i => s"apple tie${i % 3} mid$i")
+    def build(df: org.apache.spark.sql.DataFrame, name: String): String = {
+      val d = tmpDir(name)
+      Build.run(spark, df, d, Build.Config(numPartitions = 4, nSalts = 2,
+        saltDfThreshold = 40, verifySha = false,
+        tokenizer = Tokenizer.plainCfg))
+      d
+    }
+    val idxA = build(docsA, "remerge-a")
+    val idxB = build(docsB, "remerge-b")
+    val idxC = build(docsC, "remerge-c")
+    val m1 = tmpDir("remerge-ab")
+    Merge.disjoint(spark, Seq(idxA, idxB), m1)
+    val m2 = tmpDir("remerge-abc")
+    Merge.disjoint(spark, Seq(m1, idxC), m2)
+
+    val cs = spark.read.parquet(s"$m2/corpus_stats").head()
+    val avgdl = cs.getAs[Double]("avgdl")
+    val scale = cs.getAs[Double]("bound_scale")
+    assert(math.abs(avgdl - 3.5) < 1e-9, s"fixture avgdl drifted: $avgdl")
+    // composed: AB carries scale 2, times max(1, 3.5/4) -> 2.0
+    assert(math.abs(scale - 2.0) < 1e-9, s"composed scale wrong: $scale")
+
+    val engM = new Engine(spark, m2, graft.analysis.Tokenizer.plainCfg,
+      pruneSingletons = false, preload = true)
+    val engF = new Engine(spark,
+      build(docsA.unionByName(docsB).unionByName(docsC), "remerge-full"),
+      graft.analysis.Tokenizer.plainCfg, pruneSingletons = false,
+      preload = true)
+    for (q <- Seq("apple", "apple tie1", "tie0 tie2 apple"); k <- Seq(5, 60, 250)) {
+      val wd = engM.searchWand(q, k)
+      assert(wd.toSeq == engM.searchExhaustive(q, k).toSeq,
+        s"re-merged WAND != exhaustive: q=$q k=$k")
+      val full = engF.searchWand(q, k)
+      assert(wd.map(_._1).toSeq == full.map(_._1).toSeq, s"q=$q k=$k")
+    }
+    engM.close(); engF.close()
+  }
+
   test("overlapping docId ranges are rejected") {
     import spark.implicits._
     val docs = (0L until 20L).map(i => (i, "alpha beta")).toDF("doc_id", "content")
