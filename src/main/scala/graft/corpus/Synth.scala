@@ -132,9 +132,13 @@ object Synth {
         val path = s"src/dir${r.nextInt(13)}/File${r.nextInt(997)}.${ext(lg)}"
         val commit = f"${mix(Seed ^ id ^ 0xC0117L)}%016x" * 2 + "00000000"
         val c = content(id)
-        (repo, path, commit.take(40), lg, c, id)
+        // deterministic commit-time stand-in for the reference's
+        // non-deterministic datetime.now() recency (indexer.py:170-178,
+        // SURVEY §1.1(5)): pure function of docId, epoch-seconds range
+        val ts = 1500000000L + (mix(Seed ^ id ^ 0x7153L) >>> 34)
+        (repo, path, commit.take(40), lg, c, id, ts)
       }
-    }.toDF("repo", "path", "commit", "lang", "content", "doc_id")
+    }.toDF("repo", "path", "commit", "lang", "content", "doc_id", "ingest_ts")
       .withColumn("content_sha256", sha2($"content", 256))
   }
 

@@ -40,7 +40,12 @@ object Build {
                           totalPostings: Long, shaViolations: Long,
                           lineage: String)
 
-  final case class PostingRow(term: String, docId: Long, tf: Int, dl: Int)
+  /** `ts`: the doc's deterministic ingest timestamp (0 when the corpus
+    * has no `ingest_ts` column) — rides the posting rows only to reach
+    * doc_stats via first(); it is per-doc constant so parquet RLE makes
+    * it nearly free in staging. */
+  final case class PostingRow(term: String, docId: Long, tf: Int, dl: Int,
+                              ts: Long)
 
   def postingsOf(spark: SparkSession, docs: DataFrame,
                  cfg: Tokenizer.Config): Dataset[PostingRow] =
@@ -55,13 +60,16 @@ object Build {
       : Dataset[PostingRow] = {
     import spark.implicits._
     val withSha = shaViolations.isDefined && docs.columns.contains("content_sha256")
+    val tsCol =
+      if (docs.columns.contains("ingest_ts")) $"ingest_ts".cast("long")
+      else lit(0L).as("ingest_ts")
     // column pruning: only the needed columns reach the scan
     val src =
       if (withSha) docs.select($"doc_id".cast("long"), $"content",
-        $"content_sha256")
+        $"content_sha256", tsCol)
       else docs.select($"doc_id".cast("long"), $"content",
-        lit(null).cast("string").as("content_sha256"))
-    src.as[(Long, String, String)].flatMap { case (id, text, sha) =>
+        lit(null).cast("string").as("content_sha256"), tsCol)
+    src.as[(Long, String, String, Long)].flatMap { case (id, text, sha, ts) =>
       if (withSha && sha != null) {
         val digest = java.security.MessageDigest.getInstance("SHA-256")
           .digest(text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -69,7 +77,8 @@ object Build {
         if (digest != sha) shaViolations.get.add(1)
       }
       val td = Tokenizer.tokenize(text, cfg)
-      td.terms.iterator.map { case (t, tf) => PostingRow(t, id, tf, td.docLen) }
+      td.terms.iterator.map { case (t, tf) =>
+        PostingRow(t, id, tf, td.docLen, ts) }
     }
   }
 
@@ -122,15 +131,18 @@ object Build {
     phase("doc-stats") {
       postings.groupBy($"docId".as("doc_id"))
         .agg(first($"dl").as("dl"), max($"tf").as("max_tf"),
-          count(lit(1)).as("uniq_terms"))
+          count(lit(1)).as("uniq_terms"), first($"ts").as("ingest_ts"))
         .observe(obs, count(lit(1)).as("n"), avg($"dl").as("avgdl"),
-          max($"doc_id").as("maxId"), min($"doc_id").as("minId"))
+          max($"doc_id").as("maxId"), min($"doc_id").as("minId"),
+          min($"ingest_ts").as("tsMin"), max($"ingest_ts").as("tsMax"))
         .write.mode(SaveMode.Overwrite).parquet(s"$indexDir/doc_stats")
     }
     val obsRow = obs.get
     val n = obsRow("n").asInstanceOf[Long]
     val av = obsRow("avgdl").asInstanceOf[Double]
     val maxId = obsRow("maxId").asInstanceOf[Long]
+    val tsMin = obsRow("tsMin").asInstanceOf[Long]
+    val tsMax = obsRow("tsMax").asInstanceOf[Long]
     require(obsRow("minId").asInstanceOf[Long] >= 0,
       "doc_id must be non-negative (varbyte codec encodes absolute first ids)")
 
@@ -140,7 +152,9 @@ object Build {
         .write.mode(SaveMode.Overwrite).parquet(s"$indexDir/term_stats")
     }
 
-    Seq((n, av)).toDF("n_docs", "avgdl")
+    // ts_min/ts_max let the engine skip loading the per-doc timestamp
+    // map entirely when the corpus has no recency signal (all equal)
+    Seq((n, av, tsMin, tsMax)).toDF("n_docs", "avgdl", "ts_min", "ts_max")
       .write.mode(SaveMode.Overwrite).parquet(s"$indexDir/corpus_stats")
 
     // ---- heavy-term set for skew salting -----------------------------
@@ -152,7 +166,7 @@ object Build {
     val heavyBc = spark.sparkContext.broadcast(heavy)
     val nSalts = cfg.nSalts
     val lineage = s"docs=$n|avgdl=$av|salts=$nSalts|P=${cfg.numPartitions}|" +
-      s"stem=${cfg.tokenizer.stem}|v1"
+      s"stem=${cfg.tokenizer.stem}|v2"
 
     // ---- salted term shuffle → sorted runs → segment writer ----------
     val segDir = s"$indexDir/segments"

@@ -81,10 +81,16 @@ object Merge {
       // its stored bounds are only valid multiplied by it
       val s = if (cs.columns.contains("bound_scale"))
         cs.select($"bound_scale").head().getDouble(0) else 1.0
-      (a, s)
+      val (tMin, tMax) = if (cs.columns.contains("ts_min")) {
+        val r = cs.select($"ts_min", $"ts_max").head()
+        (r.getLong(0), r.getLong(1))
+      } else (0L, 0L)
+      (a, s, tMin, tMax)
     }
     val avgdl = partStats.map(_._1).zip(ranges)
       .map { case (a, (_, _, n)) => a * n }.sum / totals
+    val tsMin = partStats.map(_._3).min
+    val tsMax = partStats.map(_._4).max
     // Block-max bounds were encoded against each PART's avgdl; U(tf,dl)
     // grows with avgdl, and sup over (tf,dl) of U(a_new)/U(a_old) is
     // a_new/a_old. Each part's guarantee is partScale * storedBound >=
@@ -93,8 +99,9 @@ object Merge {
     // part stays a true upper bound (rank identity, SURVEY hard-part 3)
     // at the cost of slightly looser pruning.
     val boundScale = partStats
-      .map { case (a, s) => s * math.max(1.0, avgdl / a) }.max
-    Seq((totals, avgdl, boundScale)).toDF("n_docs", "avgdl", "bound_scale")
+      .map { case (a, s, _, _) => s * math.max(1.0, avgdl / a) }.max
+    Seq((totals, avgdl, boundScale, tsMin, tsMax))
+      .toDF("n_docs", "avgdl", "bound_scale", "ts_min", "ts_max")
       .write.mode(SaveMode.Overwrite).parquet(s"$outDir/corpus_stats")
   }
 }

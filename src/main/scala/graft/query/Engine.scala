@@ -28,15 +28,48 @@ final class Engine(spark: SparkSession, indexDir: String,
                    preload: Boolean = false) extends Serializable {
   import spark.implicits._
 
-  val (nDocs, avgdl, boundScale) = {
+  val (nDocs, avgdl, boundScale, tsMin, tsMax) = {
     val cs = spark.read.parquet(s"$indexDir/corpus_stats")
     val r = cs.select($"n_docs", $"avgdl").head()
     // merged indexes carry a bound inflation factor (Merge scaladoc);
     // fresh builds don't have the column -> exact bounds (scale 1)
     val scale = if (cs.columns.contains("bound_scale"))
       cs.select($"bound_scale").head().getDouble(0) else 1.0
-    (r.getLong(0), r.getDouble(1), scale)
+    // recency range: equal min/max (or a pre-recency index) means no
+    // recency signal -> the per-doc timestamp map is never loaded
+    val (tMin, tMax) = if (cs.columns.contains("ts_min")) {
+      val t = cs.select($"ts_min", $"ts_max").head()
+      (t.getLong(0), t.getLong(1))
+    } else (0L, 0L)
+    (r.getLong(0), r.getDouble(1), scale, tMin, tMax)
   }
+
+  /** Rank ties break by recency: (score desc, ingest_ts desc, docId asc)
+    * — the deterministic replacement of the reference's datetime.now()
+    * recency tiebreak (ranker.py:30-32, SURVEY Q10). Only consulted when
+    * the corpus actually has a recency signal. */
+  private val tieAware: Boolean = tsMax != tsMin
+
+  /** Test-scale materialization of doc_id -> ingest_ts (the reference
+    * loads its whole docs_dict the same way, search_engine.py:65-69); at
+    * cluster scale doc_stats is a point-read keyed store instead. Loaded
+    * lazily and only when ties can actually differ by recency. */
+  private lazy val tsMap: Map[Long, Long] =
+    spark.read.parquet(s"$indexDir/doc_stats")
+      .select($"doc_id", $"ingest_ts").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  private def tsOf(id: Long): Long = if (tieAware) tsMap.getOrElse(id, 0L) else 0L
+
+  /** True ranking order: candidate beats incumbent on higher score, then
+    * newer ingest_ts, then smaller docId. Explicit and iteration-order
+    * independent (exact ties in a HashMap sweep resolve identically). */
+  private def better(candId: Long, candScore: Double,
+                     incId: Long, incScore: Double): Boolean =
+    candScore > incScore || (candScore == incScore && {
+      val ct = tsOf(candId); val it = tsOf(incId)
+      ct > it || (ct == it && candId < incId)
+    })
 
   private val reader = new graft.index.SegmentReader(s"$indexDir/segments")
 
@@ -132,14 +165,18 @@ final class Engine(spark: SparkSession, indexDir: String,
     topK(acc.iterator, k)
   }
 
+  /** Max-heap ordering whose head is the WORST kept entry under the
+    * full rank order (score desc, ts desc, docId asc). */
+  private def worstFirstOrd: Ordering[(Long, Double)] =
+    Ordering.by { case (id, s) => (-s, -tsOf(id), id) }
+
   private def topK(it: Iterator[(Long, Double)], k: Int): Array[(Long, Double)] = {
-    // min-heap of the k best; worst = (lowest score, then LARGEST docId)
-    val ord = Ordering.by[(Long, Double), (Double, Long)] {
-      case (id, s) => (-s, id) }
-    val heap = mutable.PriorityQueue.empty[(Long, Double)](ord)
+    val heap = mutable.PriorityQueue.empty[(Long, Double)](worstFirstOrd)
     it.foreach { e =>
       if (heap.size < k) heap.enqueue(e)
-      else if (e._2 > heap.head._2) { heap.dequeue(); heap.enqueue(e) }
+      else if (better(e._1, e._2, heap.head._1, heap.head._2)) {
+        heap.dequeue(); heap.enqueue(e)
+      }
     }
     heap.dequeueAll.reverse.toArray
   }
@@ -192,43 +229,85 @@ final class Engine(spark: SparkSession, indexDir: String,
     }
   }
 
-  /** Block-max WAND top-k; provably rank-identical to searchExhaustive. */
+  /** Block-max WAND top-k; provably rank-identical to searchExhaustive.
+    *
+    * Tie exactness: with the docId tiebreak alone, traversal in
+    * increasing docId means an equal-score candidate can never displace
+    * an incumbent (its id is larger), so pruning may skip on bound ==
+    * theta. With the recency tiebreak a tied candidate CAN displace
+    * (newer ingest_ts), so on tie-aware indexes the pivot condition
+    * admits equality and the skip condition is strictly-less — bounds at
+    * exactly theta are evaluated instead of pruned.
+    *
+    * The cursor set is kept in an array ordered by curDoc, repaired by
+    * insertion sort each round (cursors move monotonically, so the array
+    * is nearly sorted) — no per-iteration filter/sortBy allocation
+    * (round-1 advice: O(t log t) alloc per pivot step at 10+ terms). */
   def searchWand(query: String, k: Int): Array[(Long, Double)] = {
     val tps = lookup(Tokenizer.tokenizeQuery(query, tokCfg))
+    searchWandTerms(tps, k)
+  }
+
+  private[query] def searchWandTerms(tps: Seq[TermPostings], k: Int)
+      : Array[(Long, Double)] = {
     if (tps.isEmpty || k <= 0) return Array.empty
     val cursors = tps.map(tp =>
       new Cursor(BM25.termConst(nDocs, tp.df, tp.qtf), tp.blocks)).toArray
 
-    val ord = Ordering.by[(Long, Double), (Double, Long)] {
-      case (id, s) => (-s, id) }
-    val heap = mutable.PriorityQueue.empty[(Long, Double)](ord)
+    val heap = mutable.PriorityQueue.empty[(Long, Double)](worstFirstOrd)
     def theta: Double = if (heap.size < k) Double.NegativeInfinity
                         else heap.head._2
 
+    val live = cursors.clone()
+    var liveN = live.length
+    // repair order by curDoc on live(0 until liveN); exhausted cursors
+    // swap out past liveN. Insertion sort: nearly-sorted between rounds.
+    def resort(): Unit = {
+      var i = 0
+      while (i < liveN) {
+        if (live(i).exhausted) {
+          liveN -= 1
+          val t = live(i); live(i) = live(liveN); live(liveN) = t
+        } else i += 1
+      }
+      i = 1
+      while (i < liveN) {
+        val c = live(i)
+        val d = c.curDoc
+        var j = i - 1
+        while (j >= 0 && live(j).curDoc > d) { live(j + 1) = live(j); j -= 1 }
+        live(j + 1) = c
+        i += 1
+      }
+    }
+
     while (true) {
-      val live = cursors.filter(!_.exhausted).sortBy(_.curDoc)
-      if (live.isEmpty) return heap.dequeueAll.reverse.toArray
-      // pivot: first prefix whose global UB sum exceeds theta
+      resort()
+      if (liveN == 0) return heap.dequeueAll.reverse.toArray
+      // pivot: first prefix whose global UB sum reaches theta (ties at
+      // theta can still displace on tie-aware indexes)
       var acc = 0.0
       var p = -1
       var i = 0
-      while (i < live.length && p < 0) {
+      while (i < liveN && p < 0) {
         acc += live(i).globalUB
-        if (acc > theta) p = i
+        if (acc > theta || (tieAware && acc == theta && heap.size >= k)) p = i
         i += 1
       }
       if (p < 0) return heap.dequeueAll.reverse.toArray
       val pivotDoc = live(p).curDoc
       // extend the pivot prefix over every cursor sitting on pivotDoc —
       // the block bound must cover ALL of the pivot's contributions
-      while (p + 1 < live.length && live(p + 1).curDoc == pivotDoc) p += 1
+      while (p + 1 < liveN && live(p + 1).curDoc == pivotDoc) p += 1
       // refine with block maxes at the pivot
       var blockBound = 0.0
       var j = 0
       while (j <= p) { blockBound += live(j).blockUBFor(pivotDoc); j += 1 }
-      if (heap.size >= k && blockBound <= theta) {
+      val prunable =
+        if (tieAware) blockBound < theta else blockBound <= theta
+      if (heap.size >= k && prunable) {
         // no doc in [pivotDoc, d') can beat theta; skip whole blocks
-        var dNext = if (p + 1 < live.length) live(p + 1).curDoc
+        var dNext = if (p + 1 < liveN) live(p + 1).curDoc
                     else Long.MaxValue
         j = 0
         while (j <= p) {
@@ -242,11 +321,16 @@ final class Engine(spark: SparkSession, indexDir: String,
       } else if (live(0).curDoc == pivotDoc) {
         // fully evaluate the pivot
         var score = 0.0
-        cursors.foreach { c =>
-          if (!c.exhausted && c.curDoc == pivotDoc) { score += c.curScore; c.next() }
+        j = 0
+        while (j < liveN) {
+          val c = live(j)
+          if (c.curDoc == pivotDoc) { score += c.curScore; c.next() }
+          j += 1
         }
         if (heap.size < k) heap.enqueue((pivotDoc, score))
-        else if (score > heap.head._2) { heap.dequeue(); heap.enqueue((pivotDoc, score)) }
+        else if (better(pivotDoc, score, heap.head._1, heap.head._2)) {
+          heap.dequeue(); heap.enqueue((pivotDoc, score))
+        }
       } else {
         // align earlier cursors onto the pivot
         j = 0

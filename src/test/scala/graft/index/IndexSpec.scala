@@ -146,6 +146,43 @@ class IndexSpec extends SparkSpec {
     eng.close()
   }
 
+  test("recency tiebreak: exact score ties rank (score desc, ingest_ts desc, docId asc); WAND stays exact") {
+    import spark.implicits._
+    // 12 byte-identical docs with distinct ingest_ts in non-docId order
+    // (reference ranks ties by recency, ranker.py:30-32; ours replaces
+    // datetime.now() with the stored deterministic timestamp)
+    val docs = (0L until 12L).map(i =>
+      (i, "apple banana apple cherry", 1000L + (i * 7919L) % 12L))
+      .toDF("doc_id", "content", "ingest_ts")
+    val idx = tmpDir("graft-recency-idx")
+    Build.run(spark, docs, idx, Build.Config(numPartitions = 2,
+      verifySha = false, tokenizer = Tokenizer.plainCfg))
+    val eng = new Engine(spark, idx, Tokenizer.plainCfg,
+      pruneSingletons = false, preload = true)
+    val wantOrder = (0L until 12L)
+      .sortBy(i => (-(1000L + (i * 7919L) % 12L), i))
+    for (k <- Seq(1, 3, 5, 12, 20)) {
+      val ex = eng.searchExhaustive("apple cherry", k)
+      val wd = eng.searchWand("apple cherry", k)
+      assert(wd.toSeq == ex.toSeq, s"k=$k")
+      assert(wd.map(_._1).toSeq == wantOrder.take(math.min(k, 12)),
+        s"k=$k: got ${wd.map(_._1).toSeq}")
+      assert(wd.map(_._2).distinct.length == 1)
+    }
+    // ties on BOTH score and ts fall back to docId asc
+    val docs2 = (0L until 8L).map(i =>
+      (i, "pear", if (i < 4) 2000L else 1000L)).toDF("doc_id", "content", "ingest_ts")
+    val idx2 = tmpDir("graft-recency-idx2")
+    Build.run(spark, docs2, idx2, Build.Config(numPartitions = 2,
+      verifySha = false, tokenizer = Tokenizer.plainCfg))
+    val eng2 = new Engine(spark, idx2, Tokenizer.plainCfg,
+      pruneSingletons = false, preload = true)
+    val r2 = eng2.searchWand("pear", 8)
+    assert(r2.map(_._1).toSeq == Seq(0L, 1L, 2L, 3L, 4L, 5L, 6L, 7L))
+    assert(r2.toSeq == eng2.searchExhaustive("pear", 8).toSeq)
+    eng.close(); eng2.close()
+  }
+
   test("total-skew term: a term in every doc salts across partitions and queries correctly") {
     import spark.implicits._
     val n = 300
