@@ -25,7 +25,8 @@ import scala.collection.mutable
 final class Engine(spark: SparkSession, indexDir: String,
                    tokCfg: Tokenizer.Config = Tokenizer.default,
                    pruneSingletons: Boolean = true,
-                   preload: Boolean = false) extends Serializable {
+                   preload: Boolean = false,
+                   spell: Boolean = true) extends Serializable {
   import spark.implicits._
 
   val (nDocs, avgdl, boundScale, tsMin, tsMax) = {
@@ -89,27 +90,52 @@ final class Engine(spark: SparkSession, indexDir: String,
   final case class TermPostings(term: String, qtf: Int, df: Long,
                                 blocks: Array[Codec.Block])
 
+  /** Batched term -> df resolution: preloaded map hits, or ONE pushdown
+    * parquet scan over the candidate set. */
+  private def dfBatch(cands: Seq[String]): Map[String, Long] = preStats match {
+    case Some(m) => cands.iterator.flatMap(c => m.get(c).map(c -> _)).toMap
+    case None =>
+      if (cands.isEmpty) Map.empty
+      else spark.read.parquet(s"$indexDir/term_stats")
+        .filter($"term".isin(cands: _*))
+        .select($"term", $"df").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+  }
+
   /** Dictionary + stats lookup for a parsed query, with the reference's
-    * case-fold fallback (searcher.py:46-55, SURVEY Q3) and query-time
-    * singleton pruning (indexer.py:604-615, SURVEY A7). */
+    * case-fold fallback (searcher.py:46-55, SURVEY Q3), default-on spell
+    * correction for still-unknown terms (the reference corrects EVERY
+    * query, searcher.py:44, incl. the edit-2 candidates() fallback,
+    * searcher.py:94-95), and query-time singleton pruning
+    * (indexer.py:604-615, SURVEY A7). */
   def lookup(queryTerms: Map[String, Int]): Seq[TermPostings] = {
     if (queryTerms.isEmpty) return Nil
     val variants = queryTerms.keys.flatMap(t =>
       Seq(t, t.toLowerCase, t.toUpperCase)).toSeq.distinct
-    val stats: Map[String, Long] = preStats match {
-      case Some(m) => variants.flatMap(t => m.get(t).map(t -> _)).toMap
-      case None => spark.read.parquet(s"$indexDir/term_stats")
-        .filter($"term".isin(variants: _*))
-        .select($"term", $"df").collect()
-        .map(r => r.getString(0) -> r.getLong(1)).toMap
-    }
-    val resolved: Map[String, Int] = queryTerms.flatMap { case (t, qtf) =>
+    var stats: Map[String, Long] = dfBatch(variants)
+    var resolved: Map[String, Int] = queryTerms.flatMap { case (t, qtf) =>
       val hit =
         if (stats.contains(t)) Some(t)
         else if (stats.contains(t.toLowerCase)) Some(t.toLowerCase)
         else if (stats.contains(t.toUpperCase)) Some(t.toUpperCase)
         else None
       hit.map(_ -> qtf)
+    }
+    if (spell) {
+      val missing = queryTerms.filter { case (t, _) =>
+        !(stats.contains(t) || stats.contains(t.toLowerCase) ||
+          stats.contains(t.toUpperCase)) }
+      // edit-2 over a pushdown dictionary would be a huge predicate —
+      // preloaded engines search it fully, scan engines a bounded prefix
+      val maxE2 = if (preStats.isDefined) Int.MaxValue else 5000
+      missing.foreach { case (t, qtf) =>
+        val c = Spell.correct2(t, dfBatch, maxE2)
+        if (c != t) {
+          stats ++= dfBatch(Seq(c))
+          resolved = resolved.updatedWith(c)(q =>
+            Some(q.getOrElse(0) + qtf))
+        }
+      }
     }
     val live = resolved.filter { case (t, _) =>
       !pruneSingletons || stats(t) > 1 }
@@ -247,6 +273,12 @@ final class Engine(spark: SparkSession, indexDir: String,
     val tps = lookup(Tokenizer.tokenizeQuery(query, tokCfg))
     searchWandTerms(tps, k)
   }
+
+  /** Terms-level entry: search an already-normalized term -> qtf map
+    * (no re-tokenization — normalized terms like "15.6K" would otherwise
+    * re-expand through the identifier split and drift the query). */
+  def searchWandQuery(queryTerms: Map[String, Int], k: Int): Array[(Long, Double)] =
+    searchWandTerms(lookup(queryTerms), k)
 
   private[query] def searchWandTerms(tps: Seq[TermPostings], k: Int)
       : Array[(Long, Double)] = {

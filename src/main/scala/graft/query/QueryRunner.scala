@@ -30,7 +30,12 @@ object QueryRunner {
   }
 
   /** Run every query; k capped at 2000 like the reference
-    * (ranker.py:48-49). */
+    * (ranker.py:48-49). The engine itself spell-corrects unknown terms
+    * by default (reference corrects every query, searcher.py:44);
+    * `spellDf` remains for callers supplying an external dictionary and
+    * feeds corrected TERMS straight to the engine — never rebuilt into a
+    * string, which would re-tokenize already-normalized terms (e.g.
+    * "15.6K" re-expanding through the identifier split). */
   def run(engine: Engine, queries: Seq[(Int, String)],
           k: Int = 250,
           spellDf: Option[String => Option[Long]] = None,
@@ -38,13 +43,14 @@ object QueryRunner {
       : Seq[(Int, Long, Int, Double)] = {
     val kCapped = math.min(k, 2000)
     queries.flatMap { case (qnum, q) =>
+      val terms = Tokenizer.tokenizeQuery(q, tokCfg)
       val corrected = spellDf match {
-        case Some(df) =>
-          Tokenizer.tokenizeQuery(q, tokCfg).keys
-            .map(t => Spell.correct(t, df)).mkString(" ")
-        case None => q
+        case Some(df) => terms.toSeq
+          .map { case (t, qtf) => Spell.correct(t, df) -> qtf }
+          .groupMapReduce(_._1)(_._2)(_ + _)
+        case None => terms
       }
-      engine.searchWand(corrected, kCapped).zipWithIndex.map {
+      engine.searchWandQuery(corrected, kCapped).zipWithIndex.map {
         case ((docId, score), i) => (qnum, docId, i + 1, score)
       }
     }

@@ -38,4 +38,28 @@ object Spell {
     if (cands.isEmpty) term
     else cands.minBy { case (c, d) => (-d, c) }._1
   }
+
+  /** Full reference policy incl. the edit-2 fallback (pyspellchecker's
+    * candidates() reaches edit distance 2, searcher.py:94-95): known →
+    * unchanged; else argmax-df over known edit-1s; else over known
+    * edit-2s; else unchanged. `dfBatch` resolves many candidates in one
+    * lookup so a non-preloaded engine pays ONE dictionary scan per
+    * stage, not one per candidate. `maxEdit2` bounds the second stage's
+    * candidate set (deterministic prefix of the generation order) so a
+    * pushdown-scan dictionary isn't handed a quarter-million-term
+    * predicate. */
+  def correct2(term: String, dfBatch: Seq[String] => Map[String, Long],
+               maxEdit2: Int = Int.MaxValue): String = {
+    if (dfBatch(Seq(term)).contains(term)) return term
+    val e1 = edits1(term).toSeq
+    def best(known: Map[String, Long]): String =
+      known.toSeq.minBy { case (c, d) => (-d, c) }._1
+    val known1 = dfBatch(e1)
+    if (known1.nonEmpty) return best(known1)
+    val seen = scala.collection.mutable.HashSet(term)
+    seen ++= e1
+    val e2 = e1.iterator.flatMap(edits1).filter(seen.add).take(maxEdit2).toSeq
+    val known2 = dfBatch(e2)
+    if (known2.nonEmpty) best(known2) else term
+  }
 }

@@ -32,6 +32,50 @@ class QuerySurfaceSpec extends SparkSpec {
     assert(e.distinct.size == e.size)
   }
 
+  test("spell correct2: edit-2 fallback engages only when no edit-1 candidate is known") {
+    val df = Map("spark" -> 100L, "quartz" -> 7L)
+    def batch(cs: Seq[String]) = cs.flatMap(c => df.get(c).map(c -> _)).toMap
+    assert(Spell.correct2("spark", batch) == "spark")  // known passthrough
+    assert(Spell.correct2("spork", batch) == "spark")  // edit-1 wins
+    // 'spirk' -> edit-1 'spark'? s-p-i-r-k vs s-p-a-r-k: one replace -> edit-1
+    assert(Spell.correct2("spirk", batch) == "spark")
+    // 'spoke' -> spark needs 2 edits (o->a, e->... actually spoke->spore->?).
+    // construct a clean 2-edit case: 'quart_' -> 'quartz' is 1 edit;
+    // 'quare' -> quartz needs 2 (insert t, replace e->z)
+    assert(Spell.correct2("quare", batch) == "quartz")
+    assert(Spell.correct2("zzzzzzzz", batch) == "zzzzzzzz") // no candidate
+    // maxEdit2=0 disables the second stage deterministically
+    assert(Spell.correct2("quare", batch, maxEdit2 = 0) == "quare")
+  }
+
+  test("engine corrects a misspelled term by default — no caller-supplied dictionary") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "gamma gamma gamma delta"), (1L, "gamma epsilon"),
+      (2L, "gamma delta")).toDF("doc_id", "content")
+    val idx = tmpDir("graft-autospell-index")
+    Build.run(spark, docs, idx, Build.Config(numPartitions = 2,
+      verifySha = false, tokenizer = Tokenizer.plainCfg))
+    val eng = new Engine(spark, idx, Tokenizer.plainCfg,
+      pruneSingletons = false, preload = true)
+    // edit-1: 'gamm' -> 'gamma' (argmax df)
+    assert(eng.searchWand("gamm", 10).map(_._1).toSet == Set(0L, 1L, 2L))
+    // edit-2: 'gamxx' -> 'gamma'
+    assert(eng.searchWand("gamxx", 10).map(_._1).toSet == Set(0L, 1L, 2L))
+    // WAND and exhaustive agree on the corrected query
+    assert(eng.searchWand("gamm delta", 10).toSeq ==
+      eng.searchExhaustive("gamm delta", 10).toSeq)
+    // non-preloaded engine corrects through pushdown dictionary scans
+    val engScan = new Engine(spark, idx, Tokenizer.plainCfg,
+      pruneSingletons = false, preload = false)
+    assert(engScan.searchWand("gamm", 10).map(_._1).toSet == Set(0L, 1L, 2L))
+    // spell=false: unknown terms stay unknown
+    val engOff = new Engine(spark, idx, Tokenizer.plainCfg,
+      pruneSingletons = false, preload = true, spell = false)
+    assert(engOff.searchWand("gamm", 10).isEmpty)
+    eng.close(); engScan.close(); engOff.close()
+  }
+
   test("queries file: reference numbered format parsed like search_engine.py:84-98") {
     val qs = QueryRunner.parseQueries(Seq(
       "1. first query here", "2. second", "", "17. seventeen",
