@@ -72,6 +72,18 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("PushedFilters: [In(term"), p.take(800))
   }
 
+  test("q14 embedding dedup is distributed: parquet-scan sourced, no driver-side vector table") {
+    val df = Dedup.embeddingCosine(spark, dir)
+    val p = plan(df)
+    // the round-1 anti-pattern collected vectors to the driver and
+    // re-parallelized spark.range over them — its plan had a Range
+    // source and no scan of the embeddings table
+    assert("Scan parquet".r.findAllIn(p).size >= 2,
+      s"expected both join sides to scan embeddings.parquet:\n${p.take(800)}")
+    assert(!p.contains("Range ("), "driver-side materialization crept back in")
+    assert(df.count() > 0)
+  }
+
   test("q15 ANN: query side broadcasts; big side has no shuffle before top-k") {
     val p = plan(Similarity.annBruteForce(spark, dir))
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"))
