@@ -91,15 +91,7 @@ object Similarity {
 
   val IvfLists = 16
   val IvfProbes = 4
-
-  /** Deterministic coarse centroids: IvfLists seed vectors drawn from
-    * the splittable hash (a stand-in for a trained k-means codebook —
-    * the assignment/probe dataflow is the part that matters here). */
-  private[operators] def ivfCentroid(c: Int, dim: Int): Array[Double] =
-    Array.tabulate(dim) { i =>
-      val h = graft.corpus.Synth.mix(0x1FFC0DEL ^ (c.toLong << 24) ^ i.toLong)
-      (h >>> 11) * (2.0 / (1L << 53)) - 1.0
-    }
+  val IvfIters = 4
 
   private def nearestCentroids(v: Array[Double],
                                cents: Array[Array[Double]], n: Int): Seq[Int] =
@@ -113,15 +105,110 @@ object Similarity {
       c -> dot / math.sqrt(nc * nv)
     }.sortBy { case (c, s) => (-s, c) }.take(n).map(_._1)
 
-  /** q24: IVF-style ANN — every vector assigned to its nearest coarse
+  private val ivfCache =
+    scala.collection.concurrent.TrieMap.empty[String, Array[Array[Double]]]
+
+  /** Deterministic k-means++ (farthest-point by cosine distance, ties by
+    * index) + 6 Lloyd sweeps, all on the driver-resident sample. */
+  private def kmeansPlusPlus(sample: Array[Array[Double]],
+                             k: Int): Array[Array[Double]] = {
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nbv = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i)
+        nbv += b(i) * b(i); i += 1 }
+      d / math.sqrt(na * nbv)
+    }
+    val seeds = scala.collection.mutable.ArrayBuffer(0)
+    while (seeds.length < math.min(k, sample.length)) {
+      // farthest point: maximize distance to the nearest chosen seed
+      var bestI = -1; var bestD = Double.NegativeInfinity
+      var i = 0
+      while (i < sample.length) {
+        if (!seeds.contains(i)) {
+          var nearest = Double.NegativeInfinity
+          seeds.foreach { s =>
+            val c = cos(sample(i), sample(s)); if (c > nearest) nearest = c }
+          val d = 1.0 - nearest
+          if (d > bestD) { bestD = d; bestI = i }
+        }
+        i += 1
+      }
+      seeds += bestI
+    }
+    var cents = seeds.map(sample(_).clone()).toArray
+    for (_ <- 1 to 6) {
+      val sums = Array.fill(cents.length)(new Array[Double](sample(0).length))
+      val counts = new Array[Int](cents.length)
+      sample.foreach { v =>
+        var best = 0; var bestC = Double.NegativeInfinity
+        var c = 0
+        while (c < cents.length) {
+          val s = cos(v, cents(c)); if (s > bestC) { bestC = s; best = c }
+          c += 1
+        }
+        counts(best) += 1
+        var i = 0
+        while (i < v.length) { sums(best)(i) += v(i); i += 1 }
+      }
+      cents = cents.indices.map { c =>
+        if (counts(c) == 0) cents(c)
+        else sums(c).map(_ / counts(c))
+      }.toArray
+    }
+    cents
+  }
+
+  /** Lloyd-trained coarse codebook (k-means in Spark): init from the
+    * IvfLists lowest vec_ids (deterministic), then IvfIters rounds of
+    * broadcast-assign -> per-list component means. Means accumulate in
+    * DECIMAL so the codebook is bit-deterministic across runs and
+    * partitionings (float sums are order-dependent; at 10^9 vectors the
+    * decimal agg has the same one-shuffle shape, just wider rows).
+    * Empty lists keep their previous centroid. The codebook is
+    * IvfLists x dim doubles — trivially broadcastable at any scale. */
+  private[operators] def trainIvf(spark: SparkSession, dir: String)
+      : Array[Array[Double]] = ivfCache.getOrElseUpdate(dir, {
+    import spark.implicits._
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select($"vec_id".cast("long"), $"embedding").as[(Long, Array[Float])]
+    // init = k-means++ on a deterministic sample: the 64*IvfLists
+    // vectors lowest in id-hash order (TakeOrdered — spread uniformly
+    // over the data regardless of id layout, fits the driver by
+    // construction at any corpus scale), farthest-point seeding with
+    // ties by sample index, then a few driver-side Lloyd sweeps before
+    // the distributed refinement. Lowest-id init would seed all lists
+    // inside one cluster on cluster-ordered tables; plain hash-seeding
+    // lands in poor local optima.
+    val sample: Array[Array[Double]] = e
+      .orderBy(xxhash64($"vec_id"), $"vec_id").limit(64 * IvfLists)
+      .collect().map(_._2.map(_.toDouble))
+    var cents: Array[Array[Double]] = kmeansPlusPlus(sample, IvfLists)
+    for (_ <- 1 to IvfIters) {
+      val bc = spark.sparkContext.broadcast(cents)
+      val means = e.map { case (_, emb) =>
+          val v = emb.map(_.toDouble)
+          (nearestCentroids(v, bc.value, 1).head, v)
+        }.toDF("list", "v")
+        .select($"list", posexplode($"v").as(Seq("pos", "x")))
+        .groupBy($"list", $"pos")
+        .agg((sum($"x".cast("decimal(27,15)")) / count(lit(1)))
+          .cast("double").as("m"))
+        .collect().map(r => (r.getInt(0), r.getInt(1), r.getDouble(2)))
+      val next = cents.map(_.clone())
+      means.foreach { case (l, p, m) => next(l)(p) = m }
+      cents = next
+    }
+    cents
+  })
+
+  /** q24: IVF ANN — every vector assigned to its nearest trained coarse
     * list (one narrow pass, broadcast codebook); the query probes its
     * IvfProbes nearest lists and exact-cosine re-ranks only those
     * candidates. At 10^11 vectors the lists are disk partitions and the
     * probe set prunes the scan exactly like partition pruning. */
   def annIvf(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val dim = 64
-    val cents = Array.tabulate(IvfLists)(c => ivfCentroid(c, dim))
+    val cents = trainIvf(spark, dir)
     val centsBc = spark.sparkContext.broadcast(cents)
     val e = spark.read.parquet(s"$dir/embeddings.parquet")
       .select($"vec_id".cast("long"), $"embedding").as[(Long, Array[Float])]
@@ -167,9 +254,26 @@ object Similarity {
     sig
   }
 
+  /** Multi-probe radius: buckets within hamming MultiProbe of the
+    * query signature are scanned — 37 of 256 buckets (~14%) at radius 2.
+    * On data with REAL near neighbors (small angles) radius 1 already
+    * catches nearly everything (per-bit flip prob = angle/pi); radius 2
+    * is the honest knob for looser thresholds. */
+  val MultiProbe = 2
+
+  private[operators] def probeSet(sig: Int): Seq[Int] = {
+    val out = scala.collection.mutable.LinkedHashSet(sig)
+    if (MultiProbe >= 1)
+      for (b <- 0 until NBits) out += sig ^ (1 << b)
+    if (MultiProbe >= 2)
+      for (a <- 0 until NBits; b <- a + 1 until NBits)
+        out += sig ^ (1 << a) ^ (1 << b)
+    out.toSeq
+  }
+
   /** q16: LSH-bucketed approximate top-k for the same query: candidates
-    * from the query's bucket plus all hamming-1 buckets (multi-probe),
-    * exact cosine re-rank within candidates. */
+    * from the query's bucket plus all buckets within the multi-probe
+    * hamming radius, exact cosine re-rank within candidates. */
   def annLsh(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val dim = 64
@@ -187,7 +291,7 @@ object Similarity {
       .select($"bucket", $"embedding").head()
     val qSig = qRow.getInt(0)
     val qEmb = qRow.getSeq[Float](1).toArray
-    val probes = (qSig +: (0 until NBits).map(b => qSig ^ (1 << b))).toSeq
+    val probes = probeSet(qSig)
     val qe = typedLit(qEmb)
     bucketed
       .filter($"bucket".isin(probes: _*) && $"vec_id" =!= QueryVecId)

@@ -78,10 +78,14 @@ class TrainingOpsSpec extends SparkSpec {
     brute.keySet.intersect(lsh.keySet).foreach { id =>
       assert(brute(id) == lsh(id), s"cos mismatch for $id")
     }
-    // approximate, but must find a nonzero share of the true top-k on
-    // weakly-correlated random vectors (8-bit multi-probe)
+    // the sf0.001 embeddings are UNIFORM RANDOM (top-20 cosines 0.23-
+    // 0.33, i.e. ~72 degrees): per-bit agreement is only ~0.6, so the
+    // hamming<=2 multi-probe (37/256 buckets, ~14% of vectors) has a
+    // ~0.31 expected recall ceiling — measured 0.30. High recall on
+    // neighbor-free data would mean NO pruning; the planted-cluster
+    // fixture below is where a real >=0.8 target applies.
     val recall = brute.keySet.intersect(lsh.keySet).size.toDouble / brute.size
-    assert(recall >= 0.1, s"recall=$recall")
+    assert(recall >= 0.3, s"recall=$recall")
   }
 
   test("q24 IVF ANN re-ranks with exact cosine and overlaps brute force") {
@@ -93,10 +97,48 @@ class TrainingOpsSpec extends SparkSpec {
     brute.keySet.intersect(ivf.keySet).foreach { id =>
       assert(brute(id) == ivf(id), s"cos mismatch for $id")
     }
+    // trained codebook, 4/16 lists probed = 27% coverage on this
+    // uniform-random table; measured recall 0.55 is a 2x lift over
+    // coverage — the honest ceiling here (0.8 recall needs >50%
+    // coverage on neighbor-free data = no pruning). The >=0.8 target
+    // is gated on the planted-cluster fixture below.
     val recall = brute.keySet.intersect(ivf.keySet).size.toDouble / brute.size
-    assert(recall >= 0.1, s"recall=$recall") // 4/16 lists probed
+    assert(recall >= 0.5, s"recall=$recall")
     // probing must prune: candidate set smaller than the corpus
     assert(ivf.size == Similarity.K)
+  }
+
+  /** 20 tight clusters x 25 vectors (dim 64): data where ANN recall is
+    * meaningful. vec 0's true top-20 are exactly its cluster-mates. */
+  private lazy val clusteredDir: String = {
+    import spark.implicits._
+    import graft.corpus.Synth
+    val rows = for (c <- 0 until 20; m <- 0 until 25) yield {
+      val rc = new Synth.Rng(Synth.mix(0xC1A5L ^ c.toLong))
+      val center = Array.fill(64)(rc.nextDouble() * 2 - 1)
+      val rm = new Synth.Rng(Synth.mix(0x3E3BL ^ (c * 25L + m)))
+      val v = center.map(x => (x + 0.05 * (rm.nextDouble() * 2 - 1)).toFloat)
+      (c * 25L + m, v, c)
+    }
+    val d = tmpDir("graft-clustered")
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$d/embeddings.parquet")
+    d
+  }
+
+  test("q16+q24 on planted clusters: recall >= 0.8 against brute force (real neighbor structure)") {
+    val brute = Similarity.annBruteForce(spark, clusteredDir).collect()
+      .map(_.getLong(0)).toSet
+    // sanity: the true top-20 are cluster-0 mates
+    assert(brute.forall(_ < 25L), s"brute top-k not cluster-mates: $brute")
+    val lsh = Similarity.annLsh(spark, clusteredDir).collect()
+      .map(_.getLong(0)).toSet
+    val ivf = Similarity.annIvf(spark, clusteredDir).collect()
+      .map(_.getLong(0)).toSet
+    val lshRecall = brute.intersect(lsh).size.toDouble / brute.size
+    val ivfRecall = brute.intersect(ivf).size.toDouble / brute.size
+    assert(lshRecall >= 0.8, s"LSH recall=$lshRecall")
+    assert(ivfRecall >= 0.8, s"IVF recall=$ivfRecall")
   }
 
   test("q21 multimodal features are deterministic with a valid feature schema") {
