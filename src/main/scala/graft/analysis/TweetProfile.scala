@@ -77,17 +77,23 @@ object TweetProfile {
     (terms, entities.toSeq)
   }
 
-  /** The A6 two-pass fold over a (doc_id, text) corpus:
+  /** The A6 two-pass fold over a (doc_id, text[, ingest_ts]) corpus:
     * pass 1 aggregates "ever seen lowercase" per upper(term) and entity
     * counts; pass 2 rewrites terms and prunes singleton entities.
-    * Returns final (doc_id, term, tf) — order-independent, unlike the
-    * reference's merge-order-dependent mutation. */
+    * Returns final (doc_id, term, tf, dl, ts) — order-independent,
+    * unlike the reference's merge-order-dependent mutation. dl is the
+    * pre-fold alpha-token count (the profile's A2 doc length) and ts the
+    * optional ingest timestamp, so the output plugs straight into
+    * Build.runFromPostings. */
   def capitalEntityFold(spark: SparkSession, docs: DataFrame): DataFrame = {
     import spark.implicits._
-    val emitted = docs.select($"doc_id".cast("long"), $"text")
-      .as[(Long, String)]
-      .map { case (id, text) => val (t, e) = emit(text); (id, t, e) }
-      .toDF("doc_id", "terms", "entities")
+    val tsCol =
+      if (docs.columns.contains("ingest_ts")) $"ingest_ts".cast("long")
+      else lit(0L)
+    val emitted = docs.select($"doc_id".cast("long"), $"text", tsCol.as("ts"))
+      .as[(Long, String, Long)]
+      .map { case (id, text, ts) => val (t, e) = emit(text); (id, t, e, ts) }
+      .toDF("doc_id", "terms", "entities", "ts")
     emitted.cache()
     // pass 1a: term ever lowercase? (seen with a lowercase first letter)
     val everLower = emitted
@@ -104,15 +110,20 @@ object TweetProfile {
     // joins left to Catalyst/AQE: the fold map is dictionary-sized, so a
     // broadcast hint would be wrong at corpus scale (shuffle join there)
     val termRows = emitted
-      .select($"doc_id", explode($"terms").as("term"))
+      .select($"doc_id", explode($"terms").as("term"),
+        size($"terms").as("dl"), $"ts")
       .join(everLower, upper($"term") === $"uterm")
       .select($"doc_id",
-        when($"ever_lower" === 1, lower($"term")).otherwise($"term").as("term"))
+        when($"ever_lower" === 1, lower($"term")).otherwise($"term").as("term"),
+        $"dl", $"ts")
     val entityRows = emitted
-      .select($"doc_id", explode($"entities").as("term"))
+      .select($"doc_id", explode($"entities").as("term"),
+        size($"terms").as("dl"), $"ts")
       .join(liveEntities, $"term" === $"entity")
-      .select($"doc_id", $"term")
+      .select($"doc_id", $"term", $"dl", $"ts")
     termRows.union(entityRows)
-      .groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+      .groupBy($"doc_id", $"term")
+      .agg(count(lit(1)).as("tf"), first($"dl").as("dl"),
+        first($"ts").as("ts"))
   }
 }

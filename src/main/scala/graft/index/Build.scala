@@ -124,6 +124,17 @@ object Build {
     }
     val shaViol = shaAcc.map(_.value.toLong).getOrElse(0L)
     require(shaViol == 0, s"$shaViol rows fail the sha256 ingest invariant")
+    runFromPostings(spark, postings, indexDir, cfg, shaViol)
+  }
+
+  /** The post-tokenize build stages over an existing postings frame
+    * (term, docId, tf, dl, ts) — lets alternative tokenize profiles
+    * (e.g. the tweet capital/entity fold, analysis/TweetIndex) reuse the
+    * stats + salted shuffle + segment machinery unchanged. */
+  def runFromPostings(spark: SparkSession, postings: DataFrame,
+                      indexDir: String, cfg: Config = Config(),
+                      shaViol: Long = 0L): Result = {
+    import spark.implicits._
 
     // ---- stats: Catalyst aggregates (north rule); corpus-level stats
     // ride the doc-stats write via observe() — no extra job ------------
@@ -152,9 +163,19 @@ object Build {
         .write.mode(SaveMode.Overwrite).parquet(s"$indexDir/term_stats")
     }
 
+    // A9: numbers-in-corpus counter (reference persists
+    // AMOUNT_OF_NUMBERS_IN_CORPUS, parser_module.py:18 + 519-521,
+    // search_engine.py:57) — total emitted number-term occurrences,
+    // materialized from the vocab-sized term_stats, not a corpus rescan
+    val nNumbers = spark.read.parquet(s"$indexDir/term_stats")
+      .filter($"term".rlike(
+        "^\\d+(\\.\\d+)?[KMB%$]?$|^\\d+/\\d+$|^\\d+ \\d+/\\d+$"))
+      .agg(coalesce(sum($"cf"), lit(0L))).head().getLong(0)
+
     // ts_min/ts_max let the engine skip loading the per-doc timestamp
     // map entirely when the corpus has no recency signal (all equal)
-    Seq((n, av, tsMin, tsMax)).toDF("n_docs", "avgdl", "ts_min", "ts_max")
+    Seq((n, av, tsMin, tsMax, nNumbers))
+      .toDF("n_docs", "avgdl", "ts_min", "ts_max", "n_number_tokens")
       .write.mode(SaveMode.Overwrite).parquet(s"$indexDir/corpus_stats")
 
     // ---- heavy-term set for skew salting -----------------------------

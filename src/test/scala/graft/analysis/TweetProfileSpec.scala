@@ -61,4 +61,39 @@ class TweetProfileSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
     assert(out.sortBy(t => (t._1, t._2)).toSeq == again.sortBy(t => (t._1, t._2)).toSeq)
   }
+
+  test("A6 end-to-end: tweet-profile index builds through Build/Engine and answers queries") {
+    import spark.implicits._
+    import graft.index.Build
+    import graft.query.Engine
+    val tweets = Seq(
+      (0L, "Obama met Apple executives", null: String, null: String, 100L),
+      (1L, "the apple fell on Obama", null: String, null: String, 200L),
+      (2L, "New York is large", "New York again", null: String, 300L),
+      (3L, "talks in New York", null: String, "quoted words here", 400L),
+      (4L, "plain lowercase words here", null: String, null: String, 500L)
+    ).toDF("tweet_id", "full_text", "retweet_quoted_text", "quoted_text",
+      "ingest_ts")
+    val idx = tmpDir("graft-tweet-idx")
+    val res = graft.analysis.TweetIndex.build(spark, tweets, idx,
+      Build.Config(numPartitions = 2, verifySha = false))
+    assert(res.nDocs == 5)
+    val eng = new Engine(spark, idx, Tokenizer.plainCfg,
+      pruneSingletons = false, preload = true)
+    // lowercase query resolves the always-capitalized OBAMA via the
+    // engine's case-fold fallback
+    val obama = eng.searchWand("obama", 10)
+    assert(obama.map(_._1).toSet == Set(0L, 1L))
+    // 'apple' was seen lowercase -> folded: both docs match 'apple'
+    assert(eng.searchWand("apple", 10).map(_._1).toSet == Set(0L, 1L))
+    // multi-word entity term through the terms-level entry; doc 2 has
+    // the entity twice (full + retweet_quoted concat)
+    val ny = eng.searchWandQuery(Map("New York" -> 1), 10)
+    assert(ny.map(_._1).toSet == Set(2L, 3L))
+    assert(ny.head._1 == 2L, "tf=2 entity doc must outrank tf=1")
+    // WAND == exhaustive on this profile too
+    for (q <- Seq("obama", "apple", "words here"))
+      assert(eng.searchWand(q, 10).toSeq == eng.searchExhaustive(q, 10).toSeq)
+    eng.close()
+  }
 }

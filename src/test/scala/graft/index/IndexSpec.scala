@@ -39,6 +39,16 @@ class IndexSpec extends SparkSpec {
     // totalPostings == number of distinct (term, doc) pairs
     val staged = spark.read.parquet(s"${res.indexDir}/staging_postings")
     assert(res.totalPostings == staged.count())
+    // A9: the numbers-in-corpus counter is materialized and equals the
+    // number-term occurrence total recomputed from the staged postings
+    import org.apache.spark.sql.functions._
+    val fromStats = spark.read.parquet(s"${res.indexDir}/corpus_stats")
+      .select(col("n_number_tokens")).head().getLong(0)
+    val pat = "^\\d+(\\.\\d+)?[KMB%$]?$|^\\d+/\\d+$|^\\d+ \\d+/\\d+$"
+    val recomputed = staged.filter(col("term").rlike(pat))
+      .agg(coalesce(sum(col("tf")), lit(0L))).head().getLong(0)
+    assert(fromStats == recomputed)
+    assert(fromStats > 0, "synth corpus emits number terms (F7)")
   }
 
   test("df in term_stats equals posting-list length (reference indexer.py:572 semantics)") {
