@@ -37,7 +37,9 @@ object BuildBench {
     // 4 waves per core: hash-partition imbalance otherwise leaves the
     // last wave straggling on the largest partition
     val cfg = Build.Config(numPartitions = cores * 4, nSalts = 8,
-      saltDfThreshold = nDocs / 2, tokenizer = Tokenizer.default)
+      saltDfThreshold = nDocs / 2,
+      stagingCodec = sys.env.getOrElse("GRAFT_STAGING_CODEC", "uncompressed"),
+      tokenizer = Tokenizer.default)
     // JIT/classload warmup on a small slice (untimed) so the timed run
     // measures steady-state throughput, not cold-JVM compilation
     val warmDir = java.nio.file.Files
@@ -59,7 +61,8 @@ object BuildBench {
         val n = 1 + r.nextInt(4)
         Seq.fill(n)(if (r.nextBoolean()) hot(r.nextInt(hot.size))
                     else cold(r.nextInt(cold.size))).mkString(" ")
-      }
+      } :+ // 10-term adversarial query: stresses the WAND cursor loop
+        (hot ++ cold.take(4)).mkString(" ")
       queries.foreach(q => eng.searchWand(q, 250)) // warm
       val lat = (1 to 8).flatMap(_ => queries.map { q =>
         val q0 = System.nanoTime()

@@ -7,14 +7,15 @@ object TokBench {
     val threads = args(0).toInt
     val nDocs = 40000
     val texts = (0L until 1000L).map(graft.corpus.Synth.content).toArray
-    // warmup
-    texts.take(200).foreach(t => graft.analysis.Tokenizer.tokenize(t))
+    // warmup; tokenizeRaw is the exact path the index build runs
+    val cfg = graft.analysis.Tokenizer.default
+    texts.take(200).foreach(t => graft.analysis.Tokenizer.tokenizeRaw(t, cfg))
     val pool = java.util.concurrent.Executors.newFixedThreadPool(threads)
     val t0 = System.nanoTime()
     val futs = (0 until nDocs).grouped(nDocs / (threads * 4)).map { chunk =>
       pool.submit(new Runnable {
         def run(): Unit = chunk.foreach { i =>
-          graft.analysis.Tokenizer.tokenize(texts(i % texts.length))
+          graft.analysis.Tokenizer.tokenizeRaw(texts(i % texts.length), cfg)
         }
       })
     }.toList

@@ -103,9 +103,15 @@ object Porter2 {
     } else false
   }
 
+  private def lowerIfNeeded(t: String): String = {
+    var i = 0
+    while (i < t.length && !t.charAt(i).isUpper) i += 1
+    if (i == t.length) t else t.toLowerCase
+  }
+
   def stem(input: String): String = {
-    if (input.length <= 2) return input.toLowerCase
-    var w = input.toLowerCase
+    if (input.length <= 2) return lowerIfNeeded(input)
+    var w = lowerIfNeeded(input)
     exceptions1.get(w).foreach(return _)
 
     if (w.startsWith("'")) w = w.substring(1)

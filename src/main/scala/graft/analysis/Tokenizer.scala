@@ -75,9 +75,103 @@ object Tokenizer extends Serializable {
   private val fractionPat = "\\d+/\\d+".r
   private val identSplit = "(?<=[a-z0-9])(?=[A-Z])|(?<=[A-Z])(?=[A-Z][a-z])|_+|\\.".r
 
-  def isAscii(t: String): Boolean = t.forall(c => c > 32 && c < 128)
+  def isAscii(t: String): Boolean = {
+    var i = 0
+    while (i < t.length) {
+      val c = t.charAt(i)
+      if (c <= 32 || c >= 128) return false
+      i += 1
+    }
+    true
+  }
 
   private def isNumber(t: String): Boolean = numberPat.matches(t)
+
+  /** toLowerCase that allocates only when an upper-case char exists —
+    * tokens here are ASCII (post F6 guard), so A-Z is the whole test. */
+  private def lowerAscii(t: String): String = {
+    var i = 0
+    while (i < t.length && !(t.charAt(i) >= 'A' && t.charAt(i) <= 'Z')) i += 1
+    if (i == t.length) t else t.toLowerCase
+  }
+
+  /** Thread-local stem memo: the Zipf head repeats constantly, so most
+    * stem calls are cache hits; bounded (cleared at 64k entries), pure
+    * (memo of a pure function), and per-thread so uncontended. */
+  private val stemCache =
+    ThreadLocal.withInitial[java.util.HashMap[String, String]](() =>
+      new java.util.HashMap[String, String](1 << 12))
+  private def stemCached(l: String): String = {
+    val m = stemCache.get()
+    val hit = m.get(l)
+    if (hit != null) hit
+    else {
+      val s = Porter2.stem(l)
+      if (m.size >= (1 << 16)) m.clear()
+      m.put(l, s)
+      s
+    }
+  }
+
+  private def allLowerAlpha(t: String): Boolean = {
+    var i = 0
+    while (i < t.length) {
+      val c = t.charAt(i)
+      if (c < 'a' || c > 'z') return false
+      i += 1
+    }
+    t.length > 0
+  }
+
+  /** Open-addressing term->tf counter: the per-token boxed-Integer
+    * updates of a LinkedHashMap were a top allocation site in the build
+    * (memory bandwidth is the measured thread-scaling ceiling,
+    * BASELINE.md); this keeps two flat arrays per document. */
+  private[graft] final class Counter(initialCap: Int = 64) {
+    private var mask = initialCap - 1
+    private var keys = new Array[String](initialCap)
+    private var tfs = new Array[Int](initialCap)
+    private var n = 0
+    def size: Int = n
+    def add(t: String): Unit = {
+      var i = t.hashCode & mask
+      while (keys(i) != null && !(keys(i) == t)) i = (i + 1) & mask
+      if (keys(i) == null) {
+        if ((n + 1) * 4 > mask * 3) { grow(); add(t); return }
+        keys(i) = t; tfs(i) = 1; n += 1
+      } else tfs(i) += 1
+    }
+    private def grow(): Unit = {
+      val ok = keys; val ot = tfs
+      mask = mask * 2 + 1
+      keys = new Array[String](mask + 1)
+      tfs = new Array[Int](mask + 1)
+      n = 0
+      var i = 0
+      while (i < ok.length) {
+        if (ok(i) != null) {
+          var j = ok(i).hashCode & mask
+          while (keys(j) != null) j = (j + 1) & mask
+          keys(j) = ok(i); tfs(j) = ot(i); n += 1
+        }
+        i += 1
+      }
+    }
+    def maxTf: Int = {
+      var m = 0; var i = 0
+      while (i < keys.length) { if (keys(i) != null && tfs(i) > m) m = tfs(i); i += 1 }
+      m
+    }
+    def foreachEntry(f: (String, Int) => Unit): Unit = {
+      var i = 0
+      while (i < keys.length) { if (keys(i) != null) f(keys(i), tfs(i)); i += 1 }
+    }
+    def toMap: Map[String, Int] = {
+      val b = Map.newBuilder[String, Int]
+      foreachEntry((k, v) => b += (k -> v))
+      b.result()
+    }
+  }
 
   /** F7: scale a numeric literal into the reference's K/M/B form.
     * 123 -> "123"; 15600 -> "15.6K"; 1200000 -> "1.2M"; 3.5e9 -> "3.5B".
@@ -96,10 +190,17 @@ object Tokenizer extends Serializable {
     else fmt(v, "")
   }
 
-  /** Trim F15: leading quotes/hyphens, trailing dots/commas/quotes. */
-  private def trim(t: String): String =
-    t.dropWhile(c => c == '\'' || c == '"' || c == '-' || c == '`')
-      .reverse.dropWhile(c => ".,'\"`;:!?".indexOf(c) >= 0).reverse
+  /** Trim F15: leading quotes/hyphens, trailing dots/commas/quotes.
+    * Index-based: the dropWhile/reverse chain allocated 4 strings per
+    * token; this allocates at most one. */
+  private def trim(t: String): String = {
+    var s = 0
+    var e = t.length
+    while (s < e && { val c = t.charAt(s)
+      c == '\'' || c == '"' || c == '-' || c == '`' }) s += 1
+    while (e > s && ".,'\"`;:!?".indexOf(t.charAt(e - 1)) >= 0) e -= 1
+    if (s == 0 && e == t.length) t else t.substring(s, e)
+  }
 
   /** F4 non-latin strip, hand-rolled: the regex `replaceAllIn` on whole
     * documents was the single hottest spot in the build (thread dumps),
@@ -149,7 +250,7 @@ object Tokenizer extends Serializable {
       else if (r.startsWith("@")) skipNext = true // F11: drop @tok + next
       else {
         val t = trim(r)
-        if (t.nonEmpty && isAscii(t) && !cfg.stopwords(t.toLowerCase))
+        if (t.nonEmpty && isAscii(t) && !cfg.stopwords(lowerAscii(t)))
           out += t
       }
       i += 1
@@ -157,11 +258,14 @@ object Tokenizer extends Serializable {
     out.toArray
   }
 
-  /** Expand one pre-token into emitted terms (F7-F16). The `next` token
-    * enables the reference's neighbor fusion; returns (terms, consumedNext). */
-  private[analysis] def expand(tok: String, next: Option[String],
-                               cfg: Config): (List[String], Boolean) = {
-    val lower = tok.toLowerCase
+  /** Expand one pre-token into emitted terms (F7-F16) via `emit` — the
+    * callback form keeps the hot path free of per-token List/Option/
+    * tuple allocations (the common case is exactly one emitted term).
+    * `next` (null = none) enables the reference's neighbor fusion;
+    * returns consumedNext. */
+  private[analysis] def expandInto(tok: String, next: String, cfg: Config,
+                                   emit: String => Unit): Boolean = {
+    val lower = lowerAscii(tok)
     // hot-path gate: every digit-driven rule (F7/F8) needs a digit —
     // one char scan replaces four regex attempts on the common case
     val hasDigit = {
@@ -174,32 +278,37 @@ object Tokenizer extends Serializable {
     }
 
     // F8: date tokens kept verbatim
-    if (hasDigit && datePat.matches(tok)) return (List(tok), false)
+    if (hasDigit && datePat.matches(tok)) { emit(tok); return false }
 
     // F7: fractions — "3/4" verbatim; "25" + "3/4" fuse into one term
-    if (hasDigit && fractionPat.matches(tok)) return (List(tok), false)
-    if (hasDigit && allDigits.matches(tok) && next.exists(fractionPat.matches))
-      return (List(s"$tok ${next.get}"), true)
+    if (hasDigit && fractionPat.matches(tok)) { emit(tok); return false }
+    if (hasDigit && allDigits.matches(tok) && next != null &&
+        fractionPat.matches(next)) {
+      emit(s"$tok $next"); return true
+    }
 
     // F7: numbers — quantity-word / percent / dollar fusion, K/M/B scale
     if (hasDigit && isNumber(tok)) {
       val v = tok.toDouble
-      next.map(_.toLowerCase) match {
-        case Some("thousand") => return (List(formatNumber(v * 1e3)), true)
-        case Some("million") => return (List(formatNumber(v * 1e6)), true)
-        case Some("billion") => return (List(formatNumber(v * 1e9)), true)
-        case Some("percent") | Some("percentage") | Some("%") =>
-          return (List(formatNumber(v) + "%"), true)
-        case Some("dollar") | Some("dollars") | Some("$") =>
-          return (List(formatNumber(v) + "$"), true)
-        case _ => return (List(formatNumber(v)), false)
+      val nx = if (next == null) null else lowerAscii(next)
+      nx match {
+        case "thousand" => emit(formatNumber(v * 1e3)); return true
+        case "million" => emit(formatNumber(v * 1e6)); return true
+        case "billion" => emit(formatNumber(v * 1e9)); return true
+        case "percent" | "percentage" | "%" =>
+          emit(formatNumber(v) + "%"); return true
+        case "dollar" | "dollars" | "$" =>
+          emit(formatNumber(v) + "$"); return true
+        case _ => emit(formatNumber(v)); return false
       }
     }
     // F7: sign-prefixed numbers: $100 -> 100$, 45% stays 45%
-    if (hasDigit && tok.length > 1 && tok.head == '$' && isNumber(tok.tail))
-      return (List(formatNumber(tok.tail.toDouble) + "$"), false)
-    if (hasDigit && tok.length > 1 && tok.last == '%' && isNumber(tok.dropRight(1)))
-      return (List(formatNumber(tok.dropRight(1).toDouble) + "%"), false)
+    if (hasDigit && tok.length > 1 && tok.head == '$' && isNumber(tok.tail)) {
+      emit(formatNumber(tok.tail.toDouble) + "$"); return false
+    }
+    if (hasDigit && tok.length > 1 && tok.last == '%' && isNumber(tok.dropRight(1))) {
+      emit(formatNumber(tok.dropRight(1).toDouble) + "%"); return false
+    }
 
     // F13: urls — www.X.Y emits the middle label; other urls the host
     if (lower.startsWith("http://") || lower.startsWith("https://") ||
@@ -210,30 +319,41 @@ object Tokenizer extends Serializable {
       val dom = if (labels.length >= 2 && labels(0) == "www") Some(labels(1))
                 else if (labels.length >= 2) Some(labels(0))
                 else None
-      return (dom.filterNot(cfg.stopwords).toList, false)
+      dom.filterNot(cfg.stopwords).foreach(emit)
+      return false
     }
 
-    def finish(t: String): Option[String] = {
-      val l = t.toLowerCase
-      if (l.isEmpty || cfg.stopwords(l)) None
-      else if (cfg.stem && l.forall(c => c >= 'a' && c <= 'z'))
-        Some(Porter2.stem(l)) // F16: alpha-only, like the reference
-      else Some(l)
+    // F16 applied inside: stem alpha-only terms, like the reference
+    def finishEmit(t: String): Unit = {
+      val l = lowerAscii(t)
+      if (l.isEmpty || cfg.stopwords(l)) ()
+      else if (cfg.stem && allLowerAlpha(l)) emit(stemCached(l))
+      else emit(l)
     }
 
     // F9: hyphen split — whole + parts; all-numeric compound stays whole
     if (tok.contains('-')) {
       val parts = tok.split('-').filter(_.nonEmpty)
-      if (parts.forall(allDigits.matches)) return (List(lower), false)
-      val sub = parts.toList.flatMap(p =>
-        if (allDigits.matches(p)) Some(p) else finish(p))
-      return ((lower :: sub).distinct, false)
+      if (parts.forall(allDigits.matches)) { emit(lower); return false }
+      // rare branch: keep the List-based distinct semantics verbatim
+      val sub = parts.toList.flatMap { p =>
+        if (allDigits.matches(p)) Some(p)
+        else {
+          val l = lowerAscii(p)
+          if (l.isEmpty || cfg.stopwords(l)) None
+          else if (cfg.stem && allLowerAlpha(l)) Some(stemCached(l))
+          else Some(l)
+        }
+      }
+      (lower :: sub).distinct.foreach(emit)
+      return false
     }
 
     // F14: slash split (not a url) — parts with len > 1
-    if (tok.contains('/'))
-      return (tok.split('/').filter(_.length > 1).toList
-        .flatMap(finish), false)
+    if (tok.contains('/')) {
+      tok.split('/').iterator.filter(_.length > 1).foreach(finishEmit)
+      return false
+    }
 
     // F10: identifier split — camelCase / snake_case / dotted
     // gate: splitting can only trigger on uppercase, '_' or '.'
@@ -246,41 +366,71 @@ object Tokenizer extends Serializable {
       }
       found
     }
-    val parts = if (canSplit) identSplit.split(tok).filter(_.nonEmpty)
-                else Array(tok)
-    if (parts.length > 1) {
-      val whole = if (cfg.stopwords(lower)) Nil else List(lower)
-      val sub = parts.toList.flatMap(p =>
-        if (allDigits.matches(p)) Some(formatNumber(p.toDouble)) else finish(p))
-      return ((whole ++ sub).distinct, false)
+    if (canSplit) {
+      val parts = identSplit.split(tok).filter(_.nonEmpty)
+      if (parts.length > 1) {
+        val whole = if (cfg.stopwords(lower)) Nil else List(lower)
+        val sub = parts.toList.flatMap { p =>
+          if (allDigits.matches(p)) Some(formatNumber(p.toDouble))
+          else {
+            val l = lowerAscii(p)
+            if (l.isEmpty || cfg.stopwords(l)) None
+            else if (cfg.stem && allLowerAlpha(l)) Some(stemCached(l))
+            else Some(l)
+          }
+        }
+        (whole ++ sub).distinct.foreach(emit)
+        return false
+      }
     }
 
-    (finish(tok).toList, false)
+    finishEmit(tok)
+    false
   }
 
-  /** Full pipeline: text -> TokenizedDoc. Pure; safe in typed flatMaps. */
-  def tokenize(text: String, cfg: Config = default): TokenizedDoc = {
+  /** Hot-path core: text -> (term counter, docLen). No Map/List/boxed
+    * allocation per term — this is what the index build runs. */
+  private[graft] def tokenizeRaw(text: String, cfg: Config): (Counter, Int) = {
     if (cfg.plain) {
       val toks = fastSplit(text.toLowerCase)
-      val tf = mutable.LinkedHashMap.empty[String, Int]
-      toks.foreach(t => tf.updateWith(t)(c => Some(c.getOrElse(0) + 1)))
-      val maxTf = if (tf.isEmpty) 0 else tf.valuesIterator.max
-      return TokenizedDoc(tf.toMap, Map.empty, toks.length, maxTf)
+      val c = new Counter()
+      var i = 0
+      while (i < toks.length) { c.add(toks(i)); i += 1 }
+      return (c, toks.length)
+    }
+    val pre = preTokens(text, cfg)
+    val c = new Counter()
+    val emitFn: String => Unit = c.add
+    var i = 0
+    while (i < pre.length) {
+      val next = if (i + 1 < pre.length) pre(i + 1) else null
+      val consumed = expandInto(pre(i), next, cfg, emitFn)
+      i += (if (consumed) 2 else 1)
+    }
+    (c, pre.length)
+  }
+
+  /** Full pipeline: text -> TokenizedDoc. Pure; safe in typed flatMaps.
+    * Position tracking (F19, opt-in) takes the slower Map-building path;
+    * everything else delegates to the allocation-lean core. */
+  def tokenize(text: String, cfg: Config = default): TokenizedDoc = {
+    if (!cfg.positions) {
+      val (c, docLen) = tokenizeRaw(text, cfg)
+      return TokenizedDoc(c.toMap, Map.empty, docLen, c.maxTf)
     }
     val pre = preTokens(text, cfg)
     val tf = mutable.LinkedHashMap.empty[String, Int]
     val pos = mutable.LinkedHashMap.empty[String, List[Int]]
-    var i = 0
     var emitted = 0
+    val emitFn: String => Unit = { t =>
+      tf.updateWith(t) { c => Some(c.getOrElse(0) + 1) }
+      pos.updateWith(t) { l => Some(emitted :: l.getOrElse(Nil)) }
+      emitted += 1
+    }
+    var i = 0
     while (i < pre.length) {
-      val next = if (i + 1 < pre.length) Some(pre(i + 1)) else None
-      val (terms, consumed) = expand(pre(i), next, cfg)
-      terms.foreach { t =>
-        tf.updateWith(t) { c => Some(c.getOrElse(0) + 1) }
-        if (cfg.positions)
-          pos.updateWith(t) { l => Some(emitted :: l.getOrElse(Nil)) }
-        emitted += 1
-      }
+      val next = if (i + 1 < pre.length) pre(i + 1) else null
+      val consumed = expandInto(pre(i), next, cfg, emitFn)
       i += (if (consumed) 2 else 1)
     }
     val maxTf = if (tf.isEmpty) 0 else tf.valuesIterator.max

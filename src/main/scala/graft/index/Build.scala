@@ -33,6 +33,7 @@ object Build {
       nSalts: Int = 8,
       saltDfThreshold: Long = 100000,
       stagePostings: Boolean = true,
+      stagingCodec: String = "uncompressed",
       verifySha: Boolean = true,
       tokenizer: Tokenizer.Config = Tokenizer.default)
 
@@ -76,9 +77,12 @@ object Build {
           .map("%02x".format(_)).mkString
         if (digest != sha) shaViolations.get.add(1)
       }
-      val td = Tokenizer.tokenize(text, cfg)
-      td.terms.iterator.map { case (t, tf) =>
-        PostingRow(t, id, tf, td.docLen, ts) }
+      // raw counter path: no per-doc Map / boxed-entry allocation —
+      // tokenize dominates build CPU and memory bandwidth (BASELINE.md)
+      val (counter, docLen) = Tokenizer.tokenizeRaw(text, cfg)
+      val rows = new scala.collection.mutable.ArrayBuffer[PostingRow](counter.size)
+      counter.foreachEntry((t, tf) => rows += PostingRow(t, id, tf, docLen, ts))
+      rows
     }
   }
 
@@ -112,12 +116,14 @@ object Build {
     val stagingDir = s"$indexDir/staging_postings"
     val postings: DataFrame = phase("tokenize+verify+stage") {
       if (cfg.stagePostings) {
-        // uncompressed staging: snappy's JNI critical sections (GCLocker)
-        // stall allocation-heavy tokenizer threads at high parallelism;
-        // staging is a transient artifact, trade space for wall-clock
+        // default uncompressed staging: snappy's JNI critical sections
+        // (GCLocker) stall allocation-heavy tokenizer threads at high
+        // parallelism; staging is transient, trading space for
+        // wall-clock. lz4 (pure-JVM) is the knob when staging IO volume
+        // itself becomes the contention at high core counts.
         postingsVerified(spark, docsWithId, cfg.tokenizer, shaAcc)
           .write.mode(SaveMode.Overwrite)
-          .option("compression", "uncompressed")
+          .option("compression", cfg.stagingCodec)
           .parquet(stagingDir)
         spark.read.parquet(stagingDir)
       } else postingsVerified(spark, docsWithId, cfg.tokenizer, shaAcc).toDF()

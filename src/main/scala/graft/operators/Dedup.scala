@@ -231,31 +231,40 @@ object Dedup {
       }
     // row block: a vector in block bi serves keys (bi, bi..nb-1);
     // column block: keys (0..bj, bj). Every unordered block pair meets
-    // exactly once, diagonal pairs dedup on id order below.
+    // exactly once, diagonal pairs dedup on id order below. cogroup
+    // (not an equi-join producing pair ROWS) so each vector is
+    // deserialized once per block-pair, not once per pair — the
+    // per-pair work stays a primitive double loop over in-memory
+    // arrays.
     val left = vecs.flatMap { case (id, v, n) =>
       val bi = (id % nb).toInt
       (bi until nb).iterator.map(bj => (bi * nb + bj, id, v, n))
-    }.toDF("pk", "id_a", "va", "na")
+    }
     val right = vecs.flatMap { case (id, v, n) =>
       val bj = (id % nb).toInt
       (0 to bj).iterator.map(bi => (bi * nb + bj, id, v, n))
-    }.toDF("pk", "id_b", "vb", "nb")
+    }
     val thresh = CosMin
-    left.join(right, "pk")
-      // diagonal block keys carry both orientations of a pair
-      .filter(pmod($"id_a", lit(nb)) =!= pmod($"id_b", lit(nb)) ||
-        $"id_a" < $"id_b")
-      .select($"id_a", $"va", $"na", $"id_b", $"vb", $"nb")
-      .as[(Long, Array[Double], Double, Long, Array[Double], Double)]
-      .flatMap { case (ida, va, na, idb, vb, nbn) =>
-        var dot = 0.0; var i = 0
-        while (i < va.length) { dot += va(i) * vb(i); i += 1 }
-        // HALF_UP to match Spark round()/DuckDB round() semantics
-        val cos = math.floor(dot / (na * nbn) * 10000 + 0.5) / 10000
-        if (cos >= thresh)
-          Some((math.min(ida, idb), math.max(ida, idb), cos))
-        else None
-      }.toDF("vec_a", "vec_b", "cos")
+    left.groupByKey(_._1).cogroup(right.groupByKey(_._1)) {
+      case (pk, as, bs) =>
+        val av = as.toArray
+        val bv = bs.toArray
+        val diag = (pk / nb) == (pk % nb)
+        av.iterator.flatMap { case (_, ida, va, na) =>
+          bv.iterator.flatMap { case (_, idb, vb, nbn) =>
+            if (diag && ida >= idb) None
+            else {
+              var dot = 0.0; var i = 0
+              while (i < va.length) { dot += va(i) * vb(i); i += 1 }
+              // HALF_UP to match Spark round()/DuckDB round() semantics
+              val cos = math.floor(dot / (na * nbn) * 10000 + 0.5) / 10000
+              if (cos >= thresh)
+                Some((math.min(ida, idb), math.max(ida, idb), cos))
+              else None
+            }
+          }
+        }
+    }.toDF("vec_a", "vec_b", "cos")
       .orderBy($"cos".desc, $"vec_a", $"vec_b")
   }
 

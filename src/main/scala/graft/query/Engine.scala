@@ -54,13 +54,22 @@ final class Engine(spark: SparkSession, indexDir: String,
   /** Test-scale materialization of doc_id -> ingest_ts (the reference
     * loads its whole docs_dict the same way, search_engine.py:65-69); at
     * cluster scale doc_stats is a point-read keyed store instead. Loaded
-    * lazily and only when ties can actually differ by recency. */
-  private lazy val tsMap: Map[Long, Long] =
-    spark.read.parquet(s"$indexDir/doc_stats")
+    * lazily and only when ties can actually differ by recency; flat
+    * sorted arrays + binary search — no boxed-Long map lookups on the
+    * tie path. */
+  private lazy val (tsIds, tsVals): (Array[Long], Array[Long]) = {
+    val rows = spark.read.parquet(s"$indexDir/doc_stats")
       .select($"doc_id", $"ingest_ts").collect()
-      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    (rows.map(_._1), rows.map(_._2))
+  }
 
-  private def tsOf(id: Long): Long = if (tieAware) tsMap.getOrElse(id, 0L) else 0L
+  private def tsOf(id: Long): Long =
+    if (!tieAware) 0L
+    else {
+      val i = java.util.Arrays.binarySearch(tsIds, id)
+      if (i >= 0) tsVals(i) else 0L
+    }
 
   /** True ranking order: candidate beats incumbent on higher score, then
     * newer ingest_ts, then smaller docId. Explicit and iteration-order
@@ -192,9 +201,21 @@ final class Engine(spark: SparkSession, indexDir: String,
   }
 
   /** Max-heap ordering whose head is the WORST kept entry under the
-    * full rank order (score desc, ts desc, docId asc). */
+    * full rank order (score desc, ts desc, docId asc). Implemented as a
+    * three-stage compare so the timestamp lookup happens ONLY on exact
+    * score ties — a tuple-key ordering consulted tsOf on every heap
+    * sift and regressed warm query p50 5x. */
   private def worstFirstOrd: Ordering[(Long, Double)] =
-    Ordering.by { case (id, s) => (-s, -tsOf(id), id) }
+    new Ordering[(Long, Double)] {
+      def compare(x: (Long, Double), y: (Long, Double)): Int = {
+        // greater = worse: lower score, then older ts, then larger id
+        val c = java.lang.Double.compare(y._2, x._2)
+        if (c != 0) return c
+        val ct = java.lang.Long.compare(tsOf(y._1), tsOf(x._1))
+        if (ct != 0) return ct
+        java.lang.Long.compare(x._1, y._1)
+      }
+    }
 
   private def topK(it: Iterator[(Long, Double)], k: Int): Array[(Long, Double)] = {
     val heap = mutable.PriorityQueue.empty[(Long, Double)](worstFirstOrd)
