@@ -113,11 +113,14 @@ object Bench {
       }
     }
 
-    // 2. scaling: identical input, fresh JVM per measurement, best of 2
-    // per core count with INTERLEAVED order (N,4N,N,4N) so page-cache
+    // 2. scaling: identical input, fresh JVM per measurement, best of 3
+    // per core count with INTERLEAVED order (N,4N,N,4N,...) so page-cache
     // and run-order effects hit both levels symmetrically — the round-1
     // N-first/4N-second order left the discrepancy between protocol
-    // runs unexplained (BENCH 0.289 vs BASELINE.md 0.53)
+    // runs unexplained (BENCH 0.289 vs BASELINE.md 0.53). Best-of-3
+    // because this box is a shared-host VM: bursts of hypervisor steal
+    // inflate individual runs by 2x+ (measured), and min-of-N is the
+    // estimator least sensitive to that one-sided noise.
     def tmp(p: String) = java.nio.file.Files.createTempDirectory(p).toString
     val scratch = scala.collection.mutable.ArrayBuffer(corpusDir)
     def one(cores: Int, latency: Boolean): Map[String, String] = {
@@ -125,7 +128,7 @@ object Bench {
       scratch += idx
       fork(cores, s"$corpusDir/snapshot-0", idx, latency)
     }
-    val pairs = (1 to 2).map { i =>
+    val pairs = (1 to 3).map { i =>
       (one(nCores, latency = false), one(cpus, latency = i == 1))
     }
     val secN = pairs.map(_._1("BENCH_BUILD_SECONDS").toDouble).min

@@ -38,7 +38,10 @@ object BuildBench {
     // last wave straggling on the largest partition
     val cfg = Build.Config(numPartitions = cores * 4, nSalts = 8,
       saltDfThreshold = nDocs / 2,
+      stagingMode = sys.env.getOrElse("GRAFT_STAGING_MODE", "parquet"),
       stagingCodec = sys.env.getOrElse("GRAFT_STAGING_CODEC", "uncompressed"),
+      // the at-scale config: heavy-term detection over a 2% sample
+      heavySampleFraction = sys.env.getOrElse("GRAFT_HEAVY_SAMPLE", "0.02").toDouble,
       tokenizer = Tokenizer.default)
     // JIT/classload warmup on a small slice (untimed) so the timed run
     // measures steady-state throughput, not cold-JVM compilation

@@ -192,14 +192,15 @@ object Tokenizer extends Serializable {
 
   /** Trim F15: leading quotes/hyphens, trailing dots/commas/quotes.
     * Index-based: the dropWhile/reverse chain allocated 4 strings per
-    * token; this allocates at most one. */
+    * token; this allocates at most one (usually zero — trimmed forms
+    * are interned too). */
   private def trim(t: String): String = {
     var s = 0
     var e = t.length
     while (s < e && { val c = t.charAt(s)
       c == '\'' || c == '"' || c == '-' || c == '`' }) s += 1
     while (e > s && ".,'\"`;:!?".indexOf(t.charAt(e - 1)) >= 0) e -= 1
-    if (s == 0 && e == t.length) t else t.substring(s, e)
+    if (s == 0 && e == t.length) t else internerTL.get().intern(t, s, e)
   }
 
   /** F4 non-latin strip, hand-rolled: the regex `replaceAllIn` on whole
@@ -220,10 +221,59 @@ object Tokenizer extends Serializable {
     sb.toString
   }
 
+  /** Thread-local open-addressing span interner: token text repeats
+    * heavily across documents (the Zipf head plus a bounded identifier
+    * vocabulary), so most "substring" calls can return an existing
+    * String instead of allocating a new one. Allocation is writes —
+    * interning turns the tokenizer's dominant heap traffic into
+    * read-only probes, which is exactly the memory-bandwidth pressure
+    * that caps single-box thread scaling (BASELINE.md). Cleared wholesale
+    * when full (high-cardinality numeric/url tokens can't grow it
+    * unboundedly); pure: interning only dedups identical strings. */
+  private final class Interner {
+    private val cap = 1 << 15
+    private val mask = cap - 1
+    private val keys = new Array[String](cap)
+    private var n = 0
+    private def regionEq(k: String, s: String, start: Int): Boolean = {
+      var i = 0
+      val len = k.length
+      while (i < len) {
+        if (k.charAt(i) != s.charAt(start + i)) return false
+        i += 1
+      }
+      true
+    }
+    def intern(s: String, start: Int, end: Int): String = {
+      var h = 0
+      var i = start
+      while (i < end) { h = 31 * h + s.charAt(i); i += 1 }
+      var j = h & mask
+      var k = keys(j)
+      while (k != null) {
+        if (k.length == end - start && regionEq(k, s, start)) return k
+        j = (j + 1) & mask
+        k = keys(j)
+      }
+      val t = s.substring(start, end)
+      if (n >= cap - (cap >> 2)) { // keep probe chains short: clear at 75%
+        java.util.Arrays.fill(keys.asInstanceOf[Array[AnyRef]], null)
+        n = 0
+        j = h & mask
+      }
+      keys(j) = t
+      n += 1
+      t
+    }
+  }
+  private val internerTL =
+    ThreadLocal.withInitial[Interner](() => new Interner)
+
   /** Whitespace split without the regex engine (split("\\s+") compiles
     * and allocates per call); leading whitespace yields no empty first
-    * token. */
+    * token. Tokens are interned (see Interner). */
   private[analysis] def fastSplit(s: String): Array[String] = {
+    val in = internerTL.get()
     val out = mutable.ArrayBuffer.empty[String]
     var i = 0
     val n = s.length
@@ -231,7 +281,7 @@ object Tokenizer extends Serializable {
       while (i < n && Character.isWhitespace(s.charAt(i))) i += 1
       val start = i
       while (i < n && !Character.isWhitespace(s.charAt(i))) i += 1
-      if (i > start) out += s.substring(start, i)
+      if (i > start) out += in.intern(s, start, i)
     }
     out.toArray
   }

@@ -11,42 +11,75 @@ import graft.query.BM25
   * indexer.py:59-224). SURVEY.md §3.1 maps the stages:
   *
   *   scan (columnar, pruned to doc_id+content)
-  *   → tokenizer flatMap (narrow; the one generator)
+  *   → tokenizer flatMap (narrow; the one generator) emitting posting
+  *     rows PLUS one null-term sentinel row per doc carrying the doc's
+  *     stats (dl, maxTf, uniq, ts) — all known inside the tokenize call
   *   → staging postings parquet (ONE tokenize pass feeds all consumers)
-  *   → doc/term/corpus stats as Catalyst hash aggs   [shuffle 1]
-  *   → salted repartition by (term, salt) + sortWithinPartitions
-  *     (replaces the manual spill + external k-way merge,
-  *     indexer.py:154-168, 376-554 — Spark's sort-merge shuffle IS the
-  *     k-way merge)                                   [shuffle 2]
+  *   → doc_stats = narrow filter over the sentinel rows (NO shuffle —
+  *     the groupBy(docId) re-shuffle of the full posting set is gone)
+  *   → heavy-term detection over a seeded sample     [tiny shuffle]
+  *   → salted repartition by (term, salt) + sortWithinPartitions,
+  *     all-Tungsten (the salt is a Catalyst expression, no object
+  *     deser/reser on the map side; replaces the manual spill +
+  *     external k-way merge, indexer.py:154-168, 376-554 — Spark's
+  *     sort-merge shuffle IS the k-way merge)   [the ONE big shuffle]
   *   → mapPartitions segment writer (narrow, per-partition checkpoint)
+  *   → term_stats = vocab-sized agg over the writer's dict entries
+  *     (df/cf fall out of the (term,salt) runs — the groupBy(term)
+  *     full-posting shuffle is gone too)
+  *
+  * Net: the posting set crosses the network ONCE. At 10^12-file scale
+  * the two eliminated shuffles are each as large as the index itself.
   *
   * Skew (north rule): terms with df ≥ saltDfThreshold (code stopwords,
   * license boilerplate) are salted by docId RANGE, so per-salt block runs
   * are docId-disjoint and concatenate without re-encoding (SURVEY.md M3;
   * hard-part 4). The heavy-term set is tiny by construction (head of the
-  * Zipf curve), so it broadcasts at any corpus scale.
+  * Zipf curve), so it rides the task closure at any corpus scale.
   */
 object Build {
 
+  /** `heavySampleFraction`: heavy-term detection reads this fraction of
+    * the postings (seeded, deterministic given the staged layout) and
+    * scales the df threshold down with a 2x safety margin — salting is a
+    * performance heuristic, so over-selecting near the boundary is
+    * harmless (salted≡unsalted is proven in IndexSpec) while exact df
+    * would cost a full aggregation pass. 1.0 = exact (the default;
+    * small-corpus tests pin specific salting outcomes). */
+  /** `stagingMode`:
+    *  - "parquet": materialize the tokenize pass as a staging parquet
+    *    dir (inspectable, survives the JVM; the tests read it),
+    *  - "cache": persist the postings MEMORY_AND_DISK_SER in the block
+    *    manager — skips the parquet encode/decode round-trip; spills to
+    *    executor disk at scale like any shuffle, recomputes from lineage
+    *    on executor loss,
+    *  - "none": no materialization; each consumer re-tokenizes. */
   final case class Config(
       numPartitions: Int = 32,
       nSalts: Int = 8,
       saltDfThreshold: Long = 100000,
-      stagePostings: Boolean = true,
+      stagingMode: String = "parquet",
       stagingCodec: String = "uncompressed",
       verifySha: Boolean = true,
-      tokenizer: Tokenizer.Config = Tokenizer.default)
+      heavySampleFraction: Double = 1.0,
+      tokenizer: Tokenizer.Config = Tokenizer.default) {
+    require(Set("parquet", "cache", "none")(stagingMode),
+      s"unknown stagingMode $stagingMode")
+  }
 
   final case class Result(indexDir: String, nDocs: Long, avgdl: Double,
                           totalPostings: Long, shaViolations: Long,
                           lineage: String)
 
-  /** `ts`: the doc's deterministic ingest timestamp (0 when the corpus
-    * has no `ingest_ts` column) — rides the posting rows only to reach
-    * doc_stats via first(); it is per-doc constant so parquet RLE makes
-    * it nearly free in staging. */
+  /** One staged row. Regular postings have `uniq = 0`. Each doc with at
+    * least one posting ALSO emits one null-term sentinel row carrying
+    * the doc-level stats — (tf = maxTf, dl, ts, uniq = distinct terms)
+    * — so doc_stats is a narrow filter instead of a full-posting
+    * shuffle. `ts` is the doc's deterministic ingest timestamp (0 when
+    * the corpus has no `ingest_ts` column); per-doc-constant columns
+    * are nearly free in staging under parquet RLE. */
   final case class PostingRow(term: String, docId: Long, tf: Int, dl: Int,
-                              ts: Long)
+                              ts: Long, uniq: Int)
 
   def postingsOf(spark: SparkSession, docs: DataFrame,
                  cfg: Tokenizer.Config): Dataset[PostingRow] =
@@ -74,16 +107,39 @@ object Build {
       if (withSha && sha != null) {
         val digest = java.security.MessageDigest.getInstance("SHA-256")
           .digest(text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-          .map("%02x".format(_)).mkString
-        if (digest != sha) shaViolations.get.add(1)
+        if (!shaHexEquals(digest, sha)) shaViolations.get.add(1)
       }
       // raw counter path: no per-doc Map / boxed-entry allocation —
       // tokenize dominates build CPU and memory bandwidth (BASELINE.md)
       val (counter, docLen) = Tokenizer.tokenizeRaw(text, cfg)
-      val rows = new scala.collection.mutable.ArrayBuffer[PostingRow](counter.size)
-      counter.foreachEntry((t, tf) => rows += PostingRow(t, id, tf, docLen, ts))
+      val rows = new scala.collection.mutable.ArrayBuffer[PostingRow](counter.size + 1)
+      counter.foreachEntry((t, tf) => rows += PostingRow(t, id, tf, docLen, ts, 0))
+      // doc-stats sentinel: only docs that emit postings appear in
+      // doc_stats (a doc whose tokens all stopword away is absent —
+      // identical to the former groupBy(docId) semantics)
+      if (counter.size > 0)
+        rows += PostingRow(null, id, counter.maxTf, docLen, ts, counter.size)
       rows
     }
+  }
+
+  /** digest == hex string, allocation-free (String.format per byte was
+    * ~2s of driver-invisible executor CPU per 60k docs). */
+  private def shaHexEquals(digest: Array[Byte], hex: String): Boolean = {
+    if (hex.length != digest.length * 2) return false
+    var i = 0
+    while (i < digest.length) {
+      val b = digest(i) & 0xff
+      def nib(c: Char): Int =
+        if (c >= '0' && c <= '9') c - '0'
+        else if (c >= 'a' && c <= 'f') c - 'a' + 10
+        else if (c >= 'A' && c <= 'F') c - 'A' + 10
+        else -1
+      if ((nib(hex.charAt(2 * i)) << 4 | nib(hex.charAt(2 * i + 1))) != b)
+        return false
+      i += 1
+    }
+    true
   }
 
   private val verbose = sys.env.contains("GRAFT_BUILD_VERBOSE")
@@ -115,45 +171,97 @@ object Build {
       else None
     val stagingDir = s"$indexDir/staging_postings"
     val postings: DataFrame = phase("tokenize+verify+stage") {
-      if (cfg.stagePostings) {
-        // default uncompressed staging: snappy's JNI critical sections
-        // (GCLocker) stall allocation-heavy tokenizer threads at high
-        // parallelism; staging is transient, trading space for
-        // wall-clock. lz4 (pure-JVM) is the knob when staging IO volume
-        // itself becomes the contention at high core counts.
-        postingsVerified(spark, docsWithId, cfg.tokenizer, shaAcc)
-          .write.mode(SaveMode.Overwrite)
-          .option("compression", cfg.stagingCodec)
-          .parquet(stagingDir)
-        spark.read.parquet(stagingDir)
-      } else postingsVerified(spark, docsWithId, cfg.tokenizer, shaAcc).toDF()
+      cfg.stagingMode match {
+        case "parquet" =>
+          // default uncompressed staging: snappy's JNI critical sections
+          // (GCLocker) stall allocation-heavy tokenizer threads at high
+          // parallelism; staging is transient, trading space for
+          // wall-clock. lz4 (pure-JVM) is the knob when staging IO volume
+          // itself becomes the contention at high core counts.
+          postingsVerified(spark, docsWithId, cfg.tokenizer, shaAcc)
+            .write.mode(SaveMode.Overwrite)
+            .option("compression", cfg.stagingCodec)
+            .parquet(stagingDir)
+          spark.read.parquet(stagingDir)
+        case "cache" =>
+          val df = postingsVerified(spark, docsWithId, cfg.tokenizer, shaAcc).toDF()
+          df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+          df // materialized by the first consumer job
+        case _ =>
+          postingsVerified(spark, docsWithId, cfg.tokenizer, shaAcc).toDF()
+      }
     }
-    val shaViol = shaAcc.map(_.value.toLong).getOrElse(0L)
-    require(shaViol == 0, s"$shaViol rows fail the sha256 ingest invariant")
-    runFromPostings(spark, postings, indexDir, cfg, shaViol)
+    try {
+      val res = runFromPostings(spark, postings, indexDir, cfg,
+        shaAcc.map(_.value.toLong).getOrElse(0L))
+      // with cache/none staging the accumulator is only final once the
+      // consumer jobs ran; an overcount from task retries can only push
+      // a true violation count further from zero, never mask one
+      val shaViol = shaAcc.map(_.value.toLong).getOrElse(0L)
+      require(shaViol == 0, s"$shaViol rows fail the sha256 ingest invariant")
+      res.copy(shaViolations = shaViol)
+    } finally {
+      if (cfg.stagingMode == "cache") postings.unpersist(blocking = false)
+    }
   }
 
-  /** The post-tokenize build stages over an existing postings frame
-    * (term, docId, tf, dl, ts) — lets alternative tokenize profiles
-    * (e.g. the tweet capital/entity fold, analysis/TweetIndex) reuse the
-    * stats + salted shuffle + segment machinery unchanged. */
-  def runFromPostings(spark: SparkSession, postings: DataFrame,
+  /** The post-tokenize build stages over an existing postings frame —
+    * (term, docId, tf, dl, ts) plus optionally the sentinel `uniq`
+    * column — so alternative tokenize profiles (e.g. the tweet
+    * capital/entity fold, analysis/TweetIndex) reuse the stats + salted
+    * shuffle + segment machinery unchanged. Frames WITHOUT sentinel
+    * rows fall back to the groupBy(docId) doc-stats aggregation. */
+  def runFromPostings(spark: SparkSession, postingsAll: DataFrame,
                       indexDir: String, cfg: Config = Config(),
                       shaViol: Long = 0L): Result = {
     import spark.implicits._
 
-    // ---- stats: Catalyst aggregates (north rule); corpus-level stats
-    // ride the doc-stats write via observe() — no extra job ------------
+    val hasSentinels = postingsAll.columns.contains("uniq")
+    val postings =
+      if (hasSentinels) postingsAll.filter($"term".isNotNull)
+      else postingsAll
+
+    // ---- doc stats + heavy-term detection: two small independent jobs
+    // over the staged postings, run concurrently (both are dwarfed by
+    // the tokenize and segment stages; neither shuffles the posting set).
+    // Corpus-level stats ride the doc-stats write via observe() — no
+    // extra job. ---------------------------------------------------------
     val obs = new org.apache.spark.sql.Observation("corpus_stats")
-    phase("doc-stats") {
-      postings.groupBy($"docId".as("doc_id"))
-        .agg(first($"dl").as("dl"), max($"tf").as("max_tf"),
-          count(lit(1)).as("uniq_terms"), first($"ts").as("ingest_ts"))
-        .observe(obs, count(lit(1)).as("n"), avg($"dl").as("avgdl"),
-          max($"doc_id").as("maxId"), min($"doc_id").as("minId"),
-          min($"ingest_ts").as("tsMin"), max($"ingest_ts").as("tsMax"))
-        .write.mode(SaveMode.Overwrite).parquet(s"$indexDir/doc_stats")
+    val docStatsF = scala.concurrent.Future {
+      phase("doc-stats") {
+        val docStats =
+          if (hasSentinels)
+            postingsAll.filter($"term".isNull) // narrow: NO shuffle
+              .select($"docId".as("doc_id"), $"dl", $"tf".as("max_tf"),
+                $"uniq".as("uniq_terms"), $"ts".as("ingest_ts"))
+          else
+            postingsAll.groupBy($"docId".as("doc_id"))
+              .agg(first($"dl").as("dl"), max($"tf").as("max_tf"),
+                count(lit(1)).as("uniq_terms"), first($"ts").as("ingest_ts"))
+        docStats
+          .observe(obs, count(lit(1)).as("n"), avg($"dl").as("avgdl"),
+            max($"doc_id").as("maxId"), min($"doc_id").as("minId"),
+            min($"ingest_ts").as("tsMin"), max($"ingest_ts").as("tsMax"))
+          .write.mode(SaveMode.Overwrite).parquet(s"$indexDir/doc_stats")
+      }
+    }(scala.concurrent.ExecutionContext.global)
+
+    val heavy: Set[String] = phase("heavy-terms") {
+      if (cfg.saltDfThreshold == Long.MaxValue) Set.empty
+      else {
+        val frac = cfg.heavySampleFraction
+        val (src, cut) =
+          if (frac >= 1.0) (postings, cfg.saltDfThreshold)
+          else (postings.sample(withReplacement = false, frac, seed = 42L),
+            math.max(1L, (cfg.saltDfThreshold * frac * 0.5).toLong))
+        src.groupBy($"term").agg(count(lit(1)).as("df"))
+          .filter($"df" >= cut)
+          .select($"term").as[String].collect().toSet
+      }
     }
+
+    scala.concurrent.Await.result(docStatsF,
+      scala.concurrent.duration.Duration.Inf)
     val obsRow = obs.get
     val n = obsRow("n").asInstanceOf[Long]
     val av = obsRow("avgdl").asInstanceOf[Double]
@@ -163,9 +271,65 @@ object Build {
     require(obsRow("minId").asInstanceOf[Long] >= 0,
       "doc_id must be non-negative (varbyte codec encodes absolute first ids)")
 
+    val nSalts = cfg.nSalts
+    val lineage = s"docs=$n|avgdl=$av|salts=$nSalts|P=${cfg.numPartitions}|" +
+      s"stem=${cfg.tokenizer.stem}|v3"
+
+    // ---- the ONE full-posting shuffle: salted term repartition →
+    // sorted runs → segment writer. The salt is a Catalyst expression
+    // (heavy set is a tiny InSet literal), so rows stay in Tungsten
+    // format from the staging scan through the shuffle write and sort —
+    // no per-posting object churn on the map side. -----------------------
+    val segDir = s"$indexDir/segments"
+    SegmentStore.fs(segDir).mkdirs(new org.apache.hadoop.fs.Path(s"$segDir/_markers"))
+    // docId/(maxId+1) in double space: ids may span the full 63-bit
+    // hashed range, where integer `maxId + 1` arithmetic overflowed
+    val saltExpr =
+      if (heavy.isEmpty) lit(0)
+      else when($"term".isInCollection(heavy),
+        least(lit(nSalts - 1), greatest(lit(0),
+          (($"docId".cast("double") / lit(maxId.toDouble + 1.0)) * nSalts)
+            .cast("int"))))
+        .otherwise(lit(0))
+    val salted = postings.select($"term".as("_1"), saltExpr.as("_2"),
+      $"docId".as("_3"), $"tf".as("_4"), $"dl".as("_5"))
+
+    val sorted = salted
+      .repartition(cfg.numPartitions, $"_1", $"_2")
+      .sortWithinPartitions($"_1", $"_2", $"_3")
+    // consume the sorted shuffle output as InternalRows: the term string
+    // is decoded ONCE per (term, salt) run, not once per posting — the
+    // typed-encoder path allocated a String + tuple per row, and at
+    // millions of postings per partition that deserialization was a
+    // measurable slice of the reduce stage (memory bandwidth is the
+    // single-box scaling ceiling, BASELINE.md)
+    val entriesRdd = sorted.queryExecution.toRdd.mapPartitions { rows =>
+      val pid = TaskContext.getPartitionId()
+      var curU: org.apache.spark.unsafe.types.UTF8String = null
+      var curS: String = null
+      val mapped = rows.map { r =>
+        val t = r.getUTF8String(0)
+        if (curU == null || !curU.equals(t)) { curU = t.copy(); curS = curU.toString }
+        (curS, r.getInt(1), Codec.Posting(r.getLong(2), r.getInt(3), r.getInt(4)))
+      }
+      val marker = SegmentStore.writePartition(segDir, pid, lineage,
+        mapped, (tf, dl) => BM25.normPart(tf, dl, av)) // maxU: idf-independent
+      marker.entries.iterator
+    }
+
+    phase("segments+dict") {
+      spark.createDataset(entriesRdd).toDF()
+        .write.mode(SaveMode.Overwrite).parquet(s"$indexDir/dict")
+    }
+
+    // ---- term stats from the writer's dict entries: df/cf summed over
+    // each term's (salt, partition) runs — a vocab-sized aggregation;
+    // the posting set is NOT re-shuffled (reference indexer.py:572
+    // semantics: df == posting-list length). -----------------------------
     phase("term-stats") {
-      postings.groupBy($"term")
-        .agg(count(lit(1)).as("df"), sum($"tf").as("cf"))
+      spark.read.parquet(s"$indexDir/dict")
+        .groupBy($"term")
+        .agg(sum($"df").cast("long").as("df"), sum($"cf").cast("long").as("cf"))
         .write.mode(SaveMode.Overwrite).parquet(s"$indexDir/term_stats")
     }
 
@@ -183,49 +347,6 @@ object Build {
     Seq((n, av, tsMin, tsMax, nNumbers))
       .toDF("n_docs", "avgdl", "ts_min", "ts_max", "n_number_tokens")
       .write.mode(SaveMode.Overwrite).parquet(s"$indexDir/corpus_stats")
-
-    // ---- heavy-term set for skew salting -----------------------------
-    val heavy: Set[String] = phase("heavy-terms") {
-      spark.read.parquet(s"$indexDir/term_stats")
-        .filter($"df" >= cfg.saltDfThreshold)
-        .select($"term").as[String].collect().toSet
-    }
-    val heavyBc = spark.sparkContext.broadcast(heavy)
-    val nSalts = cfg.nSalts
-    val lineage = s"docs=$n|avgdl=$av|salts=$nSalts|P=${cfg.numPartitions}|" +
-      s"stem=${cfg.tokenizer.stem}|v2"
-
-    // ---- salted term shuffle → sorted runs → segment writer ----------
-    val segDir = s"$indexDir/segments"
-    SegmentStore.fs(segDir).mkdirs(new org.apache.hadoop.fs.Path(s"$segDir/_markers"))
-    val salted = postings
-      .select($"term", $"docId", $"tf", $"dl")
-      .as[(String, Long, Int, Int)]
-      .map { case (term, docId, tf, dl) =>
-        // docId/(maxId+1) in double space: ids may span the full 63-bit
-        // hashed range, where the old integer `maxId + 1` overflowed
-        val salt =
-          if (heavyBc.value.contains(term))
-            ((docId.toDouble / (maxId.toDouble + 1.0)) * nSalts).toInt
-              .min(nSalts - 1).max(0)
-          else 0
-        (term, salt, docId, tf, dl)
-      }
-
-    val entries = salted
-      .repartition(cfg.numPartitions, $"_1", $"_2")
-      .sortWithinPartitions($"_1", $"_2", $"_3")
-      .mapPartitions { it =>
-        val pid = TaskContext.getPartitionId()
-        val marker = SegmentStore.writePartition(segDir, pid, lineage,
-          it.map { case (t, s, id, tf, dl) => (t, s, Codec.Posting(id, tf, dl)) },
-          (tf, dl) => BM25.normPart(tf, dl, av)) // maxU: idf-independent
-        marker.entries.iterator
-      }
-
-    phase("segments+dict") {
-      entries.toDF().write.mode(SaveMode.Overwrite).parquet(s"$indexDir/dict")
-    }
 
     // manifest markers already carry per-partition rows — no extra job
     val totalPostings = (0 until cfg.numPartitions)

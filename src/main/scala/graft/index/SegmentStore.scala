@@ -30,8 +30,11 @@ import scala.collection.mutable.ArrayBuffer
   */
 object SegmentStore {
 
+  /** `df` = postings in this (term, salt) run; `cf` = sum of tf. The
+    * per-term totals (term_stats) are vocab-sized sums over these runs
+    * — the build never re-shuffles the posting set to count them. */
   final case class DictEntry(term: String, salt: Int, file: String,
-                             offset: Long, length: Int, df: Int)
+                             offset: Long, length: Int, df: Int, cf: Long)
 
   final case class FileMeta(name: String, bytes: Long)
 
@@ -153,8 +156,11 @@ object SegmentStore {
         out.writeDouble(b.maxScore); out.writeInt(b.bytes.length)
         out.write(b.bytes)
       }
+      var cf = 0L
+      var pi = 0
+      while (pi < arr.length) { cf += arr(pi).tf; pi += 1 }
       entries += DictEntry(term, salt, fileName, start,
-        (out.size() - start).toInt, arr.length)
+        (out.size() - start).toInt, arr.length, cf)
       rows += arr.length
       rowsInFile += arr.length
       ps.clear()

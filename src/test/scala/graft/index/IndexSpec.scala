@@ -36,12 +36,16 @@ class IndexSpec extends SparkSpec {
     assert(res.nDocs == 400)
     assert(res.avgdl > 0)
     assert(res.totalPostings > 0)
-    // totalPostings == number of distinct (term, doc) pairs
-    val staged = spark.read.parquet(s"${res.indexDir}/staging_postings")
+    import org.apache.spark.sql.functions._
+    // totalPostings == number of distinct (term, doc) pairs; staging
+    // additionally carries one null-term doc-stats sentinel row per doc
+    val stagedAll = spark.read.parquet(s"${res.indexDir}/staging_postings")
+    val staged = stagedAll.filter(col("term").isNotNull)
     assert(res.totalPostings == staged.count())
+    assert(stagedAll.filter(col("term").isNull).count() == res.nDocs,
+      "one doc-stats sentinel row per doc")
     // A9: the numbers-in-corpus counter is materialized and equals the
     // number-term occurrence total recomputed from the staged postings
-    import org.apache.spark.sql.functions._
     val fromStats = spark.read.parquet(s"${res.indexDir}/corpus_stats")
       .select(col("n_number_tokens")).head().getLong(0)
     val pat = "^\\d+(\\.\\d+)?[KMB%$]?$|^\\d+/\\d+$|^\\d+ \\d+/\\d+$"
