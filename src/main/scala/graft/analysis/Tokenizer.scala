@@ -65,15 +65,59 @@ object Tokenizer extends Serializable {
   val plainCfg: Config = Config(stem = false, stopwords = Set.empty,
     plain = true)
 
-  private val nonLatin = "[^\\u0000-\\u024F]".r
-  // F8: slash/hyphen dates in 2-3 parts; dot-dates need all 3 parts so
-  // decimal literals ("0.5") fall through to the number rule (F7)
-  private val datePat =
-    "\\d{1,4}[-/]\\d{1,2}([-/]\\d{1,4})?|\\d{1,4}\\.\\d{1,2}\\.\\d{1,4}".r
-  private val allDigits = "\\d+".r
-  private val numberPat = "\\d+(\\.\\d+)?".r
-  private val fractionPat = "\\d+/\\d+".r
   private val identSplit = "(?<=[a-z0-9])(?=[A-Z])|(?<=[A-Z])(?=[A-Z][a-z])|_+|\\.".r
+
+  // The digit-token classifiers are hand-rolled equivalents of the
+  // regexes `\d{1,4}[-/]\d{1,2}([-/]\d{1,4})?|\d{1,4}\.\d{1,2}\.\d{1,4}`
+  // (F8 dates: slash/hyphen in 2-3 parts; dot-dates need all 3 parts so
+  // decimal literals fall through to F7), `\d+`, `\d+(\.\d+)?` and
+  // `\d+/\d+` — Regex.matches allocates a Matcher per call, and digit
+  // tokens probe several patterns each (hot path, BASELINE.md).
+  private def digitRun(s: String, i0: Int): Int = {
+    var i = i0
+    while (i < s.length && s.charAt(i) >= '0' && s.charAt(i) <= '9') i += 1
+    i - i0
+  }
+  private[analysis] def isDateToken(t: String): Boolean = {
+    val n = t.length
+    val d1 = digitRun(t, 0)
+    if (d1 < 1 || d1 > 4 || d1 >= n) return false
+    val sep = t.charAt(d1)
+    if (sep == '-' || sep == '/') {
+      val d2 = digitRun(t, d1 + 1)
+      if (d2 < 1 || d2 > 2) return false
+      val p2 = d1 + 1 + d2
+      if (p2 == n) return true
+      val sep2 = t.charAt(p2)
+      if (sep2 != '-' && sep2 != '/') return false
+      val d3 = digitRun(t, p2 + 1)
+      d3 >= 1 && d3 <= 4 && p2 + 1 + d3 == n
+    } else if (sep == '.') {
+      val d2 = digitRun(t, d1 + 1)
+      if (d2 < 1 || d2 > 2) return false
+      val p2 = d1 + 1 + d2
+      if (p2 >= n || t.charAt(p2) != '.') return false
+      val d3 = digitRun(t, p2 + 1)
+      d3 >= 1 && d3 <= 4 && p2 + 1 + d3 == n
+    } else false
+  }
+  private def isAllDigits(t: String): Boolean =
+    t.length > 0 && digitRun(t, 0) == t.length
+  private def isNumberToken(t: String): Boolean = {
+    val d1 = digitRun(t, 0)
+    if (d1 == 0) return false
+    if (d1 == t.length) return true
+    if (t.charAt(d1) != '.') return false
+    val d2 = digitRun(t, d1 + 1)
+    d2 > 0 && d1 + 1 + d2 == t.length
+  }
+  private def isFractionToken(t: String): Boolean = {
+    val d1 = digitRun(t, 0)
+    d1 > 0 && d1 < t.length && t.charAt(d1) == '/' && {
+      val d2 = digitRun(t, d1 + 1)
+      d2 > 0 && d1 + 1 + d2 == t.length
+    }
+  }
 
   def isAscii(t: String): Boolean = {
     var i = 0
@@ -85,7 +129,6 @@ object Tokenizer extends Serializable {
     true
   }
 
-  private def isNumber(t: String): Boolean = numberPat.matches(t)
 
   /** toLowerCase that allocates only when an upper-case char exists —
     * tokens here are ASCII (post F6 guard), so A-Z is the whole test. */
@@ -328,17 +371,17 @@ object Tokenizer extends Serializable {
     }
 
     // F8: date tokens kept verbatim
-    if (hasDigit && datePat.matches(tok)) { emit(tok); return false }
+    if (hasDigit && isDateToken(tok)) { emit(tok); return false }
 
     // F7: fractions — "3/4" verbatim; "25" + "3/4" fuse into one term
-    if (hasDigit && fractionPat.matches(tok)) { emit(tok); return false }
-    if (hasDigit && allDigits.matches(tok) && next != null &&
-        fractionPat.matches(next)) {
+    if (hasDigit && isFractionToken(tok)) { emit(tok); return false }
+    if (hasDigit && isAllDigits(tok) && next != null &&
+        isFractionToken(next)) {
       emit(s"$tok $next"); return true
     }
 
     // F7: numbers — quantity-word / percent / dollar fusion, K/M/B scale
-    if (hasDigit && isNumber(tok)) {
+    if (hasDigit && isNumberToken(tok)) {
       val v = tok.toDouble
       val nx = if (next == null) null else lowerAscii(next)
       nx match {
@@ -353,10 +396,10 @@ object Tokenizer extends Serializable {
       }
     }
     // F7: sign-prefixed numbers: $100 -> 100$, 45% stays 45%
-    if (hasDigit && tok.length > 1 && tok.head == '$' && isNumber(tok.tail)) {
+    if (hasDigit && tok.length > 1 && tok.head == '$' && isNumberToken(tok.tail)) {
       emit(formatNumber(tok.tail.toDouble) + "$"); return false
     }
-    if (hasDigit && tok.length > 1 && tok.last == '%' && isNumber(tok.dropRight(1))) {
+    if (hasDigit && tok.length > 1 && tok.last == '%' && isNumberToken(tok.dropRight(1))) {
       emit(formatNumber(tok.dropRight(1).toDouble) + "%"); return false
     }
 
@@ -384,10 +427,10 @@ object Tokenizer extends Serializable {
     // F9: hyphen split — whole + parts; all-numeric compound stays whole
     if (tok.contains('-')) {
       val parts = tok.split('-').filter(_.nonEmpty)
-      if (parts.forall(allDigits.matches)) { emit(lower); return false }
+      if (parts.forall(isAllDigits)) { emit(lower); return false }
       // rare branch: keep the List-based distinct semantics verbatim
       val sub = parts.toList.flatMap { p =>
-        if (allDigits.matches(p)) Some(p)
+        if (isAllDigits(p)) Some(p)
         else {
           val l = lowerAscii(p)
           if (l.isEmpty || cfg.stopwords(l)) None
@@ -421,7 +464,7 @@ object Tokenizer extends Serializable {
       if (parts.length > 1) {
         val whole = if (cfg.stopwords(lower)) Nil else List(lower)
         val sub = parts.toList.flatMap { p =>
-          if (allDigits.matches(p)) Some(formatNumber(p.toDouble))
+          if (isAllDigits(p)) Some(formatNumber(p.toDouble))
           else {
             val l = lowerAscii(p)
             if (l.isEmpty || cfg.stopwords(l)) None
@@ -438,6 +481,62 @@ object Tokenizer extends Serializable {
     false
   }
 
+  /** Thread-local expansion memo: token -> the exact term array its
+    * expansion emits. Valid only for digit-free tokens (every
+    * next-token fusion rule, F7, requires a digit) and keyed by the
+    * interned token's REFERENCE (identity hash + eq — the interner
+    * guarantees one live String per distinct token text per thread).
+    * Identifier-split regexes, url parsing and stemming thus run once
+    * per distinct token, not once per occurrence; repeat occurrences
+    * emit cached refs with zero allocation. Reset when the tokenizer
+    * config instance changes (expansion depends on cfg). */
+  private final class ExpandMemo {
+    private val cap = 1 << 14
+    private val mask = cap - 1
+    private val keys = new Array[String](cap)
+    private val vals = new Array[Array[String]](cap)
+    private var n = 0
+    private var cfgRef: Config = null
+    def reset(cfg: Config): Unit =
+      if (cfg ne cfgRef) {
+        java.util.Arrays.fill(keys.asInstanceOf[Array[AnyRef]], null)
+        n = 0
+        cfgRef = cfg
+      }
+    def get(tok: String): Array[String] = {
+      var j = System.identityHashCode(tok) & mask
+      while (keys(j) ne null) {
+        if (keys(j) eq tok) return vals(j)
+        j = (j + 1) & mask
+      }
+      null
+    }
+    def put(tok: String, terms: Array[String]): Unit = {
+      if (n >= cap - (cap >> 2)) {
+        java.util.Arrays.fill(keys.asInstanceOf[Array[AnyRef]], null)
+        n = 0
+      }
+      var j = System.identityHashCode(tok) & mask
+      while (keys(j) ne null) j = (j + 1) & mask
+      keys(j) = tok
+      vals(j) = terms
+      n += 1
+    }
+  }
+  private val memoTL =
+    ThreadLocal.withInitial[ExpandMemo](() => new ExpandMemo)
+  private val emptyTerms = new Array[String](0)
+
+  private def tokenHasDigit(t: String): Boolean = {
+    var i = 0
+    while (i < t.length) {
+      val c = t.charAt(i)
+      if (c >= '0' && c <= '9') return true
+      i += 1
+    }
+    false
+  }
+
   /** Hot-path core: text -> (term counter, docLen). No Map/List/boxed
     * allocation per term — this is what the index build runs. */
   private[graft] def tokenizeRaw(text: String, cfg: Config): (Counter, Int) = {
@@ -450,12 +549,35 @@ object Tokenizer extends Serializable {
     }
     val pre = preTokens(text, cfg)
     val c = new Counter()
-    val emitFn: String => Unit = c.add
+    val memo = memoTL.get()
+    memo.reset(cfg)
+    val rec = new mutable.ArrayBuffer[String](4)
+    val recFn: String => Unit = rec += _
     var i = 0
     while (i < pre.length) {
-      val next = if (i + 1 < pre.length) pre(i + 1) else null
-      val consumed = expandInto(pre(i), next, cfg, emitFn)
-      i += (if (consumed) 2 else 1)
+      val tok = pre(i)
+      val memoizable = !tokenHasDigit(tok)
+      val cached = if (memoizable) memo.get(tok) else null
+      if (cached != null) {
+        var m = 0
+        while (m < cached.length) { c.add(cached(m)); m += 1 }
+        i += 1
+      } else if (memoizable) {
+        rec.clear()
+        expandInto(tok, null, cfg, recFn) // digit-free: never consumes next
+        val terms = if (rec.isEmpty) emptyTerms else rec.toArray
+        memo.put(tok, terms)
+        var m = 0
+        while (m < terms.length) { c.add(terms(m)); m += 1 }
+        i += 1
+      } else {
+        rec.clear()
+        val next = if (i + 1 < pre.length) pre(i + 1) else null
+        val consumed = expandInto(tok, next, cfg, recFn)
+        var m = 0
+        while (m < rec.length) { c.add(rec(m)); m += 1 }
+        i += (if (consumed) 2 else 1)
+      }
     }
     (c, pre.length)
   }

@@ -99,6 +99,28 @@ final class Engine(spark: SparkSession, indexDir: String,
   final case class TermPostings(term: String, qtf: Int, df: Long,
                                 blocks: Array[Codec.Block])
 
+  /** Spell machinery for unknown terms. Preloaded engines build a
+    * SymSpell-style delete-variant index LAZILY on the first miss
+    * (generating the full edit-2 string neighborhood per miss measured
+    * 50-190 ms on a 150k vocab — the index answers in <1 ms); scan
+    * engines keep the bounded batched-pushdown path. Corrections are
+    * memoized per engine — they are pure given the frozen dictionary. */
+  private lazy val deleteIdx: Option[Spell.DeleteIndex] =
+    preStats.map(m => Spell.DeleteIndex.build(m))
+  private val spellMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def correctionOf(t: String): String = {
+    val hit = spellMemo.get(t)
+    if (hit != null) return hit
+    val c = deleteIdx match {
+      case Some(ix) => ix.correct(t)
+      case None => Spell.correct2(t, dfBatch, maxEdit2 = 5000)
+    }
+    if (spellMemo.size() > 100000) spellMemo.clear()
+    spellMemo.put(t, c)
+    c
+  }
+
   /** Batched term -> df resolution: preloaded map hits, or ONE pushdown
     * parquet scan over the candidate set. */
   private def dfBatch(cands: Seq[String]): Map[String, Long] = preStats match {
@@ -134,11 +156,8 @@ final class Engine(spark: SparkSession, indexDir: String,
       val missing = queryTerms.filter { case (t, _) =>
         !(stats.contains(t) || stats.contains(t.toLowerCase) ||
           stats.contains(t.toUpperCase)) }
-      // edit-2 over a pushdown dictionary would be a huge predicate —
-      // preloaded engines search it fully, scan engines a bounded prefix
-      val maxE2 = if (preStats.isDefined) Int.MaxValue else 5000
       missing.foreach { case (t, qtf) =>
-        val c = Spell.correct2(t, dfBatch, maxE2)
+        val c = correctionOf(t)
         if (c != t) {
           stats ++= dfBatch(Seq(c))
           resolved = resolved.updatedWith(c)(q =>

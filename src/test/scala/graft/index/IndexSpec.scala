@@ -248,6 +248,51 @@ class IndexSpec extends SparkSpec {
     eng.close()
   }
 
+  test("sampled heavy-term detection salts the same way queries rank (at-scale config)") {
+    // heavySampleFraction < 1 estimates df from a seeded sample; salting
+    // is a performance heuristic, so ranked results must be identical to
+    // the exact-df build regardless of which near-threshold terms salt
+    val (idxExact, _) = built
+    val idx = tmpDir("graft-sampled-idx")
+    Build.run(spark, spark.read.parquet(corpusDir), idx,
+      Build.Config(numPartitions = 8, nSalts = 4, saltDfThreshold = 50,
+        heavySampleFraction = 0.5))
+    import org.apache.spark.sql.functions.{col, countDistinct}
+    // every term the exact build salted has df >= 50, so a 50% sample
+    // (cut = 50*0.5*0.5 = 12, expected sampled df >= 25) must find it
+    val exactSalted = spark.read.parquet(s"$idxExact/dict")
+      .groupBy("term").agg(countDistinct(col("salt")).as("s"))
+      .filter(col("s") > 1).select("term").collect().map(_.getString(0))
+    assert(exactSalted.nonEmpty)
+    val sampledSalted = spark.read.parquet(s"$idx/dict")
+      .filter(col("term").isin(exactSalted.toSeq: _*))
+      .groupBy("term").agg(countDistinct(col("salt")).as("s"))
+      .filter(col("s") > 1).count()
+    assert(sampledSalted == exactSalted.length,
+      s"sampled detection missed heavy terms: $sampledSalted/${exactSalted.length}")
+    val e1 = new Engine(spark, idxExact, preload = true)
+    val e2 = new Engine(spark, idx, preload = true)
+    for (q <- Seq("the if return", "license apache", "the import"))
+      assert(e1.searchWand(q, 50).toSeq == e2.searchWand(q, 50).toSeq, s"q=$q")
+    e1.close(); e2.close()
+  }
+
+  test("cache staging mode builds an identical-ranking index without a staging dir") {
+    val (idxParquet, _) = built
+    val idx = tmpDir("graft-cache-idx")
+    val res = Build.run(spark, spark.read.parquet(corpusDir), idx,
+      Build.Config(numPartitions = 8, nSalts = 4, saltDfThreshold = 50,
+        stagingMode = "cache"))
+    assert(res.nDocs == 400)
+    assert(!new java.io.File(s"$idx/staging_postings").exists(),
+      "cache mode must not write staging parquet")
+    val e1 = new Engine(spark, idxParquet, preload = true)
+    val e2 = new Engine(spark, idx, preload = true)
+    for (q <- Seq("the if return", "license apache", "getconfig"))
+      assert(e1.searchWand(q, 50).toSeq == e2.searchWand(q, 50).toSeq, s"q=$q")
+    e1.close(); e2.close()
+  }
+
   test("ingest rejects a corpus missing required columns") {
     import spark.implicits._
     val bad = tmpDir("graft-badcorpus")

@@ -48,6 +48,35 @@ class QuerySurfaceSpec extends SparkSpec {
     assert(Spell.correct2("quare", batch, maxEdit2 = 0) == "quare")
   }
 
+  test("DeleteIndex.correct is policy-identical to correct2 across a generated vocabulary") {
+    // the preloaded engine answers corrections from the SymSpell-style
+    // delete-variant index; the scan engine from the generate-and-probe
+    // path — both must produce the same corrections (same staging: known
+    // passthrough, else argmax-df over alphabet-model edit-1s, else
+    // edit-2s, ties lexicographic)
+    val r = new scala.util.Random(7)
+    val vocab: Map[String, Long] =
+      ((0 until 300).map(i => graft.corpus.Synth.coldTerm(i) -> (1L + r.nextInt(500))) ++
+        Seq("spark" -> 100L, "quartz" -> 7L, "15.6K" -> 40L, "a" -> 3L,
+          "get_config" -> 9L, "covid" -> 25L)).toMap
+    val ix = Spell.DeleteIndex.build(vocab)
+    def batch(cs: Seq[String]) = cs.flatMap(c => vocab.get(c).map(c -> _)).toMap
+    val probes =
+      vocab.keys.take(40).toSeq ++ // known: passthrough
+      Seq("spork", "spirk", "quare", "zzzzzzzz", "15.6k", "156K", "covvid",
+        "get_confog", "xovid", "a_", "qq") ++
+      (0 until 60).map { i => // mutated vocab terms: drop/replace chars
+        val t = graft.corpus.Synth.coldTerm(i)
+        if (i % 3 == 0) t.drop(1)
+        else if (i % 3 == 1) t.updated(t.length / 2, 'q')
+        else t.take(math.max(1, t.length - 2))
+      }
+    probes.foreach { q =>
+      assert(ix.correct(q) == Spell.correct2(q, batch),
+        s"index vs correct2 drift for '$q'")
+    }
+  }
+
   test("engine corrects a misspelled term by default — no caller-supplied dictionary") {
     import spark.implicits._
     val docs = Seq(
