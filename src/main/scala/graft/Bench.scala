@@ -122,16 +122,22 @@ object Bench {
     // 2x+ (measured), and min is the estimator least sensitive to that
     // one-sided noise.
     //
-    // The HEADLINE N->4N pair is local[2] -> local[8]: measured dev
-    // probes (BASELINE.md round-2 scaling analysis) show this box's
-    // shared memory system caps any data-moving workload's 8->32 thread
-    // scaling at ~0.6 (streaming-read probe) while pure ALU scales at
-    // 0.92 — i.e. beyond ~8 busy cores the single box measures its own
-    // memory controller, not the pipeline. Below that knee each
-    // "executor" still has private bandwidth, which is the quantity the
-    // N-vs-4N-EXECUTOR criterion is about (a 4x scale-out multiplies
-    // memory controllers 4x). The within-the-knee 8->32 pair is
-    // reported alongside as the conservative same-box bound.
+    // The HEADLINE N->4N pair is local[2] -> local[8], where the
+    // pipeline's own pure-JVM kernel still scales near its ALU bound.
+    // Measured probes (graft.ScaleProbe / graft.TokBench, BASELINE.md
+    // round-2 scaling analysis): ALU spin scales 2->8 at 0.99 and 8->32
+    // at 0.95 (the vCPUs are real); a private-buffer streaming read
+    // saturates the box's ONE shared memory system from 2 threads on
+    // (2->8 eff 0.46, one thread already pulls ~12% of the box's
+    // ~148 GB/s); and the no-Spark tokenize kernel — the exact code the
+    // build runs — lands between them at 0.85 (2->8) but 0.44 (8->32).
+    // The Spark build tracks its own kernel's envelope at every level,
+    // i.e. the single-box decay is the memory system acting on the
+    // kernel, not Spark orchestration. A real N->4N EXECUTOR scale-out
+    // multiplies memory controllers by 4, which is exactly the resource
+    // this box cannot multiply; the 8->32 same-box pair is reported
+    // alongside as the conservative bound, and each measurement carries
+    // its hypervisor-steal percentage so noisy windows are visible.
     def tmp(p: String) = java.nio.file.Files.createTempDirectory(p).toString
     val scratch = scala.collection.mutable.ArrayBuffer(corpusDir)
     def one(cores: Int, latency: Boolean): Map[String, String] = {
@@ -141,12 +147,18 @@ object Bench {
     }
     val nLow = math.max(1, cpus / 16) // 2 on the 32-core box
     val low = (1 to 2).map(_ => one(nLow, latency = false))
-    val triples = (1 to 3).map { i =>
+    val triples = (1 to 4).map { i =>
       (one(nCores, latency = false), one(cpus, latency = i == 1))
     }
-    val secLow = low.map(_("BENCH_BUILD_SECONDS").toDouble).min
-    val secN = triples.map(_._1("BENCH_BUILD_SECONDS").toDouble).min
-    val sec4N = triples.map(_._2("BENCH_BUILD_SECONDS").toDouble).min
+    def secs(rs: Seq[Map[String, String]]) =
+      rs.map(_("BENCH_BUILD_SECONDS").toDouble)
+    def steals(rs: Seq[Map[String, String]]) =
+      rs.map(_.getOrElse("BENCH_STEAL_PCT", "-1"))
+    val (secsLow, secsN, secs4N) =
+      (secs(low), secs(triples.map(_._1)), secs(triples.map(_._2)))
+    val secLow = secsLow.min
+    val secN = secsN.min
+    val sec4N = secs4N.min
     val r4N = triples.head._2
     scratch.foreach { d =>
       scala.reflect.io.Directory(new java.io.File(d)).deleteRecursively()
@@ -168,6 +180,12 @@ object Bench {
       s""""scaling_efficiency":${f"$effHead%.3f"},""" +
       s""""scaling_pair":"local[$nLow]->local[$nCores]",""" +
       s""""scaling_efficiency_${nCores}_$cpus":${f"$effHigh%.3f"},""" +
+      s""""build_runs_sec":{"${nLow}c":[${secsLow.map(s => f"$s%.2f").mkString(",")}],""" +
+      s""""${nCores}c":[${secsN.map(s => f"$s%.2f").mkString(",")}],""" +
+      s""""${cpus}c":[${secs4N.map(s => f"$s%.2f").mkString(",")}]},""" +
+      s""""steal_pct":{"${nLow}c":[${steals(low).mkString(",")}],""" +
+      s""""${nCores}c":[${steals(triples.map(_._1)).mkString(",")}],""" +
+      s""""${cpus}c":[${steals(triples.map(_._2)).mkString(",")}]},""" +
       s""""query_p50_ms":${r4N.getOrElse("BENCH_P50_MS", "-1")},""" +
       s""""query_p95_ms":${r4N.getOrElse("BENCH_P95_MS", "-1")},"query_k":250}""")
   }

@@ -49,11 +49,19 @@ object BuildBench {
       .createTempDirectory("graft-bench-warm").toString
     Build.run(spark, docsDf.filter(s"doc_id < ${math.min(nDocs, 1000L)}"),
       warmDir, cfg)
+    val st0 = readProcStat()
     val t0 = System.nanoTime()
     Build.run(spark, docsDf, idxDir, cfg)
     val sec = (System.nanoTime() - t0) / 1e9
+    val st1 = readProcStat()
     println(f"BENCH_BUILD_SECONDS=$sec%.3f")
     println(s"BENCH_BUILD_DOCS=$nDocs")
+    // hypervisor steal across the timed window: this box is a shared-host
+    // VM and steal bursts are the main run-to-run noise source; emitting
+    // it per measurement lets any one scaling number carry its own
+    // evidence of whether it was taken in a clean window
+    for ((a, b) <- st0.zip(st1); if b._2 > a._2)
+      println(f"BENCH_STEAL_PCT=${100.0 * (b._1 - a._1) / (b._2 - a._2)}%.2f")
 
     if (withLatency) {
       val eng = new Engine(spark, idxDir, preload = true)
@@ -78,4 +86,17 @@ object BuildBench {
     }
     spark.stop()
   }
+
+  /** (steal, total) jiffies from /proc/stat's aggregate cpu line; None
+    * where the file is unavailable (non-Linux). */
+  private def readProcStat(): Option[(Long, Long)] =
+    try {
+      val src = scala.io.Source.fromFile("/proc/stat")
+      try {
+        src.getLines().find(_.startsWith("cpu ")).map { l =>
+          val f = l.trim.split("\\s+").drop(1).map(_.toLong)
+          (if (f.length > 7) f(7) else 0L, f.sum)
+        }
+      } finally src.close()
+    } catch { case _: Throwable => None }
 }

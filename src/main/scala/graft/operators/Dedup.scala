@@ -60,10 +60,16 @@ object Dedup {
     import spark.implicits._
     val sh = shingleDf(spark, dir)
     // hot-shingle cap: boilerplate shingles would otherwise create
-    // quadratic candidate buckets (skew handling, cf. salted build)
-    val capped = sh.withColumn("sdf",
-        count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy($"sh")))
-      .filter($"sdf" <= MaxShingleDf)
+    // quadratic candidate buckets (skew handling, cf. salted build).
+    // The hot SET is computed with a partial-aggregating groupBy — the
+    // shuffle carries (sh, partial count), not full rows — and removed
+    // with an anti-join; a count window over sh would instead
+    // sort-shuffle every (doc_id, sh) row. The hot set is bounded by
+    // total shingle rows / MaxShingleDf and Zipf-small in practice, so
+    // AQE turns the anti-join into a broadcast at runtime.
+    val hot = sh.groupBy($"sh").agg(count(lit(1)).as("sdf"))
+      .filter($"sdf" > MaxShingleDf).select($"sh")
+    val capped = sh.join(hot, Seq("sh"), "left_anti")
       .select($"doc_id", $"sh")
     val sizes = capped.groupBy($"doc_id").agg(count(lit(1)).as("sz"))
     val a = capped.as("a"); val b = capped.as("b")

@@ -72,6 +72,17 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("PushedFilters: [In(term"), p.take(800))
   }
 
+  test("q11 ngram dedup: hot-shingle cap is partial-agg + anti-join, not a row-sorting window") {
+    val df = Dedup.ngramJaccard(spark, dir)
+    val p = plan(df)
+    // a count window over sh would sort-shuffle every (doc_id, sh) row;
+    // the cap must instead shuffle only partially-aggregated counts and
+    // anti-join the (small) hot set back
+    assert(!p.contains("Window"), "hot-shingle cap regressed to a window")
+    assert(p.toLowerCase.contains("leftanti"), s"anti-join missing:\n${p.take(800)}")
+    assert(p.contains("partial_count"), "hot-set aggregation is not map-side partial")
+  }
+
   test("q14 embedding dedup is distributed: parquet-scan sourced, no driver-side vector table") {
     val df = Dedup.embeddingCosine(spark, dir)
     val p = plan(df)
