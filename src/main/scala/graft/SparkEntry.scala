@@ -50,6 +50,9 @@ object SparkEntry {
     "q18_quality" -> ((s, d) => TextAnalysis.quality(s, d)),
     "q19_token_counts" -> ((s, d) => TextAnalysis.tokenCounts(s, d)),
     "q20_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(s, d)),
+    "q25_pii_redact" -> ((s, d) => TextAnalysis.piiRedact(s, d)),
+    "q26_repetition" -> ((s, d) => TextAnalysis.repetition(s, d)),
+    "q27_decontam" -> ((s, d) => Dedup.decontam(s, d)),
     // Multimodal plumbing (decode stubbed — no codecs in sandbox)
     "q21_multimodal" -> ((s, d) => Multimodal.features(s, d)),
   )
@@ -77,5 +80,8 @@ object SparkEntry {
     "q18_quality" -> TextAnalysis.qualitySql,
     "q19_token_counts" -> TextAnalysis.tokenCountsSql,
     "q20_fingerprint" -> TextAnalysis.fingerprintSql,
+    "q25_pii_redact" -> TextAnalysis.piiRedactSql,
+    "q26_repetition" -> TextAnalysis.repetitionSql,
+    "q27_decontam" -> Dedup.decontamSql,
   )
 }

@@ -281,4 +281,54 @@ object Dedup {
        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
        |WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 4) >= $CosMin
        |ORDER BY cos DESC, vec_a, vec_b""".stripMargin
+
+  // --- q27: benchmark decontamination ------------------------------------
+
+  /** Deterministic stand-in for the held-out benchmark set: every
+    * doc_id ≡ 0 (mod 7). In a real pipeline this is the fixed eval
+    * suite, not a corpus slice. */
+  val DecontamBenchMod = 7
+  val DecontamGram = 8
+
+  /** q27: decontamination — flag training docs that share at least one
+    * word-8-gram with the benchmark set, with the count of distinct
+    * overlapping 8-grams (the standard n-gram-overlap decontamination
+    * check run before training). Distinct per-doc 8-grams join the
+    * benchmark's 8-gram set on the gram; counts partial-aggregate
+    * map-side. In a real deployment the benchmark set is a FIXED small
+    * eval suite, so its gram set is broadcast and the corpus side never
+    * shuffles; here the "benchmark" is a corpus slice that grows with
+    * the input, so no broadcast hint is planted — AQE picks one at
+    * runtime when the built side fits. */
+  def decontam(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val g8 = spark.read.parquet(s"$dir/documents.parquet")
+      .select($"doc_id", split(lower($"text"), "\\s+").as("toks"))
+      .select($"doc_id", expr("filter(toks, t -> t <> '')").as("a"))
+      .filter(size($"a") >= DecontamGram)
+      .select($"doc_id", explode(expr(
+        s"transform(sequence(0, size(a)-$DecontamGram), " +
+          s"i -> concat_ws(' ', slice(a, i+1, $DecontamGram)))")).as("g"))
+      .distinct()
+    val bench = g8.filter($"doc_id" % DecontamBenchMod === 0)
+      .select($"g").distinct()
+    g8.filter($"doc_id" % DecontamBenchMod =!= 0)
+      .join(bench, "g")
+      .groupBy($"doc_id").agg(count(lit(1)).as("n_overlap8"))
+      .orderBy($"doc_id")
+  }
+
+  val decontamSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t <> '') AS arr
+       |  FROM documents),
+       |g8 AS (
+       |  SELECT DISTINCT doc_id, unnest(list_transform(range(1, len(arr) - ${DecontamGram - 2}),
+       |    i -> array_to_string(arr[i:i+${DecontamGram - 1}], ' '))) AS g
+       |  FROM toks WHERE len(arr) >= $DecontamGram),
+       |bench AS (SELECT DISTINCT g FROM g8 WHERE doc_id % $DecontamBenchMod = 0)
+       |SELECT doc_id, count(*) AS n_overlap8
+       |FROM g8 JOIN bench USING (g)
+       |WHERE doc_id % $DecontamBenchMod <> 0
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 }

@@ -37,14 +37,17 @@ object TextAnalysis {
     * tiebreak; docs with zero marker hits report 'und'. */
   def langId(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    import org.apache.spark.sql.expressions.Window
     val markers = Markers.toDF("lang_pred", "marker")
     val hits = tokens(spark, dir)
       .join(broadcast(markers), $"term" === $"marker")
       .groupBy($"doc_id", $"lang_pred").agg(count(lit(1)).as("hits"))
-    val w = Window.partitionBy($"doc_id").orderBy($"hits".desc, $"lang_pred")
-    val best = hits.withColumn("rn", row_number().over(w))
-      .filter($"rn" === 1).select($"doc_id", $"lang_pred", $"hits")
+    // argmax with (hits desc, lang asc) tiebreak as a lexicographic
+    // struct-min: partial-aggregates map-side, unlike a row_number
+    // window (which would re-sort-shuffle every (doc, lang) row by
+    // doc_id with no partial reduction)
+    val best = hits.groupBy($"doc_id")
+      .agg(min(struct((-$"hits").as("nh"), $"lang_pred", $"hits")).as("b"))
+      .select($"doc_id", $"b.lang_pred".as("lang_pred"), $"b.hits".as("hits"))
     spark.read.parquet(s"$dir/documents.parquet").select($"doc_id")
       .join(best, Seq("doc_id"), "left")
       .select($"doc_id",
@@ -161,4 +164,103 @@ object TextAnalysis {
     """SELECT doc_id,
       |  md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp
       |FROM documents ORDER BY doc_id""".stripMargin
+
+  // --- q25: PII redaction ------------------------------------------------
+  // Patterns are written in the RE2-compatible subset so the Spark (Java
+  // regex) and DuckDB (RE2) engines agree: no backrefs, no lookaround.
+  private val EmailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val PhonePat = "\\+?\\d{3}[- ]\\d{3}[- ]\\d{4}"
+  private val Ipv4Pat = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  /** q25: PII scrub — emails, dashed/spaced phone numbers and IPv4s
+    * replaced by typed placeholders; per-doc match counts plus the
+    * sha256 of the redacted text (the text itself stays out of the
+    * result). A training-data pipeline runs this before anything else.
+    * Pure column pipeline (regexp_count / regexp_replace, codegen'd):
+    * a map-only pass with NO shuffle — at 100 TB it is bounded by scan
+    * bandwidth alone, and the orderBy exists only for the deterministic
+    * test-scale contract. */
+  def piiRedact(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val redacted = regexp_replace(
+      regexp_replace(
+        regexp_replace($"text", EmailPat, "<EMAIL>"),
+        PhonePat, "<PHONE>"),
+      Ipv4Pat, "<IP>")
+    spark.read.parquet(s"$dir/documents.parquet")
+      .select($"doc_id",
+        regexp_count($"text", lit(EmailPat)).cast("long").as("n_emails"),
+        regexp_count($"text", lit(PhonePat)).cast("long").as("n_phones"),
+        regexp_count($"text", lit(Ipv4Pat)).cast("long").as("n_ips"),
+        sha2(redacted, 256).as("redacted_sha"))
+      .orderBy($"doc_id")
+  }
+
+  val piiRedactSql: String =
+    s"""SELECT doc_id,
+       |  len(regexp_extract_all(text, '$EmailPat')) AS n_emails,
+       |  len(regexp_extract_all(text, '$PhonePat')) AS n_phones,
+       |  len(regexp_extract_all(text, '$Ipv4Pat')) AS n_ips,
+       |  sha256(regexp_replace(regexp_replace(regexp_replace(text,
+       |    '$EmailPat', '<EMAIL>', 'g'),
+       |    '$PhonePat', '<PHONE>', 'g'),
+       |    '$Ipv4Pat', '<IP>', 'g')) AS redacted_sha
+       |FROM documents ORDER BY doc_id""".stripMargin
+
+  // --- q26: repetition-based quality filters -----------------------------
+
+  /** q26: Gopher/MassiveText-style repetition metrics per doc — the
+    * fraction of all word-bigrams taken by the single most frequent
+    * bigram, and the fraction of duplicate word-trigrams. Repetitive
+    * machine-generated text scores high on both and gets filtered
+    * before training. Every stage partial-aggregates map-side
+    * (groupBy, not windows); the heaviest shuffle carries
+    * (doc_id, gram, partial count) — a pre-combined fraction of the
+    * exploded gram stream. */
+  def repetition(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val arr = spark.read.parquet(s"$dir/documents.parquet")
+      .select($"doc_id", split(lower($"text"), "\\s+").as("toks"))
+      .select($"doc_id", expr("filter(toks, t -> t <> '')").as("a"))
+    val bg = arr.filter(size($"a") >= 2)
+      .select($"doc_id", explode(expr(
+        "transform(sequence(0, size(a)-2), i -> concat(a[i], ' ', a[i+1]))"
+      )).as("g"))
+    val bstat = bg.groupBy($"doc_id", $"g").agg(count(lit(1)).as("c"))
+      .groupBy($"doc_id")
+      .agg(round(max($"c") / sum($"c"), 4).as("top_bigram_frac"))
+    val tg = arr.filter(size($"a") >= 3)
+      .select($"doc_id", explode(expr(
+        "transform(sequence(0, size(a)-3), i -> concat(a[i], ' ', a[i+1], ' ', a[i+2]))"
+      )).as("g"))
+    val tstat = tg.groupBy($"doc_id")
+      .agg(round(lit(1.0) - countDistinct($"g") / count(lit(1)), 4)
+        .as("dup_trigram_frac"))
+    spark.read.parquet(s"$dir/documents.parquet").select($"doc_id")
+      .join(bstat, Seq("doc_id"), "left")
+      .join(tstat, Seq("doc_id"), "left")
+      .select($"doc_id",
+        coalesce($"top_bigram_frac", lit(0.0)).as("top_bigram_frac"),
+        coalesce($"dup_trigram_frac", lit(0.0)).as("dup_trigram_frac"))
+      .orderBy($"doc_id")
+  }
+
+  val repetitionSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'), t -> t <> '') AS arr
+      |  FROM documents),
+      |bg AS (
+      |  SELECT doc_id, unnest(list_transform(range(1, len(arr)), i -> arr[i] || ' ' || arr[i+1])) AS g
+      |  FROM toks WHERE len(arr) >= 2),
+      |bgc AS (SELECT doc_id, g, count(*) AS c FROM bg GROUP BY 1, 2),
+      |bstat AS (SELECT doc_id, round(max(c) * 1.0 / sum(c), 4) AS top_bigram_frac FROM bgc GROUP BY 1),
+      |tg AS (
+      |  SELECT doc_id, unnest(list_transform(range(1, len(arr)-1), i -> arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2])) AS g
+      |  FROM toks WHERE len(arr) >= 3),
+      |tstat AS (SELECT doc_id, round(1.0 - count(DISTINCT g) * 1.0 / count(*), 4) AS dup_trigram_frac FROM tg GROUP BY 1)
+      |SELECT d.doc_id,
+      |  coalesce(b.top_bigram_frac, 0.0) AS top_bigram_frac,
+      |  coalesce(t.dup_trigram_frac, 0.0) AS dup_trigram_frac
+      |FROM documents d LEFT JOIN bstat b USING (doc_id) LEFT JOIN tstat t USING (doc_id)
+      |ORDER BY doc_id""".stripMargin
 }

@@ -175,4 +175,80 @@ class TrainingOpsSpec extends SparkSpec {
     assert(top.take(5).forall { case (a, b) => b == a + 1000 },
       s"top pairs not the planted dups: ${top.take(5).toSeq}")
   }
+
+  test("q25 PII redaction scrubs planted emails/phones/IPs and counts them") {
+    import spark.implicits._
+    val d = tmpDir("graft-pii")
+    Seq(
+      (0L, "contact alice@example.com or bob.smith+x@sub.domain.org today"),
+      (1L, "call +1 555-123-4567 or 555 987 6543 now"),
+      (2L, "server at 10.0.0.1 and 192.168.255.254 up"),
+      (3L, "no pii here at all"),
+      (4L, "mix a@b.io 123-456-7890 8.8.8.8 end")
+    ).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val rows = TextAnalysis.piiRedact(spark, d).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(rows(0L) == ((2L, 0L, 0L)), s"emails: ${rows(0L)}")
+    assert(rows(1L) == ((0L, 2L, 0L)), s"phones: ${rows(1L)}")
+    assert(rows(2L) == ((0L, 0L, 2L)), s"ips: ${rows(2L)}")
+    assert(rows(3L) == ((0L, 0L, 0L)))
+    assert(rows(4L) == ((1L, 1L, 1L)), s"mixed: ${rows(4L)}")
+    // redaction replaces, never leaks: rebuild the redacted text and check
+    val red = org.apache.spark.sql.functions.sha2(
+      org.apache.spark.sql.functions.lit(
+        "contact <EMAIL> or <EMAIL> today"), 256)
+    val expect = spark.range(1).select(red).head().getString(0)
+    val got = TextAnalysis.piiRedact(spark, d).filter($"doc_id" === 0L)
+      .head().getString(4)
+    assert(got == expect, "redacted sha mismatch for planted email doc")
+  }
+
+  test("q25 PII redaction is a map-only plan: no shuffle, no window") {
+    val p = TextAnalysis.piiRedact(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    // the orderBy is the test-scale contract sort; everything before it
+    // must be exchange-free (scan -> project)
+    assert(!p.contains("Window"))
+    assert("Exchange".r.findAllIn(p).size <= 1,
+      s"PII pass should add no shuffle beyond the contract sort:\n${p.take(800)}")
+  }
+
+  test("q26 repetition metrics separate repetitive from diverse docs") {
+    import spark.implicits._
+    val d = tmpDir("graft-rep")
+    val diverse = (0 until 200).map(i => s"tok$i").mkString(" ")
+    val loopy = Seq.fill(50)("badger badger mushroom").mkString(" ")
+    Seq((0L, diverse), (1L, loopy), (2L, "a b")).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val m = TextAnalysis.repetition(spark, d).collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    assert(m(0L)._1 < 0.02 && m(0L)._2 == 0.0, s"diverse doc flagged: ${m(0L)}")
+    assert(m(1L)._1 > 0.3, s"loopy doc top-bigram too low: ${m(1L)}")
+    assert(m(1L)._2 > 0.9, s"loopy doc dup-trigram too low: ${m(1L)}")
+    // 2-token doc: one bigram (frac 1.0), no trigrams (frac 0.0 via coalesce)
+    assert(m(2L) == ((1.0, 0.0)), s"short doc: ${m(2L)}")
+  }
+
+  test("q27 decontamination flags exactly the docs sharing an 8-gram with the benchmark") {
+    import spark.implicits._
+    val d = tmpDir("graft-decontam")
+    val bench = (0 until 30).map(i => s"b$i").mkString(" ") // doc 0: benchmark (0 % 7 == 0)
+    val leaked = "x y z " + (10 until 18).map(i => s"b$i").mkString(" ") + " q r"
+    val clean = (0 until 30).map(i => s"c$i").mkString(" ")
+    Seq((0L, bench), (1L, leaked), (2L, clean), (3L, "short doc only"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val got = Dedup.decontam(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq == Seq((1L, 1L)),
+      s"expected only doc 1 flagged with exactly its 1 leaked 8-gram: ${got.toSeq}")
+  }
+
+  test("q17 lang-id argmax is a partial aggregation, not a window") {
+    val p = TextAnalysis.langId(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Window"), "argmax regressed to a row_number window")
+    assert(p.contains("partial_min"), "struct-min argmax is not map-side partial")
+  }
 }
