@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operator family over the `documents` table
@@ -77,11 +77,30 @@ object TextAnalysis {
        |ORDER BY doc_id""".stripMargin
   }
 
+  private[graft] val QualityStopwords =
+    Seq("the", "a", "and", "of", "is", "to", "in")
+
+  /** The q18 composite quality score as a pure Column over a text
+    * column — usable identically from the batch oracle query and the
+    * streaming clean path (stateless, codegen'd). Ratios are rounded
+    * to 4 decimals BEFORE composing, matching the q18 contract. */
+  def qualityScore(text: Column): Column = {
+    val toks = filter(split(lower(text), "\\s+"), t => t =!= lit(""))
+    val n = size(toks)
+    val stopArr = array(QualityStopwords.map(lit(_)): _*)
+    val stopRatio =
+      round(size(filter(toks, t => array_contains(stopArr, t))) / n.cast("double"), 4)
+    val alphaRatio =
+      round(size(filter(toks, t => t.rlike("^[a-z]+$"))) / n.cast("double"), 4)
+    round(least(lit(1.0), n / lit(100.0)) * alphaRatio *
+      (lit(1.0) - stopRatio * 0.5), 4)
+  }
+
   /** q18: quality scoring — length, token stats, stopword/alpha ratios,
     * and a deterministic composite score. */
   def quality(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val stop = Seq("the", "a", "and", "of", "is", "to", "in")
+    val stop = QualityStopwords
     val d = spark.read.parquet(s"$dir/documents.parquet")
       .select($"doc_id",
         expr("filter(split(lower(text), '\\\\s+'), t -> t <> '')").as("toks"),

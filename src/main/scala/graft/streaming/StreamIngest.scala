@@ -65,6 +65,29 @@ object StreamIngest {
       .agg(sum($"docs").as("docs"), sum($"tokens").as("tokens"))
   }
 
+  /** Streaming front door of a training-data pipeline: stateless
+    * quality filter (the exact q18 composite via
+    * `TextAnalysis.qualityScore` — one formula, two runtimes) then
+    * exact dedup on the content digest with WATERMARK-BOUNDED state
+    * (`dropDuplicatesWithinWatermark`): a duplicate arriving within
+    * the watermark horizon is dropped, and digest state is expired
+    * past it, so state size is bounded by the horizon's unique-doc
+    * count rather than growing with the stream — the property that
+    * keeps this runnable forever at ingest scale. */
+  def cleanStream(docs: Dataset[DocEvent],
+                  minQuality: Double = 0.05,
+                  horizon: String = "10 minutes"): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs.toDF()
+      .withColumn("quality",
+        graft.operators.TextAnalysis.qualityScore($"content"))
+      .filter($"quality" >= minQuality)
+      .withColumn("digest", sha2($"content", 256))
+      .withWatermark("ts", horizon)
+      .dropDuplicatesWithinWatermark("digest")
+      .select($"doc_id", $"content", $"ts", $"quality", $"digest")
+  }
+
   /** Convenience: run a stream of docs to completion against an
     * in-memory sink; returns the sink table name. */
   def runToMemory[T](ds: Dataset[T], name: String, mode: OutputMode): Unit = {

@@ -56,4 +56,38 @@ class StreamIngestSpec extends SparkSpec {
       assert(rows(1).getLong(1) == 1 && rows(1).getLong(2) == 1)
     } finally q.stop()
   }
+
+  test("clean stream: quality filter + watermarked exact dedup keep first-seen good docs") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[StreamIngest.DocEvent]
+    val cleaned = StreamIngest.cleanStream(input.toDS(), minQuality = 0.05)
+    val q = cleaned.writeStream.format("memory").queryName("cleaned")
+      .outputMode(OutputMode.Append).start()
+    try {
+      val good = "plenty of sensible lowercase words flowing along here nicely"
+      val junk = "@@@@ #### 1234 %%%% !!!!"    // alpha_ratio 0 -> quality 0
+      // timestamps sit well above epoch: the initial watermark is 0 and
+      // an event AT the watermark is treated as late and dropped
+      input.addData(
+        StreamIngest.DocEvent(0, good, ts(1000)),
+        StreamIngest.DocEvent(1, junk, ts(1001)))
+      q.processAllAvailable()
+      input.addData(
+        StreamIngest.DocEvent(2, good, ts(1030)),  // duplicate within watermark
+        StreamIngest.DocEvent(3, good + " varied", ts(1040)))
+      q.processAllAvailable()
+      val ids = spark.sql("SELECT doc_id FROM cleaned ORDER BY doc_id")
+        .collect().map(_.getLong(0)).toSeq
+      // junk filtered (doc 1), duplicate dropped (doc 2), firsts kept
+      assert(ids == Seq(0L, 3L), s"got $ids")
+      // the streaming score is the batch q18 formula: one formula, two runtimes
+      val sq = spark.sql("SELECT quality FROM cleaned WHERE doc_id = 0")
+        .head().getDouble(0)
+      val bq = spark.range(1)
+        .select(graft.operators.TextAnalysis.qualityScore(
+          org.apache.spark.sql.functions.lit(good))).head().getDouble(0)
+      assert(sq == bq)
+    } finally q.stop()
+  }
 }
