@@ -73,7 +73,11 @@ object BuildBench {
         Seq.fill(n)(if (r.nextBoolean()) hot(r.nextInt(hot.size))
                     else cold(r.nextInt(cold.size))).mkString(" ")
       } :+ // 10-term adversarial query: stresses the WAND cursor loop
-        (hot ++ cold.take(4)).mkString(" ")
+        (hot ++ cold.take(4)).mkString(" ") :++
+        // misspelled queries: default-on spell correction is part of the
+        // per-query cost like the reference's (searcher.py:44) — the
+        // engine's delete-variant index makes these ~memo lookups
+        Seq("improt licnese", "retrun", "apach the")
       queries.foreach(q => eng.searchWand(q, 250)) // warm
       val lat = (1 to 8).flatMap(_ => queries.map { q =>
         val q0 = System.nanoTime()

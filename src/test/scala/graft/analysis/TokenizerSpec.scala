@@ -24,6 +24,31 @@ class TokenizerSpec extends AnyFunSuite {
     assert(terms("café naïve plain", noStem).keySet == Set("plain"))
   }
 
+  test("F5: no emoji survives any path (parser_module.py:53-55, 116; dead-on-arrival by 318)") {
+    // In the reference's own document pipeline the whole-text non-latin
+    // strip (parser_module.py:318) runs BEFORE parse_sentence, and every
+    // code point in its emoji class (line 53-55: U+1F300+, U+2600-2B55,
+    // U+200D ZWJ, U+FE0F VS16, flags, dingbats...) is outside the strip's
+    // keep-set — so the per-token emoji rule (line 116) never sees one on
+    // the doc path. Graft subsumes F5 the same way: the F4 strip removes
+    // every char > U+024F, in documents AND queries. Pin it with real
+    // emoji incl. ZWJ sequences, skin tones, flags, and BMP dingbats.
+    val cases = Seq(
+      "smile 😀 mid",                  // U+1F600 emoticon
+      "🔥fire leading",                 // emoji-prefixed token
+      "family 👨‍👩‍👧 zwj",
+      "wave 👋🏽 skintone",
+      "flag 🇮🇱 pair",
+      "star ⭐ dingbat ✂️ scissors",
+      "clock ⌚ watch ⏩ ffwd ♀♂ signs")
+    for (c <- cases; t <- terms(c, noStem).keySet)
+      assert(t.forall(_ <= 'ɏ') && t.forall(_ < 128),
+        s"emoji survived in '$t' from: $c")
+    // and a query goes through the same strip
+    assert(Tokenizer.tokenizeQuery("😀 smile😀s", noStem)
+      .keySet == Set("smiles"))
+  }
+
   test("F7: number scaling (parser_module.py:412-522)") {
     assert(terms("123").keySet == Set("123"))
     assert(terms("15600").keySet == Set("15.6K"))
