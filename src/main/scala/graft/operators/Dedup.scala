@@ -302,19 +302,23 @@ object Dedup {
     * runtime when the built side fits. */
   def decontam(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val g8 = spark.read.parquet(s"$dir/documents.parquet")
+    // raw (doc, gram) stream — deliberately NOT distinct'd: a corpus-wide
+    // distinct would shuffle every gram row; instead raw grams join the
+    // (small) benchmark gram set — broadcast under AQE, so the corpus
+    // side never shuffles — and per-doc countDistinct dedups only the
+    // matched survivors in the (partial-aggregating) count
+    val g8raw = spark.read.parquet(s"$dir/documents.parquet")
       .select($"doc_id", split(lower($"text"), "\\s+").as("toks"))
       .select($"doc_id", expr("filter(toks, t -> t <> '')").as("a"))
       .filter(size($"a") >= DecontamGram)
       .select($"doc_id", explode(expr(
         s"transform(sequence(0, size(a)-$DecontamGram), " +
           s"i -> concat_ws(' ', slice(a, i+1, $DecontamGram)))")).as("g"))
-      .distinct()
-    val bench = g8.filter($"doc_id" % DecontamBenchMod === 0)
+    val bench = g8raw.filter($"doc_id" % DecontamBenchMod === 0)
       .select($"g").distinct()
-    g8.filter($"doc_id" % DecontamBenchMod =!= 0)
+    g8raw.filter($"doc_id" % DecontamBenchMod =!= 0)
       .join(bench, "g")
-      .groupBy($"doc_id").agg(count(lit(1)).as("n_overlap8"))
+      .groupBy($"doc_id").agg(countDistinct($"g").as("n_overlap8"))
       .orderBy($"doc_id")
   }
 
