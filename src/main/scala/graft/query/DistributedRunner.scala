@@ -1,0 +1,64 @@
+package graft.query
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.analysis.Tokenizer
+
+/** Distributed batch query service: the scale-out form of the
+  * reference's serial batch runner (search_engine.py:84-98 loops
+  * queries one at a time in one process; QueryRunner replays that
+  * driver-side).
+  *
+  * Queries are embarrassingly parallel at serving scale, so the plan is
+  * one narrow mapPartitions: the dictionary, term stats, corpus stats
+  * and tie-break timestamps ride ONE broadcast inside an [[EngineCore]]
+  * — the exact object the driver [[Engine]] runs, so every WAND /
+  * spell / tiebreak semantic is pinned by the same suites — and each
+  * executor task scores its query slice with block-max WAND, reading
+  * posting blocks byte-addressed from the shared filesystem through a
+  * per-thread segment reader. No shuffle anywhere: results stream
+  * straight out of the map.
+  *
+  * Scale shape: broadcast size is vocab-bound (dict + stats), NOT
+  * corpus-bound — doc-sized state (postings) stays on disk and is
+  * block-pruned per query. 10^6 queries against a 10^12-doc index fan
+  * out to however many executors exist with zero coordination. */
+object DistributedRunner {
+
+  /** Score every (query_num, query) row; returns
+    * (query_num, doc_id, rank, score) rows, ranked per query. */
+  def run(spark: SparkSession, indexDir: String, queries: DataFrame,
+          k: Int = 250,
+          tokCfg: Tokenizer.Config = Tokenizer.default,
+          pruneSingletons: Boolean = true,
+          spell: Boolean = true): DataFrame = {
+    import spark.implicits._
+    val cs = spark.read.parquet(s"$indexDir/corpus_stats")
+    val r = cs.select($"n_docs", $"avgdl").head()
+    val scale = if (cs.columns.contains("bound_scale"))
+      cs.select($"bound_scale").head().getDouble(0) else 1.0
+    val tieAware = cs.columns.contains("ts_min") && {
+      val t = cs.select($"ts_min", $"ts_max").head()
+      t.getLong(0) != t.getLong(1)
+    }
+    val (tsIds, tsVals) =
+      if (tieAware) Engine.loadTs(spark, indexDir)
+      else (Array.emptyLongArray, Array.emptyLongArray)
+    val core = new EngineCore(r.getLong(0), r.getDouble(1), scale,
+      tieAware, new ArrayTsSource(tsIds, tsVals),
+      Engine.loadResolver(spark, indexDir), s"$indexDir/segments",
+      tokCfg, pruneSingletons, spell)
+    val bc = spark.sparkContext.broadcast(core)
+    val kc = math.min(k, 2000) // reference hard cap (ranker.py:48-49)
+    queries.select($"query_num".cast("int"), $"query".cast("string"))
+      .as[(Int, String)]
+      .mapPartitions[(Int, Long, Int, Double)] { (it: Iterator[(Int, String)]) =>
+        val eng = bc.value
+        it.flatMap { case (qn, q) =>
+          eng.searchWand(q, kc).iterator.zipWithIndex.map {
+            case ((id, s), i) => (qn, id, i + 1, s)
+          }
+        }
+      }
+      .toDF("query_num", "doc_id", "rank", "score")
+  }
+}

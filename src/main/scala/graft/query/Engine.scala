@@ -3,19 +3,19 @@ package graft.query
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import graft.analysis.Tokenizer
-import graft.index.{Codec, SegmentStore}
-import scala.collection.mutable
+import graft.index.SegmentStore
 
 /** Query service over a built index: dictionary lookup → pruned segment
   * block fetch → BM25 scoring with block-max WAND top-k (north rule Δ of
   * the reference's full-union cosine loop, searcher.py:133-159 +
   * ranker.py:13-54 — SURVEY.md Q5-Q11).
   *
-  * Runs driver-side against byte-addressed segment records (at cluster
-  * scale the dictionary names which executor-resident segment to consult;
-  * the per-query path never touches the cluster — SURVEY.md §3.2). The
-  * dictionary and term stats are read via predicate-pushdown parquet
-  * scans on the query's terms only.
+  * This is the DRIVER face of the engine: it wires index storage (parquet
+  * stats/dict reads — preloaded maps or per-query pushdown scans) into an
+  * [[EngineCore]], which owns every query-time semantic (spell, WAND,
+  * tiebreaks, pruning) over plain data. The same core rides a broadcast
+  * to executors in [[DistributedRunner]] — one implementation, two
+  * deployments, and every rank-identity suite pins both.
   *
   * Rank identity (hard-part 3): WAND skips a candidate only when its
   * upper bound is <= the current kth score with a FULL heap; traversal is
@@ -26,7 +26,7 @@ final class Engine(spark: SparkSession, indexDir: String,
                    tokCfg: Tokenizer.Config = Tokenizer.default,
                    pruneSingletons: Boolean = true,
                    preload: Boolean = false,
-                   spell: Boolean = true) extends Serializable {
+                   spell: Boolean = true) {
   import spark.implicits._
 
   val (nDocs, avgdl, boundScale, tsMin, tsMax) = {
@@ -45,370 +45,87 @@ final class Engine(spark: SparkSession, indexDir: String,
     (r.getLong(0), r.getDouble(1), scale, tMin, tMax)
   }
 
-  /** Rank ties break by recency: (score desc, ingest_ts desc, docId asc)
-    * — the deterministic replacement of the reference's datetime.now()
-    * recency tiebreak (ranker.py:30-32, SURVEY Q10). Only consulted when
-    * the corpus actually has a recency signal. */
-  private val tieAware: Boolean = tsMax != tsMin
+  /** Preloaded dictionary (test/bench scale — the reference loads its
+    * whole pickled dict at startup, search_engine.py:62-71; at cluster
+    * scale `preload=false` keeps per-query pushdown scans instead). */
+  private val resolver: TermResolver =
+    if (preload) Engine.loadResolver(spark, indexDir)
+    else new TermResolver { // driver-only: pushdown scans per query
+      def dfBatch(cands: Seq[String]): Map[String, Long] =
+        if (cands.isEmpty) Map.empty
+        else spark.read.parquet(s"$indexDir/term_stats")
+          .filter($"term".isin(cands: _*))
+          .select($"term", $"df").collect()
+          .map(r => r.getString(0) -> r.getLong(1)).toMap
+      def dictEntries(terms: Seq[String]): Array[SegmentStore.DictEntry] =
+        if (terms.isEmpty) Array.empty
+        else spark.read.parquet(s"$indexDir/dict")
+          .filter($"term".isin(terms: _*))
+          .as[SegmentStore.DictEntry].collect()
+      def allStats: Option[Map[String, Long]] = None
+    }
 
   /** Test-scale materialization of doc_id -> ingest_ts (the reference
     * loads its whole docs_dict the same way, search_engine.py:65-69); at
     * cluster scale doc_stats is a point-read keyed store instead. Loaded
-    * lazily and only when ties can actually differ by recency; flat
-    * sorted arrays + binary search — no boxed-Long map lookups on the
-    * tie path. */
-  private lazy val (tsIds, tsVals): (Array[Long], Array[Long]) = {
-    val rows = spark.read.parquet(s"$indexDir/doc_stats")
-      .select($"doc_id", $"ingest_ts").collect()
-      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
-    (rows.map(_._1), rows.map(_._2))
+    * lazily by the core and only when ties can actually differ by
+    * recency. */
+  private val tsSource: TsSource = new TsSource { // driver-only closure
+    def load(): (Array[Long], Array[Long]) =
+      Engine.loadTs(spark, indexDir)
   }
 
-  private def tsOf(id: Long): Long =
-    if (!tieAware) 0L
-    else {
-      val i = java.util.Arrays.binarySearch(tsIds, id)
-      if (i >= 0) tsVals(i) else 0L
-    }
+  private val core = new EngineCore(nDocs, avgdl, boundScale,
+    tsMax != tsMin, tsSource, resolver, s"$indexDir/segments",
+    tokCfg, pruneSingletons, spell)
 
-  /** True ranking order: candidate beats incumbent on higher score, then
-    * newer ingest_ts, then smaller docId. Explicit and iteration-order
-    * independent (exact ties in a HashMap sweep resolve identically). */
-  private def better(candId: Long, candScore: Double,
-                     incId: Long, incScore: Double): Boolean =
-    candScore > incScore || (candScore == incScore && {
-      val ct = tsOf(candId); val it = tsOf(incId)
-      ct > it || (ct == it && candId < incId)
-    })
-
-  private val reader = new graft.index.SegmentReader(s"$indexDir/segments")
-
-  /** Preloaded dictionary (test/bench scale — the reference loads its
-    * whole pickled dict at startup, search_engine.py:62-71; at cluster
-    * scale `preload=false` keeps per-query pushdown scans instead). */
-  private val preStats: Option[Map[String, Long]] =
-    if (!preload) None
-    else Some(spark.read.parquet(s"$indexDir/term_stats")
-      .select($"term", $"df").collect()
-      .map(r => r.getString(0) -> r.getLong(1)).toMap)
-  private val preDict: Option[Map[String, Array[SegmentStore.DictEntry]]] =
-    if (!preload) None
-    else Some(spark.read.parquet(s"$indexDir/dict")
-      .as[SegmentStore.DictEntry].collect().groupBy(_.term))
-
-  final case class TermPostings(term: String, qtf: Int, df: Long,
-                                blocks: Array[Codec.Block])
-
-  /** Spell machinery for unknown terms. Preloaded engines build a
-    * SymSpell-style delete-variant index LAZILY on the first miss
-    * (generating the full edit-2 string neighborhood per miss measured
-    * 50-190 ms on a 150k vocab — the index answers in <1 ms); scan
-    * engines keep the bounded batched-pushdown path. Corrections are
-    * memoized per engine — they are pure given the frozen dictionary. */
-  private lazy val deleteIdx: Option[Spell.DeleteIndex] =
-    preStats.map(m => Spell.DeleteIndex.build(m))
-  private val spellMemo =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
-  private def correctionOf(t: String): String = {
-    val hit = spellMemo.get(t)
-    if (hit != null) return hit
-    val c = deleteIdx match {
-      case Some(ix) => ix.correct(t)
-      case None => Spell.correct2(t, dfBatch, maxEdit2 = 5000)
-    }
-    if (spellMemo.size() > 100000) spellMemo.clear()
-    spellMemo.put(t, c)
-    c
-  }
-
-  /** Batched term -> df resolution: preloaded map hits, or ONE pushdown
-    * parquet scan over the candidate set. */
-  private def dfBatch(cands: Seq[String]): Map[String, Long] = preStats match {
-    case Some(m) => cands.iterator.flatMap(c => m.get(c).map(c -> _)).toMap
-    case None =>
-      if (cands.isEmpty) Map.empty
-      else spark.read.parquet(s"$indexDir/term_stats")
-        .filter($"term".isin(cands: _*))
-        .select($"term", $"df").collect()
-        .map(r => r.getString(0) -> r.getLong(1)).toMap
-  }
-
-  /** Dictionary + stats lookup for a parsed query, with the reference's
-    * case-fold fallback (searcher.py:46-55, SURVEY Q3), default-on spell
-    * correction for still-unknown terms (the reference corrects EVERY
-    * query, searcher.py:44, incl. the edit-2 candidates() fallback,
-    * searcher.py:94-95), and query-time singleton pruning
-    * (indexer.py:604-615, SURVEY A7). */
-  def lookup(queryTerms: Map[String, Int]): Seq[TermPostings] = {
-    if (queryTerms.isEmpty) return Nil
-    val variants = queryTerms.keys.flatMap(t =>
-      Seq(t, t.toLowerCase, t.toUpperCase)).toSeq.distinct
-    var stats: Map[String, Long] = dfBatch(variants)
-    var resolved: Map[String, Int] = queryTerms.flatMap { case (t, qtf) =>
-      val hit =
-        if (stats.contains(t)) Some(t)
-        else if (stats.contains(t.toLowerCase)) Some(t.toLowerCase)
-        else if (stats.contains(t.toUpperCase)) Some(t.toUpperCase)
-        else None
-      hit.map(_ -> qtf)
-    }
-    if (spell) {
-      val missing = queryTerms.filter { case (t, _) =>
-        !(stats.contains(t) || stats.contains(t.toLowerCase) ||
-          stats.contains(t.toUpperCase)) }
-      missing.foreach { case (t, qtf) =>
-        val c = correctionOf(t)
-        if (c != t) {
-          stats ++= dfBatch(Seq(c))
-          resolved = resolved.updatedWith(c)(q =>
-            Some(q.getOrElse(0) + qtf))
-        }
-      }
-    }
-    val live = resolved.filter { case (t, _) =>
-      !pruneSingletons || stats(t) > 1 }
-    if (live.isEmpty) return Nil
-    val dict: Array[SegmentStore.DictEntry] = preDict match {
-      case Some(m) => live.keys.toArray.flatMap(t =>
-        m.getOrElse(t, Array.empty[SegmentStore.DictEntry]))
-      case None => spark.read.parquet(s"$indexDir/dict")
-        .filter($"term".isin(live.keys.toSeq: _*))
-        .as[SegmentStore.DictEntry].collect()
-    }
-    live.toSeq.sortBy(_._1).flatMap { case (t, qtf) => // Q4: sorted terms
-      val entries = dict.filter(_.term == t)
-      if (entries.isEmpty) None
-      else {
-        val blocks = entries.flatMap(e => reader.record(e)._2)
-          .sortBy(_.firstDocId)
-        Some(TermPostings(t, qtf, stats(t), blocks))
-      }
-    }
-  }
-
-  def close(): Unit = reader.close()
+  def lookup(queryTerms: Map[String, Int]): Seq[TermPostings] =
+    core.lookup(queryTerms)
+  def searchWand(query: String, k: Int): Array[(Long, Double)] =
+    core.searchWand(query, k)
+  def searchWandQuery(queryTerms: Map[String, Int], k: Int): Array[(Long, Double)] =
+    core.searchWandQuery(queryTerms, k)
+  def searchExhaustive(query: String, k: Int): Array[(Long, Double)] =
+    core.searchExhaustive(query, k)
+  def close(): Unit = core.close()
 
   private lazy val maxTfMap: Map[Long, Int] =
     spark.read.parquet(s"$indexDir/doc_stats")
       .select($"doc_id", $"max_tf").collect()
       .map(r => r.getLong(0) -> r.getAs[Number](1).intValue).toMap
 
-  /** Reference-parity ranking mode: tf-idf vectors + query-dimension
-    * cosine exactly as the reference scores (SURVEY Q6-Q8; Parity
-    * scaladoc has the per-rule citations). BM25/WAND is the production
-    * path; this mode exists to replay reference semantics end-to-end. */
+  /** Reference-parity ranking mode: tf-idf vectors + query-dim cosine
+    * exactly as the reference scores (SURVEY Q6-Q8; Parity scaladoc has
+    * the per-rule citations). BM25/WAND is the production path; this
+    * mode exists to replay reference semantics end-to-end. */
   def searchCosineParity(query: String, k: Int): Array[(Long, Double)] = {
     val tps = lookup(Tokenizer.tokenizeQuery(query, tokCfg))
     val termVecs = tps.map(tp => Parity.TermVec(tp.term, tp.qtf, tp.df,
       graft.index.Codec.decode(tp.blocks.toSeq)))
     Parity.rank(termVecs, nDocs, id => maxTfMap.getOrElse(id, 1), k)
   }
+}
 
-  /** Exhaustive BM25: decode every posting of every query term, score all
-    * matching docs, exact top-k. The oracle for WAND rank identity. */
-  def searchExhaustive(query: String, k: Int): Array[(Long, Double)] = {
-    val tps = lookup(Tokenizer.tokenizeQuery(query, tokCfg))
-    val acc = mutable.HashMap.empty[Long, Double]
-    tps.foreach { tp =>
-      val c = BM25.termConst(nDocs, tp.df, tp.qtf)
-      Codec.decode(tp.blocks.toSeq).foreach { p =>
-        acc.updateWith(p.docId)(s =>
-          Some(s.getOrElse(0.0) + c * BM25.normPart(p.tf, p.dl, avgdl)))
-      }
-    }
-    topK(acc.iterator, k)
+object Engine {
+  /** Load the whole dictionary + term stats into maps (the broadcast
+    * payload of DistributedRunner, and the preload=true resolver). */
+  def loadResolver(spark: SparkSession, indexDir: String): PreloadedResolver = {
+    import spark.implicits._
+    val stats = spark.read.parquet(s"$indexDir/term_stats")
+      .select($"term", $"df").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val dict = spark.read.parquet(s"$indexDir/dict")
+      .as[SegmentStore.DictEntry].collect().groupBy(_.term)
+    new PreloadedResolver(stats, dict)
   }
 
-  /** Max-heap ordering whose head is the WORST kept entry under the
-    * full rank order (score desc, ts desc, docId asc). Implemented as a
-    * three-stage compare so the timestamp lookup happens ONLY on exact
-    * score ties — a tuple-key ordering consulted tsOf on every heap
-    * sift and regressed warm query p50 5x. */
-  private def worstFirstOrd: Ordering[(Long, Double)] =
-    new Ordering[(Long, Double)] {
-      def compare(x: (Long, Double), y: (Long, Double)): Int = {
-        // greater = worse: lower score, then older ts, then larger id
-        val c = java.lang.Double.compare(y._2, x._2)
-        if (c != 0) return c
-        val ct = java.lang.Long.compare(tsOf(y._1), tsOf(x._1))
-        if (ct != 0) return ct
-        java.lang.Long.compare(x._1, y._1)
-      }
-    }
-
-  private def topK(it: Iterator[(Long, Double)], k: Int): Array[(Long, Double)] = {
-    val heap = mutable.PriorityQueue.empty[(Long, Double)](worstFirstOrd)
-    it.foreach { e =>
-      if (heap.size < k) heap.enqueue(e)
-      else if (better(e._1, e._2, heap.head._1, heap.head._2)) {
-        heap.dequeue(); heap.enqueue(e)
-      }
-    }
-    heap.dequeueAll.reverse.toArray
-  }
-
-  // ---- block-max WAND -------------------------------------------------
-
-  private final class Cursor(val const: Double, blocks: Array[Codec.Block]) {
-    // bounds (not scores) inflated by boundScale — exact 1.0 on fresh
-    // builds, conservative on metadata-merged indexes
-    val globalUB: Double = const * boundScale *
-      (if (blocks.isEmpty) 0.0 else blocks.map(_.maxScore).max)
-    private var bi = 0
-    private var pi = 0
-    private var decoded: Array[Codec.Posting] =
-      if (blocks.nonEmpty) Codec.decodeBlock(blocks(0)) else Array.empty
-    def exhausted: Boolean = bi >= blocks.length
-    def curDoc: Long = if (exhausted) Long.MaxValue else decoded(pi).docId
-    def curScore: Double = {
-      val p = decoded(pi)
-      const * BM25.normPart(p.tf, p.dl, avgdl)
-    }
-    def next(): Unit = {
-      pi += 1
-      if (pi >= decoded.length) { bi += 1; pi = 0
-        if (!exhausted) decoded = Codec.decodeBlock(blocks(bi)) }
-    }
-    def advanceTo(target: Long): Unit = {
-      if (exhausted || curDoc >= target) return
-      if (blocks(bi).lastDocId < target) { // block skip: metadata only
-        while (bi < blocks.length && blocks(bi).lastDocId < target) bi += 1
-        pi = 0
-        if (exhausted) return
-        decoded = Codec.decodeBlock(blocks(bi))
-      }
-      while (pi < decoded.length && decoded(pi).docId < target) pi += 1
-      if (pi >= decoded.length) { bi += 1; pi = 0
-        if (!exhausted) decoded = Codec.decodeBlock(blocks(bi)) }
-    }
-    /** Max score of the block that would contain `doc` (metadata only). */
-    def blockUBFor(doc: Long): Double = {
-      var j = bi
-      while (j < blocks.length && blocks(j).lastDocId < doc) j += 1
-      if (j >= blocks.length) 0.0
-      else const * boundScale * blocks(j).maxScore
-    }
-    def blockLastFor(doc: Long): Long = {
-      var j = bi
-      while (j < blocks.length && blocks(j).lastDocId < doc) j += 1
-      if (j >= blocks.length) Long.MaxValue else blocks(j).lastDocId
-    }
-  }
-
-  /** Block-max WAND top-k; provably rank-identical to searchExhaustive.
-    *
-    * Tie exactness: with the docId tiebreak alone, traversal in
-    * increasing docId means an equal-score candidate can never displace
-    * an incumbent (its id is larger), so pruning may skip on bound ==
-    * theta. With the recency tiebreak a tied candidate CAN displace
-    * (newer ingest_ts), so on tie-aware indexes the pivot condition
-    * admits equality and the skip condition is strictly-less — bounds at
-    * exactly theta are evaluated instead of pruned.
-    *
-    * The cursor set is kept in an array ordered by curDoc, repaired by
-    * insertion sort each round (cursors move monotonically, so the array
-    * is nearly sorted) — no per-iteration filter/sortBy allocation
-    * (round-1 advice: O(t log t) alloc per pivot step at 10+ terms). */
-  def searchWand(query: String, k: Int): Array[(Long, Double)] = {
-    val tps = lookup(Tokenizer.tokenizeQuery(query, tokCfg))
-    searchWandTerms(tps, k)
-  }
-
-  /** Terms-level entry: search an already-normalized term -> qtf map
-    * (no re-tokenization — normalized terms like "15.6K" would otherwise
-    * re-expand through the identifier split and drift the query). */
-  def searchWandQuery(queryTerms: Map[String, Int], k: Int): Array[(Long, Double)] =
-    searchWandTerms(lookup(queryTerms), k)
-
-  private[query] def searchWandTerms(tps: Seq[TermPostings], k: Int)
-      : Array[(Long, Double)] = {
-    if (tps.isEmpty || k <= 0) return Array.empty
-    val cursors = tps.map(tp =>
-      new Cursor(BM25.termConst(nDocs, tp.df, tp.qtf), tp.blocks)).toArray
-
-    val heap = mutable.PriorityQueue.empty[(Long, Double)](worstFirstOrd)
-    def theta: Double = if (heap.size < k) Double.NegativeInfinity
-                        else heap.head._2
-
-    val live = cursors.clone()
-    var liveN = live.length
-    // repair order by curDoc on live(0 until liveN); exhausted cursors
-    // swap out past liveN. Insertion sort: nearly-sorted between rounds.
-    def resort(): Unit = {
-      var i = 0
-      while (i < liveN) {
-        if (live(i).exhausted) {
-          liveN -= 1
-          val t = live(i); live(i) = live(liveN); live(liveN) = t
-        } else i += 1
-      }
-      i = 1
-      while (i < liveN) {
-        val c = live(i)
-        val d = c.curDoc
-        var j = i - 1
-        while (j >= 0 && live(j).curDoc > d) { live(j + 1) = live(j); j -= 1 }
-        live(j + 1) = c
-        i += 1
-      }
-    }
-
-    while (true) {
-      resort()
-      if (liveN == 0) return heap.dequeueAll.reverse.toArray
-      // pivot: first prefix whose global UB sum reaches theta (ties at
-      // theta can still displace on tie-aware indexes)
-      var acc = 0.0
-      var p = -1
-      var i = 0
-      while (i < liveN && p < 0) {
-        acc += live(i).globalUB
-        if (acc > theta || (tieAware && acc == theta && heap.size >= k)) p = i
-        i += 1
-      }
-      if (p < 0) return heap.dequeueAll.reverse.toArray
-      val pivotDoc = live(p).curDoc
-      // extend the pivot prefix over every cursor sitting on pivotDoc —
-      // the block bound must cover ALL of the pivot's contributions
-      while (p + 1 < liveN && live(p + 1).curDoc == pivotDoc) p += 1
-      // refine with block maxes at the pivot
-      var blockBound = 0.0
-      var j = 0
-      while (j <= p) { blockBound += live(j).blockUBFor(pivotDoc); j += 1 }
-      val prunable =
-        if (tieAware) blockBound < theta else blockBound <= theta
-      if (heap.size >= k && prunable) {
-        // no doc in [pivotDoc, d') can beat theta; skip whole blocks
-        var dNext = if (p + 1 < liveN) live(p + 1).curDoc
-                    else Long.MaxValue
-        j = 0
-        while (j <= p) {
-          val bl = live(j).blockLastFor(pivotDoc)
-          if (bl != Long.MaxValue && bl + 1 < dNext) dNext = bl + 1
-          j += 1
-        }
-        if (dNext == pivotDoc) dNext = pivotDoc + 1 // safety: always progress
-        j = 0
-        while (j <= p) { live(j).advanceTo(dNext); j += 1 }
-      } else if (live(0).curDoc == pivotDoc) {
-        // fully evaluate the pivot
-        var score = 0.0
-        j = 0
-        while (j < liveN) {
-          val c = live(j)
-          if (c.curDoc == pivotDoc) { score += c.curScore; c.next() }
-          j += 1
-        }
-        if (heap.size < k) heap.enqueue((pivotDoc, score))
-        else if (better(pivotDoc, score, heap.head._1, heap.head._2)) {
-          heap.dequeue(); heap.enqueue((pivotDoc, score))
-        }
-      } else {
-        // align earlier cursors onto the pivot
-        j = 0
-        while (j < p) { live(j).advanceTo(pivotDoc); j += 1 }
-      }
-    }
-    throw new IllegalStateException("unreachable")
+  /** doc_id -> ingest_ts as flat sorted arrays (binary-searched on the
+    * tie path — no boxed-Long map lookups). */
+  def loadTs(spark: SparkSession, indexDir: String): (Array[Long], Array[Long]) = {
+    import spark.implicits._
+    val rows = spark.read.parquet(s"$indexDir/doc_stats")
+      .select($"doc_id", $"ingest_ts").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    (rows.map(_._1), rows.map(_._2))
   }
 }

@@ -1,0 +1,371 @@
+package graft.query
+
+import graft.analysis.Tokenizer
+import graft.index.{Codec, SegmentStore}
+import scala.collection.mutable
+
+/** Term resolution seam between the query core and index storage:
+  * driver engines resolve via preloaded maps or pushdown parquet scans
+  * (Engine), executor-resident cores via broadcast maps
+  * (PreloadedResolver). */
+trait TermResolver extends Serializable {
+  def dfBatch(cands: Seq[String]): Map[String, Long]
+  def dictEntries(terms: Seq[String]): Array[SegmentStore.DictEntry]
+  /** Full term->df map when resident (enables the SymSpell delete
+    * index for spell correction); None for scan-based resolvers. */
+  def allStats: Option[Map[String, Long]]
+}
+
+/** Map-backed resolver: what a broadcast dictionary looks like. */
+final class PreloadedResolver(stats: Map[String, Long],
+                              dict: Map[String, Array[SegmentStore.DictEntry]])
+    extends TermResolver {
+  def dfBatch(cands: Seq[String]): Map[String, Long] =
+    cands.iterator.flatMap(c => stats.get(c).map(c -> _)).toMap
+  def dictEntries(terms: Seq[String]): Array[SegmentStore.DictEntry] =
+    terms.toArray.flatMap(t => dict.getOrElse(t, Array.empty[SegmentStore.DictEntry]))
+  def allStats: Option[Map[String, Long]] = Some(stats)
+}
+
+/** Lazy provider of the doc_id -> ingest_ts arrays consulted on exact
+  * score ties; array-backed for serialized (executor) cores, a
+  * spark-reading closure for driver engines (never serialized). */
+trait TsSource extends Serializable {
+  def load(): (Array[Long], Array[Long])
+}
+final class ArrayTsSource(ids: Array[Long], vals: Array[Long]) extends TsSource {
+  def load(): (Array[Long], Array[Long]) = (ids, vals)
+}
+
+/** A query term's resolved postings: query tf, document frequency, and
+  * the term's (possibly salted-run-concatenated) block list. */
+final case class TermPostings(term: String, qtf: Int, df: Long,
+                              blocks: Array[Codec.Block])
+
+/** The complete query-side core — dictionary lookup, default-on spell
+  * correction, BM25 scoring, block-max WAND top-k, exhaustive oracle —
+  * over PLAIN data: corpus stats, a TermResolver, a segments directory.
+  * No SparkSession anywhere, so an instance rides a broadcast to
+  * executors (DistributedRunner) as readily as it serves a driver
+  * Engine; the segment reader, spell index and memo are @transient
+  * lazy and re-materialize per JVM.
+  *
+  * All semantics (rank identity incl. the recency tiebreak, spell
+  * policy, singleton pruning, case-fold fallback) are the Engine
+  * semantics — Engine delegates here, so the WAND≡exhaustive and
+  * golden suites pin this class. */
+final class EngineCore(
+    val nDocs: Long, val avgdl: Double, val boundScale: Double,
+    val tieAware: Boolean, tsSource: TsSource,
+    resolver: TermResolver, segmentsDir: String,
+    tokCfg: Tokenizer.Config, pruneSingletons: Boolean, spell: Boolean)
+    extends Serializable {
+
+  /** Per-thread segment readers: one broadcast core instance serves all
+    * of an executor's task threads concurrently, and SegmentReader's
+    * stream-handle cache + seek/read pattern is single-threaded state.
+    * Bounded by the executor's task-thread pool. */
+  @transient private lazy val readerTL =
+    ThreadLocal.withInitial[graft.index.SegmentReader](() =>
+      new graft.index.SegmentReader(segmentsDir))
+  private def reader: graft.index.SegmentReader = readerTL.get()
+
+  @transient private lazy val tsArrays: (Array[Long], Array[Long]) =
+    if (tieAware) tsSource.load() else (Array.emptyLongArray, Array.emptyLongArray)
+
+  private def tsOf(id: Long): Long =
+    if (!tieAware) 0L
+    else {
+      val i = java.util.Arrays.binarySearch(tsArrays._1, id)
+      if (i >= 0) tsArrays._2(i) else 0L
+    }
+
+  /** True ranking order: candidate beats incumbent on higher score, then
+    * newer ingest_ts, then smaller docId. Explicit and iteration-order
+    * independent (exact ties in a HashMap sweep resolve identically). */
+  private def better(candId: Long, candScore: Double,
+                     incId: Long, incScore: Double): Boolean =
+    candScore > incScore || (candScore == incScore && {
+      val ct = tsOf(candId); val it = tsOf(incId)
+      ct > it || (ct == it && candId < incId)
+    })
+
+  /** Spell machinery for unknown terms. Map-resident resolvers build a
+    * SymSpell-style delete-variant index LAZILY on the first miss
+    * (generating the full edit-2 string neighborhood per miss measured
+    * 50-190 ms on a 150k vocab — the index answers in <1 ms); scan
+    * resolvers keep the bounded batched-pushdown path. Corrections are
+    * memoized per JVM — they are pure given the frozen dictionary. */
+  @transient private lazy val deleteIdx: Option[Spell.DeleteIndex] =
+    resolver.allStats.map(m => Spell.DeleteIndex.build(m))
+  @transient private lazy val spellMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def correctionOf(t: String): String = {
+    val hit = spellMemo.get(t)
+    if (hit != null) return hit
+    val c = deleteIdx match {
+      case Some(ix) => ix.correct(t)
+      case None => Spell.correct2(t, resolver.dfBatch, maxEdit2 = 5000)
+    }
+    if (spellMemo.size() > 100000) spellMemo.clear()
+    spellMemo.put(t, c)
+    c
+  }
+
+  /** Dictionary + stats lookup for a parsed query, with the reference's
+    * case-fold fallback (searcher.py:46-55, SURVEY Q3), default-on spell
+    * correction for still-unknown terms (the reference corrects EVERY
+    * query, searcher.py:44, incl. the edit-2 candidates() fallback,
+    * searcher.py:94-95), and query-time singleton pruning
+    * (indexer.py:604-615, SURVEY A7). */
+  def lookup(queryTerms: Map[String, Int]): Seq[TermPostings] = {
+    if (queryTerms.isEmpty) return Nil
+    val variants = queryTerms.keys.flatMap(t =>
+      Seq(t, t.toLowerCase, t.toUpperCase)).toSeq.distinct
+    var stats: Map[String, Long] = resolver.dfBatch(variants)
+    var resolved: Map[String, Int] = queryTerms.flatMap { case (t, qtf) =>
+      val hit =
+        if (stats.contains(t)) Some(t)
+        else if (stats.contains(t.toLowerCase)) Some(t.toLowerCase)
+        else if (stats.contains(t.toUpperCase)) Some(t.toUpperCase)
+        else None
+      hit.map(_ -> qtf)
+    }
+    if (spell) {
+      val missing = queryTerms.filter { case (t, _) =>
+        !(stats.contains(t) || stats.contains(t.toLowerCase) ||
+          stats.contains(t.toUpperCase)) }
+      missing.foreach { case (t, qtf) =>
+        val c = correctionOf(t)
+        if (c != t) {
+          stats ++= resolver.dfBatch(Seq(c))
+          resolved = resolved.updatedWith(c)(q =>
+            Some(q.getOrElse(0) + qtf))
+        }
+      }
+    }
+    val live = resolved.filter { case (t, _) =>
+      !pruneSingletons || stats(t) > 1 }
+    if (live.isEmpty) return Nil
+    val dict = resolver.dictEntries(live.keys.toSeq)
+    live.toSeq.sortBy(_._1).flatMap { case (t, qtf) => // Q4: sorted terms
+      val entries = dict.filter(_.term == t)
+      if (entries.isEmpty) None
+      else {
+        val blocks = entries.flatMap(e => reader.record(e)._2)
+          .sortBy(_.firstDocId)
+        Some(TermPostings(t, qtf, stats(t), blocks))
+      }
+    }
+  }
+
+  def close(): Unit = reader.close()
+
+  /** Exhaustive BM25: decode every posting of every query term, score all
+    * matching docs, exact top-k. The oracle for WAND rank identity. */
+  def searchExhaustive(query: String, k: Int): Array[(Long, Double)] = {
+    val tps = lookup(Tokenizer.tokenizeQuery(query, tokCfg))
+    val acc = mutable.HashMap.empty[Long, Double]
+    tps.foreach { tp =>
+      val c = BM25.termConst(nDocs, tp.df, tp.qtf)
+      Codec.decode(tp.blocks.toSeq).foreach { p =>
+        acc.updateWith(p.docId)(s =>
+          Some(s.getOrElse(0.0) + c * BM25.normPart(p.tf, p.dl, avgdl)))
+      }
+    }
+    topK(acc.iterator, k)
+  }
+
+  /** Max-heap ordering whose head is the WORST kept entry under the
+    * full rank order (score desc, ts desc, docId asc). Implemented as a
+    * three-stage compare so the timestamp lookup happens ONLY on exact
+    * score ties — a tuple-key ordering consulted tsOf on every heap
+    * sift and regressed warm query p50 5x. */
+  private def worstFirstOrd: Ordering[(Long, Double)] =
+    new Ordering[(Long, Double)] {
+      def compare(x: (Long, Double), y: (Long, Double)): Int = {
+        // greater = worse: lower score, then older ts, then larger id
+        val c = java.lang.Double.compare(y._2, x._2)
+        if (c != 0) return c
+        val ct = java.lang.Long.compare(tsOf(y._1), tsOf(x._1))
+        if (ct != 0) return ct
+        java.lang.Long.compare(x._1, y._1)
+      }
+    }
+
+  private def topK(it: Iterator[(Long, Double)], k: Int): Array[(Long, Double)] = {
+    val heap = mutable.PriorityQueue.empty[(Long, Double)](worstFirstOrd)
+    it.foreach { e =>
+      if (heap.size < k) heap.enqueue(e)
+      else if (better(e._1, e._2, heap.head._1, heap.head._2)) {
+        heap.dequeue(); heap.enqueue(e)
+      }
+    }
+    heap.dequeueAll.reverse.toArray
+  }
+
+  // ---- block-max WAND -------------------------------------------------
+
+  private final class Cursor(val const: Double, blocks: Array[Codec.Block]) {
+    // bounds (not scores) inflated by boundScale — exact 1.0 on fresh
+    // builds, conservative on metadata-merged indexes
+    val globalUB: Double = const * boundScale *
+      (if (blocks.isEmpty) 0.0 else blocks.map(_.maxScore).max)
+    private var bi = 0
+    private var pi = 0
+    private var decoded: Array[Codec.Posting] =
+      if (blocks.nonEmpty) Codec.decodeBlock(blocks(0)) else Array.empty
+    def exhausted: Boolean = bi >= blocks.length
+    def curDoc: Long = if (exhausted) Long.MaxValue else decoded(pi).docId
+    def curScore: Double = {
+      val p = decoded(pi)
+      const * BM25.normPart(p.tf, p.dl, avgdl)
+    }
+    def next(): Unit = {
+      pi += 1
+      if (pi >= decoded.length) { bi += 1; pi = 0
+        if (!exhausted) decoded = Codec.decodeBlock(blocks(bi)) }
+    }
+    def advanceTo(target: Long): Unit = {
+      if (exhausted || curDoc >= target) return
+      if (blocks(bi).lastDocId < target) { // block skip: metadata only
+        while (bi < blocks.length && blocks(bi).lastDocId < target) bi += 1
+        pi = 0
+        if (exhausted) return
+        decoded = Codec.decodeBlock(blocks(bi))
+      }
+      while (pi < decoded.length && decoded(pi).docId < target) pi += 1
+      if (pi >= decoded.length) { bi += 1; pi = 0
+        if (!exhausted) decoded = Codec.decodeBlock(blocks(bi)) }
+    }
+    /** Max score of the block that would contain `doc` (metadata only). */
+    def blockUBFor(doc: Long): Double = {
+      var j = bi
+      while (j < blocks.length && blocks(j).lastDocId < doc) j += 1
+      if (j >= blocks.length) 0.0
+      else const * boundScale * blocks(j).maxScore
+    }
+    def blockLastFor(doc: Long): Long = {
+      var j = bi
+      while (j < blocks.length && blocks(j).lastDocId < doc) j += 1
+      if (j >= blocks.length) Long.MaxValue else blocks(j).lastDocId
+    }
+  }
+
+  /** Block-max WAND top-k; provably rank-identical to searchExhaustive.
+    *
+    * Tie exactness: with the docId tiebreak alone, traversal in
+    * increasing docId means an equal-score candidate can never displace
+    * an incumbent (its id is larger), so pruning may skip on bound ==
+    * theta. With the recency tiebreak a tied candidate CAN displace
+    * (newer ingest_ts), so on tie-aware indexes the pivot condition
+    * admits equality and the skip condition is strictly-less — bounds at
+    * exactly theta are evaluated instead of pruned.
+    *
+    * The cursor set is kept in an array ordered by curDoc, repaired by
+    * insertion sort each round (cursors move monotonically, so the array
+    * is nearly sorted) — no per-iteration filter/sortBy allocation
+    * (round-1 advice: O(t log t) alloc per pivot step at 10+ terms). */
+  def searchWand(query: String, k: Int): Array[(Long, Double)] = {
+    val tps = lookup(Tokenizer.tokenizeQuery(query, tokCfg))
+    searchWandTerms(tps, k)
+  }
+
+  /** Terms-level entry: search an already-normalized term -> qtf map
+    * (no re-tokenization — normalized terms like "15.6K" would otherwise
+    * re-expand through the identifier split and drift the query). */
+  def searchWandQuery(queryTerms: Map[String, Int], k: Int): Array[(Long, Double)] =
+    searchWandTerms(lookup(queryTerms), k)
+
+  private[query] def searchWandTerms(tps: Seq[TermPostings], k: Int)
+      : Array[(Long, Double)] = {
+    if (tps.isEmpty || k <= 0) return Array.empty
+    val cursors = tps.map(tp =>
+      new Cursor(BM25.termConst(nDocs, tp.df, tp.qtf), tp.blocks)).toArray
+
+    val heap = mutable.PriorityQueue.empty[(Long, Double)](worstFirstOrd)
+    def theta: Double = if (heap.size < k) Double.NegativeInfinity
+                        else heap.head._2
+
+    val live = cursors.clone()
+    var liveN = live.length
+    // repair order by curDoc on live(0 until liveN); exhausted cursors
+    // swap out past liveN. Insertion sort: nearly-sorted between rounds.
+    def resort(): Unit = {
+      var i = 0
+      while (i < liveN) {
+        if (live(i).exhausted) {
+          liveN -= 1
+          val t = live(i); live(i) = live(liveN); live(liveN) = t
+        } else i += 1
+      }
+      i = 1
+      while (i < liveN) {
+        val c = live(i)
+        val d = c.curDoc
+        var j = i - 1
+        while (j >= 0 && live(j).curDoc > d) { live(j + 1) = live(j); j -= 1 }
+        live(j + 1) = c
+        i += 1
+      }
+    }
+
+    while (true) {
+      resort()
+      if (liveN == 0) return heap.dequeueAll.reverse.toArray
+      // pivot: first prefix whose global UB sum reaches theta (ties at
+      // theta can still displace on tie-aware indexes)
+      var acc = 0.0
+      var p = -1
+      var i = 0
+      while (i < liveN && p < 0) {
+        acc += live(i).globalUB
+        if (acc > theta || (tieAware && acc == theta && heap.size >= k)) p = i
+        i += 1
+      }
+      if (p < 0) return heap.dequeueAll.reverse.toArray
+      val pivotDoc = live(p).curDoc
+      // extend the pivot prefix over every cursor sitting on pivotDoc —
+      // the block bound must cover ALL of the pivot's contributions
+      while (p + 1 < liveN && live(p + 1).curDoc == pivotDoc) p += 1
+      // refine with block maxes at the pivot
+      var blockBound = 0.0
+      var j = 0
+      while (j <= p) { blockBound += live(j).blockUBFor(pivotDoc); j += 1 }
+      val prunable =
+        if (tieAware) blockBound < theta else blockBound <= theta
+      if (heap.size >= k && prunable) {
+        // no doc in [pivotDoc, d') can beat theta; skip whole blocks
+        var dNext = if (p + 1 < liveN) live(p + 1).curDoc
+                    else Long.MaxValue
+        j = 0
+        while (j <= p) {
+          val bl = live(j).blockLastFor(pivotDoc)
+          if (bl != Long.MaxValue && bl + 1 < dNext) dNext = bl + 1
+          j += 1
+        }
+        if (dNext == pivotDoc) dNext = pivotDoc + 1 // safety: always progress
+        j = 0
+        while (j <= p) { live(j).advanceTo(dNext); j += 1 }
+      } else if (live(0).curDoc == pivotDoc) {
+        // fully evaluate the pivot
+        var score = 0.0
+        j = 0
+        while (j < liveN) {
+          val c = live(j)
+          if (c.curDoc == pivotDoc) { score += c.curScore; c.next() }
+          j += 1
+        }
+        if (heap.size < k) heap.enqueue((pivotDoc, score))
+        else if (better(pivotDoc, score, heap.head._1, heap.head._2)) {
+          heap.dequeue(); heap.enqueue((pivotDoc, score))
+        }
+      } else {
+        // align earlier cursors onto the pivot
+        j = 0
+        while (j < p) { live(j).advanceTo(pivotDoc); j += 1 }
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+}

@@ -200,4 +200,38 @@ class QuerySurfaceSpec extends SparkSpec {
     // reference quirk check: doc1 cosine is 1/sqrt(2) regardless of idf
     assert(math.abs(cos1 - 1.0 / math.sqrt(2)) < 1e-12)
   }
+
+  test("distributed runner == driver engine on every query (broadcast core, multi-partition)") {
+    import spark.implicits._
+    // include exact-score ties (identical docs), a misspelled term (the
+    // broadcast core must correct like the driver), multi-term, and a
+    // no-hit query
+    val docs = Seq(
+      (0L, "spark shuffle join build"), (1L, "spark spark streaming"),
+      (2L, "join order benchmark"), (3L, "unrelated words entirely"),
+      (4L, "spark shuffle join build"), (5L, "alpha beta gamma"),
+      (6L, "gamma gamma delta"), (7L, "beta delta epsilon")
+    ).toDF("doc_id", "content")
+    val idx = tmpDir("graft-dist-index")
+    Build.run(spark, docs, idx, Build.Config(numPartitions = 2,
+      verifySha = false, tokenizer = Tokenizer.plainCfg))
+    val queries = Seq((1, "spark"), (2, "join benchmark"), (3, "gamm"),
+      (4, "alpha delta beta"), (5, "nothing matches this"),
+      (6, "spark shuffle join build"))
+    val eng = new Engine(spark, idx, Tokenizer.plainCfg,
+      pruneSingletons = false, preload = true)
+    val want = queries.flatMap { case (qn, q) =>
+      eng.searchWand(q, 10).zipWithIndex.map { case ((id, sc), i) =>
+        (qn, id, i + 1, sc) }
+    }
+    eng.close()
+    val got = DistributedRunner.run(spark, idx,
+        queries.toDF("query_num", "query").repartition(4), k = 10,
+        tokCfg = Tokenizer.plainCfg, pruneSingletons = false)
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+      .sortBy(t => (t._1, t._3))
+    assert(got.toSeq == want.sortBy(t => (t._1, t._3)),
+      s"distributed != driver:\n got=${got.toSeq}\nwant=$want")
+  }
 }
