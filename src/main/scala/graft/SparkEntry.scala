@@ -50,6 +50,7 @@ object SparkEntry {
     "q18_quality" -> ((s, d) => TextAnalysis.quality(s, d)),
     "q19_token_counts" -> ((s, d) => TextAnalysis.tokenCounts(s, d)),
     "q20_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(s, d)),
+    "q28_dist_bm25" -> ((s, d) => IndexOps.distBm25(s, d)),
     "q25_pii_redact" -> ((s, d) => TextAnalysis.piiRedact(s, d)),
     "q26_repetition" -> ((s, d) => TextAnalysis.repetition(s, d)),
     "q27_decontam" -> ((s, d) => Dedup.decontam(s, d)),
@@ -80,6 +81,7 @@ object SparkEntry {
     "q18_quality" -> TextAnalysis.qualitySql,
     "q19_token_counts" -> TextAnalysis.tokenCountsSql,
     "q20_fingerprint" -> TextAnalysis.fingerprintSql,
+    "q28_dist_bm25" -> IndexOps.distBm25Sql,
     "q25_pii_redact" -> TextAnalysis.piiRedactSql,
     "q26_repetition" -> TextAnalysis.repetitionSql,
     "q27_decontam" -> Dedup.decontamSql,

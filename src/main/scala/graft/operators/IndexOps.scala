@@ -55,4 +55,40 @@ object IndexOps {
 
   val bm25TopKSql: String =
     TextRelational.bm25TopKSql(QueryTerms, K)
+
+  /** q28's query batch: (query_num, query text, the terms DuckDB should
+    * score). Query 4 is deliberately misspelled — the engine's
+    * default-on correction must resolve "sparc" to the argmax-df edit-1
+    * term "spark", so the DuckDB oracle (written with the corrected
+    * term) gates the spell path end-to-end. */
+  val DistQueries: Seq[(Int, String, Seq[String])] = Seq(
+    (1, "spark join stream", Seq("spark", "join", "stream")),
+    (2, "hash merge sort", Seq("hash", "merge", "sort")),
+    (3, "window filter vector", Seq("window", "filter", "vector")),
+    (4, "sparc agg", Seq("spark", "agg")))
+
+  /** q28: the distributed batch query runner against the real index —
+    * queries fan out over executor tasks with the query core on a
+    * broadcast (DistributedRunner scaladoc), results re-ranked on the
+    * ROUNDED score like q09 so DuckDB's rounded ordering agrees at the
+    * k-cutoff. */
+  def distBm25(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val idx = indexFor(spark, dir)
+    val q = DistQueries.map { case (n, s, _) => (n, s) }
+      .toDF("query_num", "query").repartition(4)
+    val raw = graft.query.DistributedRunner.run(spark, idx, q, k = K * 3,
+      tokCfg = Tokenizer.plainCfg, pruneSingletons = false)
+    val w = Window.partitionBy($"query_num")
+      .orderBy(round($"score", 4).desc, $"doc_id")
+    raw.select($"query_num", $"doc_id", round($"score", 4).as("score"))
+      .withColumn("rn", org.apache.spark.sql.functions.row_number().over(w))
+      .filter($"rn" <= K).drop("rn")
+      .orderBy($"query_num", $"score".desc, $"doc_id")
+  }
+
+  val distBm25Sql: String = DistQueries.map { case (n, _, terms) =>
+    s"SELECT $n AS query_num, doc_id, score FROM (\n${TextRelational.bm25TopKSql(terms, K)})"
+  }.mkString("", "\nUNION ALL\n", "\nORDER BY query_num, score DESC, doc_id")
 }
