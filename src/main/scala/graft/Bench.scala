@@ -168,6 +168,14 @@ object Bench {
     val thr4N = buildDocs / sec4N
     val effHead = (thrN / thrLow) / (nCores.toDouble / nLow)   // 2 -> 8
     val effHigh = (thr4N / thrN) / (cpus.toDouble / nCores)    // 8 -> 32
+    // serving-side scaling: best distributed-batch QPS per level
+    def qps(rs: Seq[Map[String, String]]) =
+      rs.flatMap(_.get("BENCH_DIST_QPS")).map(_.toDouble)
+        .foldLeft(0.0)(math.max)
+    val (qpsLow, qpsN, qps4N) =
+      (qps(low), qps(triples.map(_._1)), qps(triples.map(_._2)))
+    val qEffHead = if (qpsLow > 0) (qpsN / qpsLow) / (nCores.toDouble / nLow) else -1
+    val qEffHigh = if (qpsN > 0) (qps4N / qpsN) / (cpus.toDouble / nCores) else -1
 
     val qs = queryTimes.map { case (k, v) => s""""$k":$v""" }
       .mkString("{", ",", "}")
@@ -186,6 +194,10 @@ object Bench {
       s""""steal_pct":{"${nLow}c":[${steals(low).mkString(",")}],""" +
       s""""${nCores}c":[${steals(triples.map(_._1)).mkString(",")}],""" +
       s""""${cpus}c":[${steals(triples.map(_._2)).mkString(",")}]},""" +
+      s""""dist_qps":{"${nLow}c":${f"$qpsLow%.1f"},"${nCores}c":${f"$qpsN%.1f"},""" +
+      s""""${cpus}c":${f"$qps4N%.1f"}},""" +
+      s""""query_scaling_efficiency":${f"$qEffHead%.3f"},""" +
+      s""""query_scaling_efficiency_${nCores}_$cpus":${f"$qEffHigh%.3f"},""" +
       s""""query_p50_ms":${r4N.getOrElse("BENCH_P50_MS", "-1")},""" +
       s""""query_p95_ms":${r4N.getOrElse("BENCH_P95_MS", "-1")},"query_k":250}""")
   }

@@ -63,6 +63,39 @@ object BuildBench {
     for ((a, b) <- st0.zip(st1); if b._2 > a._2)
       println(f"BENCH_STEAL_PCT=${100.0 * (b._1 - a._1) / (b._2 - a._2)}%.2f")
 
+    // distributed batch-query throughput at this core count: the
+    // serving-side scaling number (build throughput above is the
+    // ingest-side one). WAND over byte-addressed segment reads is
+    // compute-bound and queries are embarrassingly parallel, so this
+    // is expected to scale with cores where the build cannot.
+    {
+      import spark.implicits._
+      val r = new scala.util.Random(7)
+      val hot = Seq("the", "if", "return", "import", "license", "apache")
+      val cold = (0 until 60).map(i => graft.corpus.Synth.coldTerm(10 + i * 31))
+      // 40k queries (2000 distinct x20): big enough that WAND compute
+      // dominates the fixed per-job scheduling cost even at 32 cores
+      // (sub-ms queries x 2000 would measure the scheduler, not the
+      // engine); identical batch at every level so ratios are exact
+      val distinctQ = (0 until 2000).map { i =>
+        val n = 1 + r.nextInt(4)
+        Seq.fill(n)(if (r.nextBoolean()) hot(r.nextInt(hot.size))
+                    else cold(r.nextInt(cold.size))).mkString(" ")
+      }
+      val nq = distinctQ.length * 20
+      val qdf = (0 until nq).map(i => (i, distinctQ(i % distinctQ.length)))
+        .toDF("query_num", "query").repartition(cores * 2).cache()
+      qdf.count()
+      // warm on a small prefix: broadcast + codegen untimed
+      graft.query.DistributedRunner.run(spark, idxDir,
+        qdf.limit(500), k = 250).count()
+      val q0 = System.nanoTime()
+      graft.query.DistributedRunner.run(spark, idxDir, qdf, k = 250).count()
+      val qSec = (System.nanoTime() - q0) / 1e9
+      println(f"BENCH_DIST_QPS=${nq / qSec}%.1f")
+      qdf.unpersist()
+    }
+
     if (withLatency) {
       val eng = new Engine(spark, idxDir, preload = true)
       val r = new scala.util.Random(42)
