@@ -145,35 +145,50 @@ object Bench {
       scratch += idx
       fork(cores, s"$corpusDir/snapshot-0", idx, latency)
     }
-    val nLow = math.max(1, cpus / 16) // 2 on the 32-core box
-    val low = (1 to 2).map(_ => one(nLow, latency = false))
-    val triples = (1 to 4).map { i =>
-      (one(nCores, latency = false), one(cpus, latency = i == 1))
+    // 2 on the 32-core box; guarded distinct from nCores so a small
+    // SPARK_GRAFT_CPUS can't degenerate the headline pair into a
+    // same-parallelism self-ratio (and duplicate JSON keys)
+    val nLow = {
+      val cand = math.max(1, cpus / 16)
+      if (cand >= nCores) math.max(1, nCores / 4) else cand
     }
+    val degenerate = nLow >= nCores
+    // 3 fully interleaved rounds of (low, N, 4N): IDENTICAL run counts
+    // per level — min-of-k under one-sided steal noise favors whichever
+    // level gets more tries, so asymmetric counts would bias the
+    // efficiency ratios (review finding), and interleaving spreads
+    // slow-window effects across all levels
+    val rounds = (1 to 3).map { i =>
+      (if (degenerate) Map.empty[String, String] else one(nLow, latency = false),
+       one(nCores, latency = false), one(cpus, latency = i == 1))
+    }
+    val low = if (degenerate) Nil else rounds.map(_._1)
     def secs(rs: Seq[Map[String, String]]) =
       rs.map(_("BENCH_BUILD_SECONDS").toDouble)
     def steals(rs: Seq[Map[String, String]]) =
       rs.map(_.getOrElse("BENCH_STEAL_PCT", "-1"))
     val (secsLow, secsN, secs4N) =
-      (secs(low), secs(triples.map(_._1)), secs(triples.map(_._2)))
-    val secLow = secsLow.min
+      (secs(low), secs(rounds.map(_._2)), secs(rounds.map(_._3)))
+    val secLow = if (degenerate) -1.0 else secsLow.min
     val secN = secsN.min
     val sec4N = secs4N.min
-    val r4N = triples.head._2
+    val r4N = rounds.head._3
     scratch.foreach { d =>
       scala.reflect.io.Directory(new java.io.File(d)).deleteRecursively()
     }
-    val thrLow = buildDocs / secLow
+    val thrLow = if (degenerate) -1.0 else buildDocs / secLow
     val thrN = buildDocs / secN
     val thr4N = buildDocs / sec4N
-    val effHead = (thrN / thrLow) / (nCores.toDouble / nLow)   // 2 -> 8
+    val effHead =
+      if (degenerate) -1.0
+      else (thrN / thrLow) / (nCores.toDouble / nLow)          // 2 -> 8
     val effHigh = (thr4N / thrN) / (cpus.toDouble / nCores)    // 8 -> 32
     // serving-side scaling: best distributed-batch QPS per level
     def qps(rs: Seq[Map[String, String]]) =
       rs.flatMap(_.get("BENCH_DIST_QPS")).map(_.toDouble)
         .foldLeft(0.0)(math.max)
     val (qpsLow, qpsN, qps4N) =
-      (qps(low), qps(triples.map(_._1)), qps(triples.map(_._2)))
+      (qps(low), qps(rounds.map(_._2)), qps(rounds.map(_._3)))
     val qEffHead = if (qpsLow > 0) (qpsN / qpsLow) / (nCores.toDouble / nLow) else -1
     val qEffHigh = if (qpsN > 0) (qps4N / qpsN) / (cpus.toDouble / nCores) else -1
 
@@ -192,8 +207,8 @@ object Bench {
       s""""${nCores}c":[${secsN.map(s => f"$s%.2f").mkString(",")}],""" +
       s""""${cpus}c":[${secs4N.map(s => f"$s%.2f").mkString(",")}]},""" +
       s""""steal_pct":{"${nLow}c":[${steals(low).mkString(",")}],""" +
-      s""""${nCores}c":[${steals(triples.map(_._1)).mkString(",")}],""" +
-      s""""${cpus}c":[${steals(triples.map(_._2)).mkString(",")}]},""" +
+      s""""${nCores}c":[${steals(rounds.map(_._2)).mkString(",")}],""" +
+      s""""${cpus}c":[${steals(rounds.map(_._3)).mkString(",")}]},""" +
       s""""dist_qps":{"${nLow}c":${f"$qpsLow%.1f"},"${nCores}c":${f"$qpsN%.1f"},""" +
       s""""${cpus}c":${f"$qps4N%.1f"}},""" +
       s""""query_scaling_efficiency":${f"$qEffHead%.3f"},""" +

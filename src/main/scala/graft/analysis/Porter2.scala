@@ -105,7 +105,10 @@ object Porter2 {
 
   private def lowerIfNeeded(t: String): String = {
     var i = 0
-    while (i < t.length && !t.charAt(i).isUpper) i += 1
+    // any char that toLowerCase would change (incl. titlecase Lt like
+    // U+01C5, which isUpper misses) forces the allocation
+    while (i < t.length &&
+           t.charAt(i) == Character.toLowerCase(t.charAt(i))) i += 1
     if (i == t.length) t else t.toLowerCase
   }
 

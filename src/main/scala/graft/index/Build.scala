@@ -191,6 +191,16 @@ object Build {
           postingsVerified(spark, docsWithId, cfg.tokenizer, shaAcc).toDF()
       }
     }
+    // EARLY sha gate: with parquet staging the accumulator is final the
+    // moment the staging write lands, so a violating corpus aborts HERE
+    // — before any stats/dict/segment file exists in indexDir — rather
+    // than leaving a complete-looking index behind and then throwing
+    // (review finding: a reader that only opens the index files, never
+    // the markers, would serve invariant-violating data)
+    if (cfg.stagingMode == "parquet") {
+      val early = shaAcc.map(_.value.toLong).getOrElse(0L)
+      require(early == 0, s"$early rows fail the sha256 ingest invariant")
+    }
     try {
       val res = runFromPostings(spark, postings, indexDir, cfg,
         shaAcc.map(_.value.toLong).getOrElse(0L))

@@ -59,16 +59,25 @@ object Merge {
       spark.read.parquet(s"$p/dict")
         .withColumn("file", concat(lit(s"p$i-"), $"file"))
     }
-    dicts.reduce(_ unionByName _)
+    // allowMissingColumns everywhere below: a part built by an earlier
+    // engine generation may lack newer columns (ingest_ts in doc_stats,
+    // cf in dict/term_stats); absent values fill with the engine's
+    // neutral defaults instead of failing the upgrade merge
+    dicts.reduce(_.unionByName(_, allowMissingColumns = true))
+      .na.fill(0, Seq("df")).na.fill(0L, Seq("cf"))
       .write.mode(SaveMode.Overwrite).parquet(s"$outDir/dict")
 
     // ---- stats: union / sum ------------------------------------------
+    // ingest_ts = 0 for pre-recency docs == "oldest", exactly the
+    // engine's tsOf default for docs missing from the timestamp map
     parts.map(p => spark.read.parquet(s"$p/doc_stats"))
-      .reduce(_ unionByName _)
+      .reduce(_.unionByName(_, allowMissingColumns = true))
+      .na.fill(0L, Seq("ingest_ts"))
       .write.mode(SaveMode.Overwrite).parquet(s"$outDir/doc_stats")
 
     parts.map(p => spark.read.parquet(s"$p/term_stats"))
-      .reduce(_ unionByName _)
+      .reduce(_.unionByName(_, allowMissingColumns = true))
+      .na.fill(0L, Seq("cf"))
       .groupBy($"term")
       .agg(sum($"df").as("df"), sum($"cf").as("cf"))
       .write.mode(SaveMode.Overwrite).parquet(s"$outDir/term_stats")

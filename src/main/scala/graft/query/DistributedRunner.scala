@@ -18,10 +18,16 @@ import graft.analysis.Tokenizer
   * per-thread segment reader. No shuffle anywhere: results stream
   * straight out of the map.
   *
-  * Scale shape: broadcast size is vocab-bound (dict + stats), NOT
-  * corpus-bound — doc-sized state (postings) stays on disk and is
-  * block-pruned per query. 10^6 queries against a 10^12-doc index fan
-  * out to however many executors exist with zero coordination. */
+  * Scale shape: the dictionary part of the broadcast is vocab-bound
+  * (dict + stats) — doc-sized state (postings) stays on disk and is
+  * block-pruned per query. The one doc-count-bound piece is the
+  * recency-tiebreak timestamp array on tie-aware indexes (16 B/doc;
+  * fine at test/bench scale, and the same materialization the driver
+  * Engine documents): at true corpus scale ingest_ts moves to a keyed
+  * point-read store consulted only on exact score ties, or recency
+  * ranking is disabled (`tieAware=false` indexes broadcast nothing
+  * per-doc). 10^6 queries against a 10^12-doc index otherwise fan out
+  * to however many executors exist with zero coordination. */
 object DistributedRunner {
 
   /** Score every (query_num, query) row; returns

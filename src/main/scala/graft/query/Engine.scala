@@ -62,7 +62,17 @@ final class Engine(spark: SparkSession, indexDir: String,
         else spark.read.parquet(s"$indexDir/dict")
           .filter($"term".isin(terms: _*))
           .as[SegmentStore.DictEntry].collect()
-      def allStats: Option[Map[String, Long]] = None
+      // first unknown-term miss pays ONE (term, df) load so scan
+      // engines correct identically to preloaded ones (an earlier build
+      // truncated the scan path's edit-2 reach to a 5000-candidate
+      // prefix — a silent preload/scan divergence); vocab above the cap
+      // -> None -> bounded fallback instead of an OOM
+      lazy val allStats: Option[Map[String, Long]] = {
+        val ts = spark.read.parquet(s"$indexDir/term_stats")
+        if (ts.count() > Engine.MaxSpellVocab) None
+        else Some(ts.select($"term", $"df").collect()
+          .map(r => r.getString(0) -> r.getLong(1)).toMap)
+      }
     }
 
   /** Test-scale materialization of doc_id -> ingest_ts (the reference
@@ -107,6 +117,11 @@ final class Engine(spark: SparkSession, indexDir: String,
 }
 
 object Engine {
+  /** Scan-mode spell index cap: above this vocabulary size the one-time
+    * (term, df) load is refused and correction degrades to the bounded
+    * generate-and-probe path. 2M terms ≈ tens of MB — far beyond any
+    * natural-language vocab, small enough for any driver. */
+  val MaxSpellVocab: Long = 2000000L
   /** Load the whole dictionary + term stats into maps (the broadcast
     * payload of DistributedRunner, and the preload=true resolver). */
   def loadResolver(spark: SparkSession, indexDir: String): PreloadedResolver = {

@@ -11,8 +11,13 @@ import scala.collection.mutable
 trait TermResolver extends Serializable {
   def dfBatch(cands: Seq[String]): Map[String, Long]
   def dictEntries(terms: Seq[String]): Array[SegmentStore.DictEntry]
-  /** Full term->df map when resident (enables the SymSpell delete
-    * index for spell correction); None for scan-based resolvers. */
+  /** Full term->df map for the SymSpell delete index. Preloaded
+    * resolvers return their resident map; scan resolvers may load it
+    * ONCE on the first unknown-term miss (vocab is sublinear in corpus
+    * size, and spell correction fundamentally needs vocab-wide argmax)
+    * but return None above `maxTerms` — the core then degrades to the
+    * bounded generate-and-probe fallback instead of OOMing on an
+    * extreme vocabulary. */
   def allStats: Option[Map[String, Long]]
 }
 
@@ -105,6 +110,11 @@ final class EngineCore(
     if (hit != null) return hit
     val c = deleteIdx match {
       case Some(ix) => ix.correct(t)
+      // extreme-vocab fallback only: a deterministic PREFIX of the
+      // edit-2 neighborhood (documented bounded behavior — the full
+      // neighborhood would hand a pushdown scan a quarter-million-term
+      // predicate); every realistic vocabulary takes the index path
+      // above, which is policy-identical to unbounded correct2
       case None => Spell.correct2(t, resolver.dfBatch, maxEdit2 = 5000)
     }
     if (spellMemo.size() > 100000) spellMemo.clear()
@@ -348,12 +358,17 @@ final class EngineCore(
         j = 0
         while (j <= p) { live(j).advanceTo(dNext); j += 1 }
       } else if (live(0).curDoc == pivotDoc) {
-        // fully evaluate the pivot
+        // fully evaluate the pivot — iterating the ORIGINAL cursor array
+        // (sorted-term construction order), not the curDoc-ordered live
+        // array: float addition is order-sensitive at the ulp, the
+        // exhausted-cursor swap-removal permutes `live`, and exhaustive
+        // sums per doc in sorted-term order, so summing in any other
+        // order can drift scores by an ulp and break exact rank identity
         var score = 0.0
         j = 0
-        while (j < liveN) {
-          val c = live(j)
-          if (c.curDoc == pivotDoc) { score += c.curScore; c.next() }
+        while (j < cursors.length) {
+          val c = cursors(j)
+          if (!c.exhausted && c.curDoc == pivotDoc) { score += c.curScore; c.next() }
           j += 1
         }
         if (heap.size < k) heap.enqueue((pivotDoc, score))

@@ -63,63 +63,74 @@ object Spell {
     if (known2.nonEmpty) best(known2) else term
   }
 
-  /** Optimal-string-alignment (Damerau-Levenshtein with adjacent
-    * transposition) distance from query `a` to candidate `b`, early-exit
-    * when it must exceed `cutoff`. Matches the edit MODEL of `edits1`
-    * exactly: deletes and transpositions are free of alphabet
-    * constraints, but an insert or substitution may only INTRODUCE a
-    * char from `Alphabet` — the reference's corrector never invents
+  /** Exact membership test: is `b` in `edits1(a)`? One delete,
+    * adjacent transpose, alphabet replace, or alphabet insert — checked
+    * in O(len) without generating the neighborhood. Deletes/transposes
+    * are alphabet-free; a replace or insert may only INTRODUCE a char
+    * from `Alphabet` (the reference's corrector never invents
     * digits/punctuation, so "15.6K" must not "correct" to a nearby
-    * number term. */
-  def osaDistanceAlpha(a: String, b: String, cutoff: Int): Int = {
+    * number term). */
+  def isOneEdit(a: String, b: String): Boolean = {
     val n = a.length; val m = b.length
-    if (math.abs(n - m) > cutoff) return cutoff + 1
-    val big = cutoff + 1
-    def allowed(c: Char): Boolean = (c >= 'a' && c <= 'z') || c == '_'
-    var prev2 = new Array[Int](m + 1)
-    var prev = new Array[Int](m + 1)
-    var cur = new Array[Int](m + 1)
-    var j0 = 0
-    while (j0 <= m) {
-      // inserting b's first j chars into an empty query
-      prev(j0) =
-        if (j0 == 0) 0
-        else if (prev(j0 - 1) >= big || !allowed(b.charAt(j0 - 1))) big
-        else prev(j0 - 1) + 1
-      j0 += 1
-    }
-    var i = 1
-    while (i <= n) {
-      cur(0) = i
-      var rowMin = cur(0)
-      var j = 1
-      while (j <= m) {
-        val bc = b.charAt(j - 1)
-        val same = a.charAt(i - 1) == bc
-        var d = prev(j) + 1 // delete from query: always allowed
-        if (same && prev(j - 1) < d) d = prev(j - 1)
-        if (!same && allowed(bc) && prev(j - 1) + 1 < d) d = prev(j - 1) + 1 // substitute
-        if (allowed(bc) && cur(j - 1) + 1 < d) d = cur(j - 1) + 1 // insert
-        if (i > 1 && j > 1 && a.charAt(i - 1) == b.charAt(j - 2) &&
-            a.charAt(i - 2) == bc && prev2(j - 2) + 1 < d)
-          d = prev2(j - 2) + 1 // transpose: always allowed
-        if (d > big) d = big
-        cur(j) = d
-        if (d < rowMin) rowMin = d
-        j += 1
+    def alpha(c: Char): Boolean = (c >= 'a' && c <= 'z') || c == '_'
+    if (m == n - 1) { // delete
+      var i = 0
+      while (i < m && a.charAt(i) == b.charAt(i)) i += 1
+      var j = i
+      while (j < m && a.charAt(j + 1) == b.charAt(j)) j += 1
+      j == m
+    } else if (m == n + 1) { // insert (the new char must be alphabet)
+      var i = 0
+      while (i < n && a.charAt(i) == b.charAt(i)) i += 1
+      if (!alpha(b.charAt(i))) return false
+      var j = i
+      while (j < n && a.charAt(j) == b.charAt(j + 1)) j += 1
+      j == n
+    } else if (m == n) {
+      var i = 0
+      while (i < n && a.charAt(i) == b.charAt(i)) i += 1
+      if (i == n) return false // identical: zero edits, not one
+      // transpose at i?
+      if (i + 1 < n && a.charAt(i) == b.charAt(i + 1) &&
+          a.charAt(i + 1) == b.charAt(i)) {
+        var j = i + 2
+        while (j < n && a.charAt(j) == b.charAt(j)) j += 1
+        if (j == n) return true
       }
-      if (rowMin > cutoff) return big
-      val t = prev2; prev2 = prev; prev = cur; cur = t
-      i += 1
+      // replace at i (introduced char must be alphabet)
+      if (!alpha(b.charAt(i))) return false
+      var j = i + 1
+      while (j < n && a.charAt(j) == b.charAt(j)) j += 1
+      j == n
+    } else false
+  }
+
+  /** Distance of candidate `b` from query `q` under correct2's EXACT
+    * composed-edit model (b in edits1? 1; b in edits1 of some edits1
+    * variant? 2) — `e1` is the precomputed edits1(q) array, generated
+    * once per correction and shared across candidates. Composed Norvig
+    * edits reach some strings an OSA metric calls distance 3 (e.g.
+    * "ca" -> "ac" -> "abc"), so a metric-based verifier would silently
+    * diverge from the generate-and-probe path. */
+  def composedDist2(q: String, b: String, e1: Array[String]): Int = {
+    if (q == b) 0
+    else if (isOneEdit(q, b)) 1
+    else {
+      var i = 0
+      while (i < e1.length) {
+        if (isOneEdit(e1(i), b)) return 2
+        i += 1
+      }
+      3
     }
-    prev(m)
   }
 
   /** SymSpell-style delete-variant index (Garbe's publicly documented
     * symmetric-delete algorithm): every vocabulary term is indexed under
     * the 64-bit hashes of itself and all of its 1- and 2-char-delete
     * variants; a query term generates ITS ≤2-delete variants, unions the
-    * posting lists, and verifies true OSA distance — O(len²) hash
+    * posting lists, and verifies exact composed-edit membership
+    * (composedDist2 — the same edit model correct2 generates) — O(len²) hash
     * lookups per correction instead of generating the O(len² · |Σ|²)
     * edit-2 string neighborhood (measured 50-190 ms per unknown term on
     * a 150k vocabulary; this path is <1 ms).
@@ -143,12 +154,13 @@ object Spell {
       var best: String = null
       var bestDf = -1L
       var bestDist = 3
+      lazy val e1 = edits1(q).toArray // shared across candidate checks
       val it = cands.iterator()
       while (it.hasNext) {
         val idx = it.next().intValue()
         val t = terms(idx)
         if (t == q) return q
-        val d = osaDistanceAlpha(q, t, 2)
+        val d = composedDist2(q, t, e1)
         if (d <= 2) {
           val df = dfs(idx)
           if (d < bestDist ||
@@ -163,10 +175,17 @@ object Spell {
 
   object DeleteIndex {
     /** Longest term that gets 2-delete variants (len²/2 of them); longer
-      * terms index only 1-deletes — correcting a 30+-char identifier is
-      * not a realistic query need, bounding memory. */
+      * terms index only 1-deletes — so queries beyond this length have
+      * edit-1 reach only (a DOCUMENTED approximation: correcting a
+      * 30+-char identifier at distance 2 is not a realistic query need,
+      * and the cap bounds index memory). */
     val MaxLen2 = 24
-    val MaxListLen = 64
+    /** Safety valve only: total index entries are bounded by the sum of
+      * per-term variant counts regardless of this cap, so it is set far
+      * above any realistic per-variant crowd — a tight cap (64 in an
+      * earlier build) could evict the sole distance-1 candidate from a
+      * crowded variant list and silently change the correction. */
+    val MaxListLen = 4096
 
     private def fnv(s: CharSequence): Long = {
       var h = -3750763034362895579L // FNV-1a 64 offset basis

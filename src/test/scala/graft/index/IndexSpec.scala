@@ -330,12 +330,18 @@ class IndexSpec extends SparkSpec {
     assert(rows == res.totalPostings)
   }
 
-  test("sha violation aborts the build") {
+  test("sha violation aborts the build BEFORE any index file exists") {
     import spark.implicits._
     val bad = Seq(("r", "p", "c", "scala", "hello", 0L, "deadbeef"))
       .toDF("repo", "path", "commit", "lang", "content", "doc_id", "content_sha256")
     val idx = tmpDir("graft-index-bad")
     assertThrows[IllegalArgumentException](
       Build.run(spark, bad, idx, Build.Config(numPartitions = 2)))
+    // the abort must leave no readable index behind — a violating corpus
+    // that still produced dict/segments/stats would serve bad data to
+    // any reader that never consults the build result
+    for (sub <- Seq("dict", "segments", "doc_stats", "term_stats", "corpus_stats"))
+      assert(!new java.io.File(s"$idx/$sub").exists(),
+        s"$sub written despite sha violation")
   }
 }

@@ -116,4 +116,46 @@ class MergeSpec extends SparkSpec {
     assertThrows[IllegalArgumentException](
       Merge.disjoint(spark, Seq(a, b), o))
   }
+
+  test("merging a pre-recency-generation part (no ingest_ts / cf) upgrades instead of failing") {
+    import spark.implicits._
+    val docsA = (0L until 80L).map(i =>
+      (i, Synth.content(i))).toDF("doc_id", "content")
+    val docsB = (200L until 280L).map(i =>
+      (i, Synth.content(i))).toDF("doc_id", "content")
+    def build(df: org.apache.spark.sql.DataFrame, name: String): String = {
+      val d = tmpDir(name)
+      Build.run(spark, df, d, Build.Config(numPartitions = 4, nSalts = 2,
+        saltDfThreshold = 60, verifySha = false))
+      d
+    }
+    val idxOldGen = build(docsA, "upgrade-a")
+    val idxNew = build(docsB, "upgrade-b")
+    // strip idxOldGen down to the earlier generation's schema:
+    // doc_stats without ingest_ts, dict/term_stats without cf,
+    // corpus_stats without ts_min/ts_max
+    def rewrite(sub: String, drop: Seq[String]): Unit = {
+      val df = spark.read.parquet(s"$idxOldGen/$sub")
+        .drop(drop: _*).cache()
+      df.count()
+      df.write.mode("overwrite").parquet(s"$idxOldGen/$sub")
+      df.unpersist()
+    }
+    rewrite("doc_stats", Seq("ingest_ts"))
+    rewrite("dict", Seq("cf"))
+    rewrite("term_stats", Seq("cf"))
+    rewrite("corpus_stats", Seq("ts_min", "ts_max"))
+
+    val merged = tmpDir("upgrade-out")
+    Merge.disjoint(spark, Seq(idxOldGen, idxNew), merged)
+    val eng = new Engine(spark, merged, preload = true)
+    assert(eng.nDocs == 160)
+    for (q <- Seq("codec", "server build", "buffer stream schema")) {
+      val w = eng.searchWand(q, 50)
+      assert(w.nonEmpty)
+      // rank identity holds with old-gen docs defaulting to ts=0
+      assert(w.toSeq == eng.searchExhaustive(q, 50).toSeq, s"q=$q")
+    }
+    eng.close()
+  }
 }

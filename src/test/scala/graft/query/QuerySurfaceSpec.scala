@@ -58,13 +58,17 @@ class QuerySurfaceSpec extends SparkSpec {
     val vocab: Map[String, Long] =
       ((0 until 300).map(i => graft.corpus.Synth.coldTerm(i) -> (1L + r.nextInt(500))) ++
         Seq("spark" -> 100L, "quartz" -> 7L, "15.6K" -> 40L, "a" -> 3L,
-          "get_config" -> 9L, "covid" -> 25L)).toMap
+          "get_config" -> 9L, "covid" -> 25L, "abc" -> 12L)).toMap
     val ix = Spell.DeleteIndex.build(vocab)
     def batch(cs: Seq[String]) = cs.flatMap(c => vocab.get(c).map(c -> _)).toMap
     val probes =
       vocab.keys.take(40).toSeq ++ // known: passthrough
       Seq("spork", "spirk", "quare", "zzzzzzzz", "15.6k", "156K", "covvid",
-        "get_confog", "xovid", "a_", "qq") ++
+        "get_confog", "xovid", "a_", "qq",
+        // composed-edit corners: Norvig edits1∘edits1 reaches strings an
+        // OSA metric calls distance 3 (transpose then extend) — a
+        // metric-based verifier diverged here in an earlier build
+        "ca", "ac", "psark", "saprk_", "qautrz") ++
       (0 until 60).map { i => // mutated vocab terms: drop/replace chars
         val t = graft.corpus.Synth.coldTerm(i)
         if (i % 3 == 0) t.drop(1)
