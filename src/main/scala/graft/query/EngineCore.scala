@@ -95,12 +95,13 @@ final class EngineCore(
       ct > it || (ct == it && candId < incId)
     })
 
-  /** Spell machinery for unknown terms. Map-resident resolvers build a
-    * SymSpell-style delete-variant index LAZILY on the first miss
+  /** Spell machinery for unknown terms: a SymSpell-style delete-variant
+    * index built LAZILY on the first miss from the resolver's stats
     * (generating the full edit-2 string neighborhood per miss measured
-    * 50-190 ms on a 150k vocab — the index answers in <1 ms); scan
-    * resolvers keep the bounded batched-pushdown path. Corrections are
-    * memoized per JVM — they are pure given the frozen dictionary. */
+    * 50-190 ms on a 150k vocab — the index answers in ~1 ms); only a
+    * resolver that refuses the stats load (extreme vocab) degrades to
+    * the bounded generate-and-probe fallback. Corrections are memoized
+    * per JVM — they are pure given the frozen dictionary. */
   @transient private lazy val deleteIdx: Option[Spell.DeleteIndex] =
     resolver.allStats.map(m => Spell.DeleteIndex.build(m))
   @transient private lazy val spellMemo =
