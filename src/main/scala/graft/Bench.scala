@@ -74,6 +74,9 @@ object Bench {
     // 60k docs ≈ 4-minute bench end-to-end: big enough that compute
     // dominates fixed stage costs, small enough for a per-round run
     val buildDocs = sys.env.getOrElse("SPARK_GRAFT_BENCH_DOCS", "60000").toLong
+    // below 4 cores there is no N-vs-4N pair to measure at all (nCores
+    // would equal cpus and the ladder would self-compare)
+    require(cpus >= 4, s"scaling ladder needs >= 4 cores, got $cpus")
     val nCores = math.max(1, cpus / 4)
 
     // 1. driver-contract queries at sfDir + corpus synth (one session)
@@ -195,21 +198,31 @@ object Bench {
     val qs = queryTimes.map { case (k, v) => s""""$k":$v""" }
       .mkString("{", ",", "}")
     val total = queryTimes.map(_._2).sum
+    // low-rung fragments are omitted entirely when degenerate — emitting
+    // them would duplicate the "${nCores}c" keys and make the JSON
+    // parser-dependent (strict parsers reject duplicate keys)
+    def lowFrag(f: => String): String = if (degenerate) "" else f
     println(
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir",""" +
-      s""""build_docs":$buildDocs,"build_docs_per_sec_${nLow}c":${f"$thrLow%.1f"},""" +
+      s""""build_docs":$buildDocs,""" +
+      lowFrag(s""""build_docs_per_sec_${nLow}c":${f"$thrLow%.1f"},""") +
       s""""build_docs_per_sec_${nCores}c":${f"$thrN%.1f"},""" +
       s""""build_docs_per_sec_${cpus}c":${f"$thr4N%.1f"},""" +
       s""""scaling_efficiency":${f"$effHead%.3f"},""" +
-      s""""scaling_pair":"local[$nLow]->local[$nCores]",""" +
+      s""""scaling_pair":"${if (degenerate) "degenerate(see_" + nCores + "_" + cpus + ")"
+         else s"local[$nLow]->local[$nCores]"}",""" +
       s""""scaling_efficiency_${nCores}_$cpus":${f"$effHigh%.3f"},""" +
-      s""""build_runs_sec":{"${nLow}c":[${secsLow.map(s => f"$s%.2f").mkString(",")}],""" +
+      s""""build_runs_sec":{""" +
+      lowFrag(s""""${nLow}c":[${secsLow.map(s => f"$s%.2f").mkString(",")}],""") +
       s""""${nCores}c":[${secsN.map(s => f"$s%.2f").mkString(",")}],""" +
       s""""${cpus}c":[${secs4N.map(s => f"$s%.2f").mkString(",")}]},""" +
-      s""""steal_pct":{"${nLow}c":[${steals(low).mkString(",")}],""" +
+      s""""steal_pct":{""" +
+      lowFrag(s""""${nLow}c":[${steals(low).mkString(",")}],""") +
       s""""${nCores}c":[${steals(rounds.map(_._2)).mkString(",")}],""" +
       s""""${cpus}c":[${steals(rounds.map(_._3)).mkString(",")}]},""" +
-      s""""dist_qps":{"${nLow}c":${f"$qpsLow%.1f"},"${nCores}c":${f"$qpsN%.1f"},""" +
+      s""""dist_qps":{""" +
+      lowFrag(s""""${nLow}c":${f"$qpsLow%.1f"},""") +
+      s""""${nCores}c":${f"$qpsN%.1f"},""" +
       s""""${cpus}c":${f"$qps4N%.1f"}},""" +
       s""""query_scaling_efficiency":${f"$qEffHead%.3f"},""" +
       s""""query_scaling_efficiency_${nCores}_$cpus":${f"$qEffHigh%.3f"},""" +

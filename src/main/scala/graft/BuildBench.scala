@@ -70,18 +70,11 @@ object BuildBench {
     // is expected to scale with cores where the build cannot.
     {
       import spark.implicits._
-      val r = new scala.util.Random(7)
-      val hot = Seq("the", "if", "return", "import", "license", "apache")
-      val cold = (0 until 60).map(i => graft.corpus.Synth.coldTerm(10 + i * 31))
       // 40k queries (2000 distinct x20): big enough that WAND compute
       // dominates the fixed per-job scheduling cost even at 32 cores
       // (sub-ms queries x 2000 would measure the scheduler, not the
       // engine); identical batch at every level so ratios are exact
-      val distinctQ = (0 until 2000).map { i =>
-        val n = 1 + r.nextInt(4)
-        Seq.fill(n)(if (r.nextBoolean()) hot(r.nextInt(hot.size))
-                    else cold(r.nextInt(cold.size))).mkString(" ")
-      }
+      val distinctQ = mixedQueries(2000, seed = 7, coldBase = 10, coldStep = 31, nCold = 60)
       val nq = distinctQ.length * 20
       val qdf = (0 until nq).map(i => (i, distinctQ(i % distinctQ.length)))
         .toDF("query_num", "query").repartition(cores * 2).cache()
@@ -98,15 +91,10 @@ object BuildBench {
 
     if (withLatency) {
       val eng = new Engine(spark, idxDir, preload = true)
-      val r = new scala.util.Random(42)
-      val hot = Seq("the", "if", "return", "import", "license", "apache")
       val cold = (0 until 40).map(i => graft.corpus.Synth.coldTerm(30 + i * 37))
-      val queries = (1 to 25).map { _ =>
-        val n = 1 + r.nextInt(4)
-        Seq.fill(n)(if (r.nextBoolean()) hot(r.nextInt(hot.size))
-                    else cold(r.nextInt(cold.size))).mkString(" ")
-      } :+ // 10-term adversarial query: stresses the WAND cursor loop
-        (hot ++ cold.take(4)).mkString(" ") :++
+      val queries = mixedQueries(25, seed = 42, coldBase = 30, coldStep = 37, nCold = 40) :+
+        // 10-term adversarial query: stresses the WAND cursor loop
+        (HotTerms ++ cold.take(4)).mkString(" ") :++
         // misspelled queries: default-on spell correction is part of the
         // per-query cost like the reference's (searcher.py:44) — the
         // engine's delete-variant index makes these ~memo lookups
@@ -122,6 +110,26 @@ object BuildBench {
       println(f"BENCH_P95_MS=${lat((lat.size * 95) / 100)}%.3f")
     }
     spark.stop()
+  }
+
+  private val HotTerms =
+    Seq("the", "if", "return", "import", "license", "apache")
+
+  /** The shared hot/cold query-mix generator behind BOTH the latency
+    * sample and the distributed-QPS batch — one distribution, two
+    * measurements (parameter drift between two copies would silently
+    * make the side-by-side BASELINE numbers measure different
+    * workloads). */
+  private def mixedQueries(n: Int, seed: Long, coldBase: Int,
+                           coldStep: Int, nCold: Int): Seq[String] = {
+    val r = new scala.util.Random(seed)
+    val cold = (0 until nCold).map(i =>
+      graft.corpus.Synth.coldTerm(coldBase + i * coldStep))
+    (0 until n).map { _ =>
+      val t = 1 + r.nextInt(4)
+      Seq.fill(t)(if (r.nextBoolean()) HotTerms(r.nextInt(HotTerms.size))
+                  else cold(r.nextInt(cold.size))).mkString(" ")
+    }
   }
 
   /** (steal, total) jiffies from /proc/stat's aggregate cpu line; None

@@ -63,21 +63,28 @@ object Merge {
     // engine generation may lack newer columns (ingest_ts in doc_stats,
     // cf in dict/term_stats); absent values fill with the engine's
     // neutral defaults instead of failing the upgrade merge
-    dicts.reduce(_.unionByName(_, allowMissingColumns = true))
-      .na.fill(0, Seq("df")).na.fill(0L, Seq("cf"))
+    // ensureCol (not na.fill alone): when EVERY part predates a column,
+    // the union has no such column at all — na.fill on a missing column
+    // is a silent no-op and downstream reads/aggs would fail
+    def ensureCol(df: org.apache.spark.sql.DataFrame, c: String,
+                  dflt: org.apache.spark.sql.Column) =
+      if (df.columns.contains(c)) df.na.fill(0L, Seq(c))
+      else df.withColumn(c, dflt)
+    ensureCol(dicts.reduce(_.unionByName(_, allowMissingColumns = true)),
+        "cf", lit(0L))
       .write.mode(SaveMode.Overwrite).parquet(s"$outDir/dict")
 
     // ---- stats: union / sum ------------------------------------------
     // ingest_ts = 0 for pre-recency docs == "oldest", exactly the
     // engine's tsOf default for docs missing from the timestamp map
-    parts.map(p => spark.read.parquet(s"$p/doc_stats"))
-      .reduce(_.unionByName(_, allowMissingColumns = true))
-      .na.fill(0L, Seq("ingest_ts"))
+    ensureCol(parts.map(p => spark.read.parquet(s"$p/doc_stats"))
+        .reduce(_.unionByName(_, allowMissingColumns = true)),
+        "ingest_ts", lit(0L))
       .write.mode(SaveMode.Overwrite).parquet(s"$outDir/doc_stats")
 
-    parts.map(p => spark.read.parquet(s"$p/term_stats"))
-      .reduce(_.unionByName(_, allowMissingColumns = true))
-      .na.fill(0L, Seq("cf"))
+    ensureCol(parts.map(p => spark.read.parquet(s"$p/term_stats"))
+        .reduce(_.unionByName(_, allowMissingColumns = true)),
+        "cf", lit(0L))
       .groupBy($"term")
       .agg(sum($"df").as("df"), sum($"cf").as("cf"))
       .write.mode(SaveMode.Overwrite).parquet(s"$outDir/term_stats")

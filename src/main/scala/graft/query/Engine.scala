@@ -65,13 +65,16 @@ final class Engine(spark: SparkSession, indexDir: String,
       // first unknown-term miss pays ONE (term, df) load so scan
       // engines correct identically to preloaded ones (an earlier build
       // truncated the scan path's edit-2 reach to a 5000-candidate
-      // prefix — a silent preload/scan divergence); vocab above the cap
-      // -> None -> bounded fallback instead of an OOM
+      // prefix — a silent preload/scan divergence). Single pass: the
+      // limit over-fetches by one row so an oversized vocab is detected
+      // from the same scan (a count() pre-check would read term_stats
+      // twice); the core separately guards the DELETE-INDEX entry
+      // budget, which is the allocation that can actually hurt
       lazy val allStats: Option[Map[String, Long]] = {
-        val ts = spark.read.parquet(s"$indexDir/term_stats")
-        if (ts.count() > Engine.MaxSpellVocab) None
-        else Some(ts.select($"term", $"df").collect()
-          .map(r => r.getString(0) -> r.getLong(1)).toMap)
+        val rows = spark.read.parquet(s"$indexDir/term_stats")
+          .select($"term", $"df").limit(Engine.MaxSpellVocab + 1).collect()
+        if (rows.length > Engine.MaxSpellVocab) None
+        else Some(rows.map(r => r.getString(0) -> r.getLong(1)).toMap)
       }
     }
 
@@ -117,11 +120,12 @@ final class Engine(spark: SparkSession, indexDir: String,
 }
 
 object Engine {
-  /** Scan-mode spell index cap: above this vocabulary size the one-time
+  /** Scan-mode spell stats cap (rows): above this the one-time
     * (term, df) load is refused and correction degrades to the bounded
-    * generate-and-probe path. 2M terms ≈ tens of MB — far beyond any
-    * natural-language vocab, small enough for any driver. */
-  val MaxSpellVocab: Long = 2000000L
+    * generate-and-probe path. This bounds the MAP; the delete index
+    * built from it is ~100x larger and carries its own entry budget
+    * (EngineCore.MaxSpellIndexEntries). */
+  val MaxSpellVocab: Int = 2000000
   /** Load the whole dictionary + term stats into maps (the broadcast
     * payload of DistributedRunner, and the preload=true resolver). */
   def loadResolver(spark: SparkSession, indexDir: String): PreloadedResolver = {

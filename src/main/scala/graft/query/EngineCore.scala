@@ -59,6 +59,15 @@ final case class TermPostings(term: String, qtf: Int, df: Long,
   * policy, singleton pruning, case-fold fallback) are the Engine
   * semantics — Engine delegates here, so the WAND≡exhaustive and
   * golden suites pin this class. */
+object EngineCore {
+  /** Delete-variant entry budget for the spell index (~70 B/entry in a
+    * boxed-key hash map → ~2 GB at this cap; a 150k natural-language
+    * vocab needs ~6M). Vocabularies whose variant count exceeds it get
+    * the bounded generate-and-probe fallback instead of an OOM inside
+    * the first corrected query. */
+  val MaxSpellIndexEntries: Long = 30000000L
+}
+
 final class EngineCore(
     val nDocs: Long, val avgdl: Double, val boundScale: Double,
     val tieAware: Boolean, tsSource: TsSource,
@@ -103,7 +112,22 @@ final class EngineCore(
     * the bounded generate-and-probe fallback. Corrections are memoized
     * per JVM — they are pure given the frozen dictionary. */
   @transient private lazy val deleteIdx: Option[Spell.DeleteIndex] =
-    resolver.allStats.map(m => Spell.DeleteIndex.build(m))
+    resolver.allStats.flatMap { m =>
+      // guard on the INDEX size, not the stats-map size: the delete
+      // index holds ~1 + len + len²/2 variant entries per term, two
+      // orders of magnitude more than the (term, df) map — a vocab that
+      // loads fine can still be unbuildable, and the guard must catch
+      // that before allocation, falling back to bounded probing
+      var entries = 0L
+      val it = m.keysIterator
+      while (it.hasNext && entries <= EngineCore.MaxSpellIndexEntries) {
+        val n = it.next().length.toLong
+        entries += 1 + n +
+          (if (n <= Spell.DeleteIndex.MaxLen2) n * (n - 1) / 2 else 0L)
+      }
+      if (entries > EngineCore.MaxSpellIndexEntries) None
+      else Some(Spell.DeleteIndex.build(m))
+    }
   @transient private lazy val spellMemo =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def correctionOf(t: String): String = {

@@ -157,5 +157,32 @@ class MergeSpec extends SparkSpec {
       assert(w.toSeq == eng.searchExhaustive(q, 50).toSeq, s"q=$q")
     }
     eng.close()
+
+    // ALL-old-generation merge: the union then has NO newer column at
+    // all, which a bare na.fill would silently skip (review finding) —
+    // the columns must be created with defaults
+    val idxOld2 = build((400L until 460L).map(i =>
+      (i, Synth.content(i))).toDF("doc_id", "content"), "upgrade-c")
+    def strip(idx: String): Unit = {
+      def rw(sub: String, drop: Seq[String]): Unit = {
+        val df = spark.read.parquet(s"$idx/$sub").drop(drop: _*).cache()
+        df.count()
+        df.write.mode("overwrite").parquet(s"$idx/$sub")
+        df.unpersist()
+      }
+      rw("doc_stats", Seq("ingest_ts"))
+      rw("dict", Seq("cf"))
+      rw("term_stats", Seq("cf"))
+      rw("corpus_stats", Seq("ts_min", "ts_max"))
+    }
+    strip(idxOld2)
+    val merged2 = tmpDir("upgrade-out-oldold")
+    Merge.disjoint(spark, Seq(idxOldGen, idxOld2), merged2)
+    val eng2 = new Engine(spark, merged2, preload = true)
+    assert(eng2.nDocs == 140)
+    val w2 = eng2.searchWand("codec", 30)
+    assert(w2.nonEmpty)
+    assert(w2.toSeq == eng2.searchExhaustive("codec", 30).toSeq)
+    eng2.close()
   }
 }
