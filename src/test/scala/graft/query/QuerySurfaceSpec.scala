@@ -81,6 +81,31 @@ class QuerySurfaceSpec extends SparkSpec {
     }
   }
 
+  test("isOneEdit is EXACTLY membership in edits1 (randomized, incl. digits/punct)") {
+    val r = new scala.util.Random(11)
+    val chars = "abcz_1.K-"
+    def randStr(max: Int) =
+      (0 until (1 + r.nextInt(max))).map(_ => chars(r.nextInt(chars.length))).mkString
+    for (_ <- 0 until 300) {
+      val a = randStr(8)
+      val e1 = Spell.edits1(a).toSet
+      // positives: every generated variant must satisfy isOneEdit —
+      // except the string itself, which edits1 can emit via an
+      // equal-adjacent-chars self-transpose ("zz" -> "zz") and which
+      // isOneEdit deliberately rejects (zero EFFECTIVE edits; identity
+      // is irrelevant to correction policy since only unknown terms
+      // are ever corrected)
+      e1.filter(_ != a)
+        .foreach(b => assert(Spell.isOneEdit(a, b), s"miss: '$a' -> '$b'"))
+      // negatives: random strings must agree with set membership
+      for (_ <- 0 until 20) {
+        val b = randStr(9)
+        assert(Spell.isOneEdit(a, b) == (e1.contains(b) && b != a),
+          s"disagree: '$a' vs '$b'")
+      }
+    }
+  }
+
   test("engine corrects a misspelled term by default — no caller-supplied dictionary") {
     import spark.implicits._
     val docs = Seq(
