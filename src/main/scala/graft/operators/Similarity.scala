@@ -21,10 +21,15 @@ object Similarity {
   val K = 20
   val QueryVecId = 0
 
-  private val cosExpr = expr(
-    """aggregate(zip_with(embedding, qe, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)
-      | / (sqrt(aggregate(transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v))
-      |  * sqrt(aggregate(transform(qe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)))""".stripMargin)
+  // native codegen'd expression (graft.functions.CosineSimilarity):
+  // bit-identical to the aggregate(zip_with(...)) HOF form it replaced
+  // (same double widening and ascending accumulation order, so the
+  // DuckDB oracle hash is unchanged) but one fused allocation-free loop
+  // inside whole-stage codegen instead of three interpreted
+  // CodegenFallback array passes per row — this is the inner loop over
+  // every corpus vector in q15/q16/q24
+  private val cosExpr =
+    graft.functions.CosineSimilarity.cosine(col("embedding"), col("qe"))
 
   /** q15: exact top-k cosine neighbors of QueryVecId's embedding.
     * Broadcast the 1-row query side; the big side never shuffles —

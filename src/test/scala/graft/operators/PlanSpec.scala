@@ -95,6 +95,30 @@ class PlanSpec extends SparkSpec {
     assert(df.count() > 0)
   }
 
+  test("q15/q16/q24 score with the native codegen cosine, not interpreted HOFs") {
+    val p = plan(Similarity.annBruteForce(spark, dir))
+    assert(p.contains("graft_cosine"),
+      "native CosineSimilarity expression missing from the ANN plan")
+    assert(!p.contains("aggregate(zip_with"),
+      "interpreted HOF cosine regressed into the hot path")
+  }
+
+  test("native cosine == HOF cosine bit-for-bit on the real embeddings table") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val hof = expr(
+      """aggregate(zip_with(embedding, qe, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)
+        | / (sqrt(aggregate(transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v))
+        |  * sqrt(aggregate(transform(qe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)))""".stripMargin)
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+    val q = e.filter($"vec_id" === 0).select($"embedding".as("qe"))
+    val n = e.crossJoin(broadcast(q))
+      .select(hof.as("a"),
+        graft.functions.CosineSimilarity.cosine($"embedding", $"qe").as("b"))
+      .filter($"a" =!= $"b").count()
+    assert(n == 0, s"$n rows differ between native and HOF cosine")
+  }
+
   test("q15 ANN: query side broadcasts; big side has no shuffle before top-k") {
     val p = plan(Similarity.annBruteForce(spark, dir))
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"))
