@@ -54,6 +54,7 @@ object SparkEntry {
     "q25_pii_redact" -> ((s, d) => TextAnalysis.piiRedact(s, d)),
     "q26_repetition" -> ((s, d) => TextAnalysis.repetition(s, d)),
     "q27_decontam" -> ((s, d) => Dedup.decontam(s, d)),
+    "q29_clean_corpus" -> ((s, d) => TextAnalysis.cleanCorpus(s, d)),
     // Multimodal plumbing (decode stubbed — no codecs in sandbox)
     "q21_multimodal" -> ((s, d) => Multimodal.features(s, d)),
   )
@@ -85,5 +86,6 @@ object SparkEntry {
     "q25_pii_redact" -> TextAnalysis.piiRedactSql,
     "q26_repetition" -> TextAnalysis.repetitionSql,
     "q27_decontam" -> Dedup.decontamSql,
+    "q29_clean_corpus" -> TextAnalysis.cleanCorpusSql,
   )
 }

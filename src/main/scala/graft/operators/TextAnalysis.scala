@@ -264,6 +264,52 @@ object TextAnalysis {
       .orderBy($"doc_id")
   }
 
+  /** q29: the composed pre-training clean pipeline in one call —
+    * exclude the held-out benchmark slice, drop low-quality docs (q18
+    * score), keep the FIRST doc per exact content digest, then drop
+    * docs sharing an 8-gram with the benchmark (q27). Each stage is the
+    * already-oracle-checked operator; the composition itself is what a
+    * real corpus build runs. Scale shape: quality is map-only; the
+    * digest dedup shuffles (digest, doc_id) pairs — never text — with
+    * map-side partial min; decontamination reuses q27's gram join;
+    * survivors join back by doc_id. */
+  val CleanMinQuality = 0.05
+
+  def cleanCorpus(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val cand = docs
+      .filter($"doc_id" % graft.operators.Dedup.DecontamBenchMod =!= 0)
+      .select($"doc_id", sha2($"text", 256).as("digest"),
+        qualityScore($"text").as("quality"))
+      .filter($"quality" >= CleanMinQuality)
+    val firsts = cand.groupBy($"digest")
+      .agg(min($"doc_id").as("doc_id"))
+      .select($"doc_id")
+    val contaminated = graft.operators.Dedup.decontam(spark, dir)
+      .select($"doc_id")
+    cand.join(firsts, "doc_id")
+      .join(contaminated, Seq("doc_id"), "left_anti")
+      .select($"doc_id", $"quality")
+      .orderBy($"doc_id")
+  }
+
+  def cleanCorpusSql: String = {
+    val mod = graft.operators.Dedup.DecontamBenchMod
+    s"""WITH cand AS (
+       |  SELECT doc_id, sha256(text) AS digest, quality
+       |  FROM (${qualitySql.replace("ORDER BY doc_id", "")}) q
+       |  JOIN documents USING (doc_id)
+       |  WHERE doc_id % $mod <> 0 AND quality >= $CleanMinQuality),
+       |firsts AS (SELECT min(doc_id) AS doc_id FROM cand GROUP BY digest),
+       |contaminated AS (SELECT doc_id FROM (${graft.operators.Dedup.decontamSql
+            .replace("ORDER BY doc_id", "")}) c)
+       |SELECT doc_id, quality FROM cand
+       |JOIN firsts USING (doc_id)
+       |WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
+       |ORDER BY doc_id""".stripMargin
+  }
+
   val repetitionSql: String =
     """WITH toks AS (
       |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'), t -> t <> '') AS arr
