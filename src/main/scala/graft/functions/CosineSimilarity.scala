@@ -21,11 +21,16 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * above built-in composition: one fused loop over the two ArrayData
   * buffers, zero allocation, inlined into the surrounding codegen stage.
   *
-  * Semantics are IDENTICAL to the replaced expression (bit-for-bit, so
-  * the DuckDB oracle hash still matches): each float is widened to
-  * double, dot and both norms accumulate in ascending index order, and
-  * the result is dot / (sqrt(na) * sqrt(nb)). Extra elements of the
-  * longer input are ignored (fixed-dim embeddings never differ). */
+  * Semantics are IDENTICAL to the replaced expression on every real
+  * vector (bit-for-bit, so the DuckDB oracle hash still matches): each
+  * float is widened to double, dot and both norms accumulate in
+  * ascending index order, and the result is dot / (sqrt(na) * sqrt(nb)).
+  * Extra elements of the longer input are ignored (fixed-dim embeddings
+  * never differ). ONE deliberate difference: a zero-norm (or empty)
+  * vector yields NaN — IEEE 0/0 — where the HOF form under Spark's
+  * default ANSI mode throws DIVIDE_BY_ZERO mid-job; NaN is the
+  * conventional "similarity undefined" answer and keeps a single bad
+  * vector from failing a corpus-wide pass (spec-pinned). */
 case class CosineSimilarity(left: Expression, right: Expression)
     extends BinaryExpression {
 

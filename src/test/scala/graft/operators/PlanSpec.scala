@@ -119,6 +119,21 @@ class PlanSpec extends SparkSpec {
     assert(n == 0, s"$n rows differ between native and HOF cosine")
   }
 
+  test("native cosine: zero-norm vector yields NaN, not a mid-job ANSI failure") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val df = Seq(
+      (Array(0f, 0f, 0f), Array(1f, 2f, 3f)),
+      (Array.empty[Float], Array(1f, 2f, 3f)),
+      (Array(1f, 0f, 0f), Array(1f, 0f, 0f))
+    ).toDF("embedding", "qe")
+    val got = df.select(
+      graft.functions.CosineSimilarity.cosine($"embedding", $"qe")).collect()
+      .map(_.getDouble(0))
+    assert(got(0).isNaN && got(1).isNaN, "undefined similarity must be NaN")
+    assert(got(2) == 1.0)
+  }
+
   test("q15 ANN: query side broadcasts; big side has no shuffle before top-k") {
     val p = plan(Similarity.annBruteForce(spark, dir))
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"))
