@@ -198,11 +198,23 @@ object Dedup {
   // ---- q14: embedding-cosine near-dup -------------------------------
 
   val CosMin = 0.3
-  /** Triangle-blocking factor: vectors split into CosBlocks groups; each
-    * unordered group pair is one distributed task. Per-task memory is
-    * O(2n/CosBlocks) vectors; at 10^9 vectors pick CosBlocks so a block
-    * fits an executor (the replication cost is CosBlocks+1 per vector). */
-  val CosBlocks = 8
+
+  /** Per-task vector budget for the triangle blocking: a task holds two
+    * blocks of ~n/blocks vectors each, so ~2·(n/blocks) ≤ this. 64k
+    * dim-64 double vectors ≈ 32 MB — comfortably inside one executor
+    * core's working memory with room for the task's output buffer. */
+  val CosTaskVectors: Long = 1L << 16
+
+  /** Triangle-blocking factor DERIVED from the corpus size (round-2
+    * review: a fixed `CosBlocks = 8` pinned test scale). Replication
+    * cost is blocks+1 rows per vector, so the derivation picks the
+    * SMALLEST block count whose block pairs fit the per-task budget;
+    * the floor of 8 keeps 36 concurrent tasks at test scale. At 10^9
+    * vectors this yields ~30.5k blocks — large, but exact all-pairs at
+    * that size is an O(n²) choice the caller makes knowingly (see
+    * scaladoc below); the approximate family is the default scale path. */
+  def cosBlocksFor(n: Long): Int =
+    math.max(8L, (2 * n + CosTaskVectors - 1) / CosTaskVectors).toInt
 
   /** Pairwise exact cosine over the embeddings table, fully distributed.
     *
@@ -222,10 +234,21 @@ object Dedup {
     * distributes it evenly with bounded task memory.
     *
     * Dot products accumulate in index order, so results are
-    * bit-identical to the SQL oracle's double semantics. */
-  def embeddingCosine(spark: SparkSession, dir: String): DataFrame = {
+    * bit-identical to the SQL oracle's double semantics.
+    *
+    * `blocks` <= 0 derives the factor from a count() of the table (a
+    * column-pruned metadata-cheap pass) via [[cosBlocksFor]]; pass an
+    * explicit value to pin it. Zero-norm vectors are dropped BEFORE the
+    * pair replication: their cosine is undefined (NaN in the native
+    * expression, same in DuckDB), NaN can never reach the threshold, so
+    * filtering them early documents the semantics and skips blocks+1
+    * replicas plus n dot products per dead vector. */
+  def embeddingCosine(spark: SparkSession, dir: String,
+                      blocks: Int = 0): DataFrame = {
     import spark.implicits._
-    val nb = CosBlocks
+    val nb =
+      if (blocks > 0) blocks
+      else cosBlocksFor(spark.read.parquet(s"$dir/embeddings.parquet").count())
     val vecs = spark.read.parquet(s"$dir/embeddings.parquet")
       .select($"vec_id".cast("long"), $"embedding")
       .as[(Long, Array[Float])]
@@ -235,6 +258,7 @@ object Dedup {
         while (i < v.length) { s += v(i) * v(i); i += 1 }
         (id, v, math.sqrt(s))
       }
+      .filter(_._3 > 0.0)
     // row block: a vector in block bi serves keys (bi, bi..nb-1);
     // column block: keys (0..bj, bj). Every unordered block pair meets
     // exactly once, diagonal pairs dedup on id order below. cogroup

@@ -26,8 +26,8 @@ object IndexOps {
     cache.getOrElseUpdate(dir, {
       val docs = spark.read.parquet(s"$dir/documents.parquet")
         .select(col("doc_id"), col("text").as("content"))
-      val idxDir = java.nio.file.Files
-        .createTempDirectory("graft-docs-index").toString
+      // JVM-exit-cleaned: repeated bench/verify runs leave no stray dirs
+      val idxDir = graft.TempDirs.create("graft-docs-index")
       // low salt threshold + several salts: the oracle exercises the
       // salted path, not just the plain one
       Build.run(spark, docs, idxDir, Build.Config(

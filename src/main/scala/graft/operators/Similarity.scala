@@ -2,24 +2,62 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.analysis.Fingerprints
+import scala.collection.concurrent.TrieMap
+
+/** Tuning knobs for the approximate-nearest-neighbor operators, lifted
+  * out of fixed constants so the bucketing scales with the corpus
+  * instead of pinning test-scale values.
+  *
+  * Derivations (the numbers to pick at real scale):
+  *  - `nBits`: 2^nBits LSH buckets; size so a bucket holds ~1k-10k
+  *    vectors (buckets ~ n/1k). 8 bits fits the 500-vector test tables;
+  *    10^11 vectors wants ~27 bits (or multiple independent tables).
+  *  - `multiProbe`: hamming radius of the probe set. Radius 2 probes
+  *    1 + nBits + nBits*(nBits-1)/2 buckets; on data with real near
+  *    neighbors radius 1 already catches nearly everything (per-bit
+  *    flip probability = angle/pi).
+  *  - `ivfLists`: coarse-quantizer cells; classic IVF sizing is
+  *    ~sqrt(n) lists so list size ~= list count. 16 fits the test
+  *    tables; 10^11 vectors wants ~3*10^5 lists.
+  *  - `ivfProbes`: lists scanned per query — recall/IO knob.
+  *  - `ivfIters`: distributed Lloyd refinement rounds for the codebook.
+  */
+final case class AnnConfig(
+    nBits: Int = 8,
+    multiProbe: Int = 2,
+    ivfLists: Int = 16,
+    ivfProbes: Int = 4,
+    ivfIters: Int = 4)
 
 /** Similarity search over the `embeddings` table (builder-prompt
   * training-data pipeline ops): brute-force cosine top-k as the exact
-  * baseline, and a random-hyperplane LSH-bucketed variant as the scale
-  * path.
+  * baseline, and two bucketed variants (sign-LSH, IVF) as the scale
+  * paths.
   *
-  * Scale design: brute force is ONE narrow pass over the vectors with a
-  * broadcast query + TakeOrderedAndProject — it parallelizes perfectly
-  * but reads everything. The LSH variant buckets vectors by sign
-  * signature so a query probes only its own and adjacent (hamming-1)
-  * buckets — at 10^11 vectors that's the difference between a full scan
-  * and a partition-pruned read (bucket = partition key on disk).
+  * Scale design — the bucketed variants are PHYSICAL, not just logical:
+  * a one-pass build materializes the vector index as a parquet layout
+  * partitioned by bucket/list (`lshLayout`/`ivfLayout`), and a query is
+  *   (a) a pushdown point-read of the query embedding from the raw
+  *       table (PushedFilters reach the scan — no kernel pass runs just
+  *       to fetch one row),
+  *   (b) a driver-side probe-set computation — the signature and the
+  *       nearest-centroid sets are pure functions of the query vector
+  *       plus the broadcastable planes/codebook, and
+  *   (c) a partition-pruned scan of ONLY the probed buckets/lists
+  *       (PartitionFilters on the layout read) with an exact-cosine
+  *       re-rank inside the candidates.
+  * At 10^11 vectors the layout lives at a persistent caller-chosen path
+  * and probe IO is proportional to the probed fraction, exactly like
+  * partition pruning on a date column; in this sandbox the layout is
+  * built once per (table, config) into a JVM-cleaned temp dir. The
+  * reference analog is its segment-locality optimization
+  * (searcher.py:59-70): touch only the index regions a query needs.
   */
 object Similarity {
 
   val K = 20
   val QueryVecId = 0
+  val DefaultAnn: AnnConfig = AnnConfig()
 
   // native codegen'd expression (graft.functions.CosineSimilarity):
   // bit-identical to the aggregate(zip_with(...)) HOF form it replaced
@@ -92,11 +130,30 @@ object Similarity {
       |FROM counts JOIN norms ON counts.label = norms.label
       |ORDER BY label""".stripMargin
 
-  // ---- IVF ANN (coarse-quantizer scale path; not SQL-expressible) ---
+  // ---- query-vector fetch (shared by both bucketed variants) --------
 
-  val IvfLists = 16
-  val IvfProbes = 4
-  val IvfIters = 4
+  /** The raw-table point read for the query embedding. The vec_id
+    * predicate sits DIRECTLY on the parquet scan, so it pushes down
+    * (PushedFilters: EqualTo(vec_id,...)) — fetching one row costs a
+    * row-group-pruned read, not a kernel pass over the corpus (the
+    * round-2 version filtered above a typed `.map`, which defeated
+    * pushdown and ran the signature/assignment kernel corpus-wide just
+    * to find the query row — PlanSpec gates this stays fixed). */
+  private[operators] def queryFetch(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/embeddings.parquet")
+      .filter(col("vec_id") === QueryVecId)
+      .select(col("embedding"))
+
+  private def queryEmbedding(spark: SparkSession, dir: String): Array[Float] =
+    queryFetch(spark, dir).head().getSeq[Float](0).toArray
+
+  /** Built layouts, cached per (kind, table, config) per JVM. At real
+    * scale the layout is the persisted vector index at a caller-chosen
+    * path (build once, query many); the temp-dir cache mirrors that
+    * lifecycle in local mode and is removed on JVM exit. */
+  private val layoutCache = TrieMap.empty[(String, String, AnnConfig), String]
+
+  // ---- IVF ANN (coarse-quantizer scale path; not SQL-expressible) ---
 
   private def nearestCentroids(v: Array[Double],
                                cents: Array[Array[Double]], n: Int): Seq[Int] =
@@ -111,7 +168,7 @@ object Similarity {
     }.sortBy { case (c, s) => (-s, c) }.take(n).map(_._1)
 
   private val ivfCache =
-    scala.collection.concurrent.TrieMap.empty[String, Array[Array[Double]]]
+    TrieMap.empty[(String, AnnConfig), Array[Array[Double]]]
 
   /** Deterministic k-means++ (farthest-point by cosine distance, ties by
     * index) + 6 Lloyd sweeps, all on the driver-resident sample. */
@@ -163,20 +220,21 @@ object Similarity {
     cents
   }
 
-  /** Lloyd-trained coarse codebook (k-means in Spark): init from the
-    * IvfLists lowest vec_ids (deterministic), then IvfIters rounds of
+  /** Lloyd-trained coarse codebook (k-means in Spark): init from a
+    * deterministic k-means++-seeded sample, then ivfIters rounds of
     * broadcast-assign -> per-list component means. Means accumulate in
     * DECIMAL so the codebook is bit-deterministic across runs and
     * partitionings (float sums are order-dependent; at 10^9 vectors the
     * decimal agg has the same one-shuffle shape, just wider rows).
     * Empty lists keep their previous centroid. The codebook is
-    * IvfLists x dim doubles — trivially broadcastable at any scale. */
-  private[operators] def trainIvf(spark: SparkSession, dir: String)
-      : Array[Array[Double]] = ivfCache.getOrElseUpdate(dir, {
+    * ivfLists x dim doubles — trivially broadcastable at any scale. */
+  private[operators] def trainIvf(spark: SparkSession, dir: String,
+                                  cfg: AnnConfig = DefaultAnn)
+      : Array[Array[Double]] = ivfCache.getOrElseUpdate((dir, cfg), {
     import spark.implicits._
     val e = spark.read.parquet(s"$dir/embeddings.parquet")
       .select($"vec_id".cast("long"), $"embedding").as[(Long, Array[Float])]
-    // init = k-means++ on a deterministic sample: the 64*IvfLists
+    // init = k-means++ on a deterministic sample: the 64*ivfLists
     // vectors lowest in id-hash order (TakeOrdered — spread uniformly
     // over the data regardless of id layout, fits the driver by
     // construction at any corpus scale), farthest-point seeding with
@@ -185,10 +243,10 @@ object Similarity {
     // inside one cluster on cluster-ordered tables; plain hash-seeding
     // lands in poor local optima.
     val sample: Array[Array[Double]] = e
-      .orderBy(xxhash64($"vec_id"), $"vec_id").limit(64 * IvfLists)
+      .orderBy(xxhash64($"vec_id"), $"vec_id").limit(64 * cfg.ivfLists)
       .collect().map(_._2.map(_.toDouble))
-    var cents: Array[Array[Double]] = kmeansPlusPlus(sample, IvfLists)
-    for (_ <- 1 to IvfIters) {
+    var cents: Array[Array[Double]] = kmeansPlusPlus(sample, cfg.ivfLists)
+    for (_ <- 1 to cfg.ivfIters) {
       val bc = spark.sparkContext.broadcast(cents)
       val means = e.map { case (_, emb) =>
           val v = emb.map(_.toDouble)
@@ -206,26 +264,37 @@ object Similarity {
     cents
   })
 
-  /** q24: IVF ANN — every vector assigned to its nearest trained coarse
-    * list (one narrow pass, broadcast codebook); the query probes its
-    * IvfProbes nearest lists and exact-cosine re-ranks only those
-    * candidates. At 10^11 vectors the lists are disk partitions and the
-    * probe set prunes the scan exactly like partition pruning. */
-  def annIvf(spark: SparkSession, dir: String): DataFrame = {
+  /** One-pass IVF index build: every vector assigned to its nearest
+    * trained coarse list (broadcast codebook) and the assigned table
+    * written `partitionBy("list")` — the list IS a disk partition, so a
+    * probe is a partition-pruned read. Build once, query many. */
+  private[operators] def ivfLayout(spark: SparkSession, dir: String,
+                                   cfg: AnnConfig = DefaultAnn): String =
+    layoutCache.getOrElseUpdate(("ivf", dir, cfg), {
+      import spark.implicits._
+      val cents = trainIvf(spark, dir, cfg)
+      val centsBc = spark.sparkContext.broadcast(cents)
+      val out = graft.TempDirs.create("graft-ivf-layout")
+      spark.read.parquet(s"$dir/embeddings.parquet")
+        .select($"vec_id".cast("long"), $"embedding").as[(Long, Array[Float])]
+        .map { case (id, emb) =>
+          (id, emb, nearestCentroids(emb.map(_.toDouble), centsBc.value, 1).head)
+        }.toDF("vec_id", "embedding", "list")
+        .write.mode("overwrite").partitionBy("list").parquet(out)
+      out
+    })
+
+  /** q24: IVF ANN against the partitioned layout — pushdown point-read
+    * of the query vector, driver-side probe selection from the codebook,
+    * then exact-cosine re-rank inside ONLY the probed lists
+    * (PartitionFilters prune everything else; PlanSpec gates it). */
+  def annIvf(spark: SparkSession, dir: String,
+             cfg: AnnConfig = DefaultAnn): DataFrame = {
     import spark.implicits._
-    val cents = trainIvf(spark, dir)
-    val centsBc = spark.sparkContext.broadcast(cents)
-    val e = spark.read.parquet(s"$dir/embeddings.parquet")
-      .select($"vec_id".cast("long"), $"embedding").as[(Long, Array[Float])]
-    val assigned = e.map { case (id, emb) =>
-      val v = emb.map(_.toDouble)
-      (id, nearestCentroids(v, centsBc.value, 1).head, emb)
-    }.toDF("vec_id", "list", "embedding")
-    val qRow = assigned.filter($"vec_id" === QueryVecId)
-      .select($"embedding").head()
-    val qEmb = qRow.getSeq[Float](0).toArray
-    val probes = nearestCentroids(qEmb.map(_.toDouble), cents, IvfProbes)
-    assigned
+    val cents = trainIvf(spark, dir, cfg)
+    val qEmb = queryEmbedding(spark, dir)
+    val probes = nearestCentroids(qEmb.map(_.toDouble), cents, cfg.ivfProbes)
+    spark.read.parquet(ivfLayout(spark, dir, cfg))
       .filter($"list".isin(probes: _*) && $"vec_id" =!= QueryVecId)
       .withColumn("qe", typedLit(qEmb))
       .select($"vec_id", round(cosExpr, 4).as("cos"))
@@ -234,8 +303,6 @@ object Similarity {
   }
 
   // ---- LSH-bucketed ANN (scale path; not SQL-expressible) -----------
-
-  val NBits = 8 // 2^8 buckets; scale with corpus size (buckets ~ n/1k)
 
   /** Deterministic pseudo-random hyperplane component b of plane p. */
   private[operators] def plane(p: Int, dim: Int): Array[Double] =
@@ -259,48 +326,55 @@ object Similarity {
     sig
   }
 
-  /** Multi-probe radius: buckets within hamming MultiProbe of the
-    * query signature are scanned — 37 of 256 buckets (~14%) at radius 2.
-    * On data with REAL near neighbors (small angles) radius 1 already
-    * catches nearly everything (per-bit flip prob = angle/pi); radius 2
-    * is the honest knob for looser thresholds. */
-  val MultiProbe = 2
-
-  private[operators] def probeSet(sig: Int): Seq[Int] = {
+  /** Multi-probe: buckets within hamming `multiProbe` of the query
+    * signature are scanned — 37 of 256 buckets (~14%) at the default
+    * radius 2 / 8 bits. On data with REAL near neighbors (small angles)
+    * radius 1 already catches nearly everything (per-bit flip prob =
+    * angle/pi); radius 2 is the honest knob for looser thresholds. */
+  private[operators] def probeSet(sig: Int,
+                                  cfg: AnnConfig = DefaultAnn): Seq[Int] = {
     val out = scala.collection.mutable.LinkedHashSet(sig)
-    if (MultiProbe >= 1)
-      for (b <- 0 until NBits) out += sig ^ (1 << b)
-    if (MultiProbe >= 2)
-      for (a <- 0 until NBits; b <- a + 1 until NBits)
+    if (cfg.multiProbe >= 1)
+      for (b <- 0 until cfg.nBits) out += sig ^ (1 << b)
+    if (cfg.multiProbe >= 2)
+      for (a <- 0 until cfg.nBits; b <- a + 1 until cfg.nBits)
         out += sig ^ (1 << a) ^ (1 << b)
     out.toSeq
   }
 
-  /** q16: LSH-bucketed approximate top-k for the same query: candidates
-    * from the query's bucket plus all buckets within the multi-probe
-    * hamming radius, exact cosine re-rank within candidates. */
-  def annLsh(spark: SparkSession, dir: String): DataFrame = {
+  /** One-pass LSH index build: sign signature per vector (broadcast
+    * hyperplanes), written `partitionBy("bucket")` — bucket = disk
+    * partition, probes prune physically. */
+  private[operators] def lshLayout(spark: SparkSession, dir: String,
+                                   cfg: AnnConfig = DefaultAnn): String =
+    layoutCache.getOrElseUpdate(("lsh", dir, cfg), {
+      import spark.implicits._
+      val dim = queryEmbedding(spark, dir).length
+      val planes = Array.tabulate(cfg.nBits)(p => plane(p, dim))
+      val planesBc = spark.sparkContext.broadcast(planes)
+      val out = graft.TempDirs.create("graft-lsh-layout")
+      spark.read.parquet(s"$dir/embeddings.parquet")
+        .select($"vec_id".cast("long"), $"embedding").as[(Long, Array[Float])]
+        .map { case (id, emb) =>
+          (id, emb, signature(emb.map(_.toDouble), planesBc.value))
+        }.toDF("vec_id", "embedding", "bucket")
+        .write.mode("overwrite").partitionBy("bucket").parquet(out)
+      out
+    })
+
+  /** q16: LSH ANN against the partitioned layout — pushdown point-read
+    * of the query vector, driver-side signature + multi-probe set (pure
+    * functions of qEmb and the deterministic planes), exact-cosine
+    * re-rank inside ONLY the probed buckets (partition-pruned read). */
+  def annLsh(spark: SparkSession, dir: String,
+             cfg: AnnConfig = DefaultAnn): DataFrame = {
     import spark.implicits._
-    val dim = 64
-    val planes = Array.tabulate(NBits)(p => plane(p, dim))
-    val planesBc = spark.sparkContext.broadcast(planes)
-    val e = spark.read.parquet(s"$dir/embeddings.parquet")
-      .select($"vec_id".cast("long"), $"embedding").as[(Long, Array[Float])]
-    val bucketed = e.map { case (id, emb) =>
-      val v = emb.map(_.toDouble)
-      (id, signature(v, planesBc.value), emb)
-    }.toDF("vec_id", "bucket", "embedding")
-    // at scale `bucketed` is written partitioned by bucket; here the
-    // probe set drives a pushdown filter instead
-    val qRow = bucketed.filter($"vec_id" === QueryVecId)
-      .select($"bucket", $"embedding").head()
-    val qSig = qRow.getInt(0)
-    val qEmb = qRow.getSeq[Float](1).toArray
-    val probes = probeSet(qSig)
-    val qe = typedLit(qEmb)
-    bucketed
+    val qEmb = queryEmbedding(spark, dir)
+    val planes = Array.tabulate(cfg.nBits)(p => plane(p, qEmb.length))
+    val probes = probeSet(signature(qEmb.map(_.toDouble), planes), cfg)
+    spark.read.parquet(lshLayout(spark, dir, cfg))
       .filter($"bucket".isin(probes: _*) && $"vec_id" =!= QueryVecId)
-      .withColumn("qe", qe)
+      .withColumn("qe", typedLit(qEmb))
       .select($"vec_id", round(cosExpr, 4).as("cos"))
       .orderBy($"cos".desc, $"vec_id")
       .limit(K)

@@ -139,4 +139,39 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"))
     assert(p.contains("TakeOrderedAndProject"))
   }
+
+  test("q16/q24 query-vector fetch pushes the vec_id point predicate into parquet") {
+    // the round-2 version filtered above a typed .map — no pushdown, so
+    // fetching ONE row ran the signature kernel corpus-wide; the fetch
+    // must stay a pushdown point read on the RAW table
+    val p = plan(Similarity.queryFetch(spark, dir))
+    assert(p.contains("PushedFilters: [IsNotNull(vec_id), EqualTo(vec_id,0)]"),
+      s"query fetch lost parquet pushdown:\n${p.take(800)}")
+  }
+
+  test("q16 probe read is partition-pruned on bucket and free of query-time kernels") {
+    val p = plan(Similarity.annLsh(spark, dir))
+    // (i) candidates come from the materialized bucket-partitioned
+    // layout with the multi-probe set as PartitionFilters — at 10^11
+    // vectors this is the difference between probing ~14% of the index
+    // and scanning all of it
+    assert(p.contains("graft-lsh-layout"), s"not reading the layout:\n${p.take(800)}")
+    assert(p.contains("PartitionFilters: [bucket#"),
+      s"bucket probe is not partition-pruned:\n${p.take(800)}")
+    // (ii) the query plan is scan->filter->cosine->top-k: no typed-map
+    // signature kernel runs at query time (that's build-time work)
+    assert(!p.contains("DeserializeToObject"),
+      s"query-time kernel pass crept back into the ANN plan:\n${p.take(800)}")
+    assert(p.contains("TakeOrderedAndProject"))
+  }
+
+  test("q24 probe read is partition-pruned on list and free of query-time kernels") {
+    val p = plan(Similarity.annIvf(spark, dir))
+    assert(p.contains("graft-ivf-layout"), s"not reading the layout:\n${p.take(800)}")
+    assert(p.contains("PartitionFilters: [list#"),
+      s"list probe is not partition-pruned:\n${p.take(800)}")
+    assert(!p.contains("DeserializeToObject"),
+      s"query-time kernel pass crept back into the ANN plan:\n${p.take(800)}")
+    assert(p.contains("TakeOrderedAndProject"))
+  }
 }

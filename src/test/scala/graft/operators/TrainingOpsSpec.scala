@@ -141,6 +141,46 @@ class TrainingOpsSpec extends SparkSpec {
     assert(ivfRecall >= 0.8, s"IVF recall=$ivfRecall")
   }
 
+  test("q16+q24 recall holds at a NON-DEFAULT AnnConfig (nothing pins nBits=8 / ivfLists=16)") {
+    // round-2 review: the bucketing constants were fixed vals; prove the
+    // operators are correct at a second setting, not pinned to the default
+    val cfg = AnnConfig(nBits = 6, multiProbe = 2, ivfLists = 8, ivfProbes = 3)
+    val brute = Similarity.annBruteForce(spark, clusteredDir).collect()
+      .map(_.getLong(0)).toSet
+    val lsh = Similarity.annLsh(spark, clusteredDir, cfg).collect()
+      .map(_.getLong(0)).toSet
+    val ivf = Similarity.annIvf(spark, clusteredDir, cfg).collect()
+      .map(_.getLong(0)).toSet
+    val lshRecall = brute.intersect(lsh).size.toDouble / brute.size
+    val ivfRecall = brute.intersect(ivf).size.toDouble / brute.size
+    assert(lshRecall >= 0.8, s"LSH recall=$lshRecall at $cfg")
+    assert(ivfRecall >= 0.8, s"IVF recall=$ivfRecall at $cfg")
+  }
+
+  test("q14 blocking factor derives from corpus size and never changes results") {
+    // derivation: smallest block count whose block-pairs fit the
+    // per-task vector budget, floored at 8 for test-scale parallelism
+    assert(Dedup.cosBlocksFor(500) == 8)
+    assert(Dedup.cosBlocksFor(1L << 20) == 32)
+    import spark.implicits._
+    val d = tmpDir("graft-zeronorm")
+    Seq(
+      (0L, Array(1f, 0f, 0f), 0), (1L, Array(1f, 0.01f, 0f), 0),
+      (2L, Array(0f, 1f, 0f), 1), (3L, Array(0f, 0f, 0f), 1),
+      (4L, Array(-1f, 0f, 0.5f), 2))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$d/embeddings.parquet")
+    val a = Dedup.embeddingCosine(spark, d, blocks = 2).collect().map(_.toString).toSeq
+    val b = Dedup.embeddingCosine(spark, d, blocks = 5).collect().map(_.toString).toSeq
+    assert(a == b, s"blocking changed results:\n$a\n$b")
+    assert(a.nonEmpty)
+    // the zero-norm vector (id 3) has undefined cosine against everything
+    // — it is dropped before replication and appears in no pair
+    val ids = Dedup.embeddingCosine(spark, d).collect()
+      .flatMap(r => Seq(r.getLong(0), r.getLong(1))).toSet
+    assert(!ids.contains(3L), s"zero-norm vector leaked into pairs: $ids")
+  }
+
   test("q21 multimodal features are deterministic with a valid feature schema") {
     val a = Multimodal.features(spark, "/root/testdata/sf0.001").collect()
     val b = Multimodal.features(spark, "/root/testdata/sf0.001").collect()
