@@ -75,14 +75,27 @@ object Bench {
     // dominates fixed stage costs, small enough for a per-round run
     val buildDocs = sys.env.getOrElse("SPARK_GRAFT_BENCH_DOCS", "60000").toLong
     // below 4 cores there is no N-vs-4N pair to measure at all (nCores
-    // would equal cpus and the ladder would self-compare)
-    require(cpus >= 4, s"scaling ladder needs >= 4 cores, got $cpus")
+    // would equal cpus and the ladder would self-compare) — but that
+    // only invalidates the LADDER: the driver-contract query section
+    // still runs and reports (round-2 review: a whole-main require()
+    // lost the query numbers too on small boxes)
+    val ladder = cpus >= 4
+    if (!ladder) System.err.println(
+      s"[bench] cpus=$cpus < 4: skipping the scaling ladder (needs an N/4N pair)")
     val nCores = math.max(1, cpus / 4)
 
-    // 1. driver-contract queries at sfDir + corpus synth (one session)
+    // 1. driver-contract queries at sfDir + corpus synth (one session).
+    // Every query runs QueryRounds times, INTERLEAVED round-robin (all
+    // queries once, then again) so a hypervisor-steal burst degrades one
+    // round of many queries rather than every run of one query; reported
+    // per-query value is the min over its rounds — the estimator least
+    // sensitive to this box's one-sided steal noise (same protocol as
+    // the build ladder; round-2 review: single-shot query numbers made
+    // round-over-round deltas unfalsifiable).
+    val QueryRounds = 3
     val corpusDir = java.nio.file.Files
       .createTempDirectory("graft-bench-corpus").toString
-    val queryTimes = {
+    val queryRuns: Seq[(String, Seq[Double])] = {
       val spark = SparkSession.builder()
         .master(s"local[$cpus]")
         .config("spark.sql.shuffle.partitions", cpus)
@@ -99,21 +112,32 @@ object Bench {
         // a QUERY latency, not a hidden index build (the build
         // throughput metric below measures building explicitly)
         graft.operators.IndexOps.indexFor(spark, sfDir)
-        val qt = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-          val (_, sec) = timed {
-            try fn(spark, sfDir).count()
-            catch { case e: Throwable =>
-              System.err.println(s"[bench] $name failed: ${e.getMessage}"); -1L }
+        val names = SparkEntry.queries.toSeq.sortBy(_._1)
+        val runs = (1 to QueryRounds).map { _ =>
+          names.map { case (name, fn) =>
+            val (_, sec) = timed {
+              try fn(spark, sfDir).count()
+              catch { case e: Throwable =>
+                System.err.println(s"[bench] $name failed: ${e.getMessage}"); -1L }
+            }
+            name -> sec
           }
-          name -> sec
         }
-        graft.corpus.Synth.write(spark, buildDocs, corpusDir)
+        val qt = names.map { case (name, _) =>
+          name -> runs.map(_.find(_._1 == name).get._2)
+        }
+        if (ladder) graft.corpus.Synth.write(spark, buildDocs, corpusDir)
         qt
       } finally {
         spark.stop()
         SparkSession.clearActiveSession()
         SparkSession.clearDefaultSession()
       }
+    }
+    // min over the query's SUCCESSFUL rounds (-1 sentinel only if all failed)
+    val queryTimes: Seq[(String, Double)] = queryRuns.map { case (n, rs) =>
+      val ok = rs.filter(_ >= 0)
+      n -> (if (ok.nonEmpty) ok.min else -1.0)
     }
 
     // 2. scaling ladder: identical input + code at local[N], local[4N]
@@ -161,10 +185,12 @@ object Bench {
     // level gets more tries, so asymmetric counts would bias the
     // efficiency ratios (review finding), and interleaving spreads
     // slow-window effects across all levels
-    val rounds = (1 to 3).map { i =>
-      (if (degenerate) Map.empty[String, String] else one(nLow, latency = false),
-       one(nCores, latency = false), one(cpus, latency = i == 1))
-    }
+    val rounds =
+      if (!ladder) Nil
+      else (1 to 3).map { i =>
+        (if (degenerate) Map.empty[String, String] else one(nLow, latency = false),
+         one(nCores, latency = false), one(cpus, latency = i == 1))
+      }
     val low = if (degenerate) Nil else rounds.map(_._1)
     def secs(rs: Seq[Map[String, String]]) =
       rs.map(_("BENCH_BUILD_SECONDS").toDouble)
@@ -172,61 +198,82 @@ object Bench {
       rs.map(_.getOrElse("BENCH_STEAL_PCT", "-1"))
     val (secsLow, secsN, secs4N) =
       (secs(low), secs(rounds.map(_._2)), secs(rounds.map(_._3)))
-    val secLow = if (degenerate) -1.0 else secsLow.min
-    val secN = secsN.min
-    val sec4N = secs4N.min
-    val r4N = rounds.head._3
     scratch.foreach { d =>
       scala.reflect.io.Directory(new java.io.File(d)).deleteRecursively()
     }
-    val thrLow = if (degenerate) -1.0 else buildDocs / secLow
-    val thrN = buildDocs / secN
-    val thr4N = buildDocs / sec4N
-    val effHead =
-      if (degenerate) -1.0
-      else (thrN / thrLow) / (nCores.toDouble / nLow)          // 2 -> 8
-    val effHigh = (thr4N / thrN) / (cpus.toDouble / nCores)    // 8 -> 32
-    // serving-side scaling: best distributed-batch QPS per level
-    def qps(rs: Seq[Map[String, String]]) =
-      rs.flatMap(_.get("BENCH_DIST_QPS")).map(_.toDouble)
-        .foldLeft(0.0)(math.max)
-    val (qpsLow, qpsN, qps4N) =
-      (qps(low), qps(rounds.map(_._2)), qps(rounds.map(_._3)))
-    val qEffHead = if (qpsLow > 0) (qpsN / qpsLow) / (nCores.toDouble / nLow) else -1
-    val qEffHigh = if (qpsN > 0) (qps4N / qpsN) / (cpus.toDouble / nCores) else -1
 
     val qs = queryTimes.map { case (k, v) => s""""$k":$v""" }
       .mkString("{", ",", "}")
+    val qRuns = queryRuns.map { case (k, rs) =>
+      s""""$k":[${rs.map(s => f"$s%.3f").mkString(",")}]"""
+    }.mkString("{", ",", "}")
     val total = queryTimes.map(_._2).sum
-    // low-rung fragments are omitted entirely when degenerate — emitting
-    // them would duplicate the "${nCores}c" keys and make the JSON
-    // parser-dependent (strict parsers reject duplicate keys)
-    def lowFrag(f: => String): String = if (degenerate) "" else f
-    println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir",""" +
-      s""""build_docs":$buildDocs,""" +
-      lowFrag(s""""build_docs_per_sec_${nLow}c":${f"$thrLow%.1f"},""") +
-      s""""build_docs_per_sec_${nCores}c":${f"$thrN%.1f"},""" +
-      s""""build_docs_per_sec_${cpus}c":${f"$thr4N%.1f"},""" +
-      s""""scaling_efficiency":${f"$effHead%.3f"},""" +
-      s""""scaling_pair":"${if (degenerate) "degenerate(see_" + nCores + "_" + cpus + ")"
-         else s"local[$nLow]->local[$nCores]"}",""" +
-      s""""scaling_efficiency_${nCores}_$cpus":${f"$effHigh%.3f"},""" +
-      s""""build_runs_sec":{""" +
-      lowFrag(s""""${nLow}c":[${secsLow.map(s => f"$s%.2f").mkString(",")}],""") +
-      s""""${nCores}c":[${secsN.map(s => f"$s%.2f").mkString(",")}],""" +
-      s""""${cpus}c":[${secs4N.map(s => f"$s%.2f").mkString(",")}]},""" +
-      s""""steal_pct":{""" +
-      lowFrag(s""""${nLow}c":[${steals(low).mkString(",")}],""") +
-      s""""${nCores}c":[${steals(rounds.map(_._2)).mkString(",")}],""" +
-      s""""${cpus}c":[${steals(rounds.map(_._3)).mkString(",")}]},""" +
-      s""""dist_qps":{""" +
-      lowFrag(s""""${nLow}c":${f"$qpsLow%.1f"},""") +
-      s""""${nCores}c":${f"$qpsN%.1f"},""" +
-      s""""${cpus}c":${f"$qps4N%.1f"}},""" +
-      s""""query_scaling_efficiency":${f"$qEffHead%.3f"},""" +
-      s""""query_scaling_efficiency_${nCores}_$cpus":${f"$qEffHigh%.3f"},""" +
-      s""""query_p50_ms":${r4N.getOrElse("BENCH_P50_MS", "-1")},""" +
-      s""""query_p95_ms":${r4N.getOrElse("BENCH_P95_MS", "-1")},"query_k":250}""")
+
+    val ladderJson: String =
+      if (!ladder)
+        s""""scaling_efficiency":-1,"scaling_pair":"skipped(cpus=$cpus<4)","""
+      else {
+        val secLow = if (degenerate) -1.0 else secsLow.min
+        val secN = secsN.min
+        val sec4N = secs4N.min
+        val r4N = rounds.head._3
+        val thrLow = if (degenerate) -1.0 else buildDocs / secLow
+        val thrN = buildDocs / secN
+        val thr4N = buildDocs / sec4N
+        val effHead =
+          if (degenerate) -1.0
+          else (thrN / thrLow) / (nCores.toDouble / nLow)          // 2 -> 8
+        val effHigh = (thr4N / thrN) / (cpus.toDouble / nCores)    // 8 -> 32
+        // serving-side scaling: best distributed-batch QPS per level
+        def qps(rs: Seq[Map[String, String]]) =
+          rs.flatMap(_.get("BENCH_DIST_QPS")).map(_.toDouble)
+            .foldLeft(0.0)(math.max)
+        val (qpsLow, qpsN, qps4N) =
+          (qps(low), qps(rounds.map(_._2)), qps(rounds.map(_._3)))
+        val qEffHead = if (qpsLow > 0) (qpsN / qpsLow) / (nCores.toDouble / nLow) else -1
+        val qEffHigh = if (qpsN > 0) (qps4N / qpsN) / (cpus.toDouble / nCores) else -1
+        // low-rung fragments are omitted entirely when degenerate —
+        // emitting them would duplicate the "${nCores}c" keys and make
+        // the JSON parser-dependent (strict parsers reject dup keys)
+        def lowFrag(f: => String): String = if (degenerate) "" else f
+        lowFrag(s""""build_docs_per_sec_${nLow}c":${f"$thrLow%.1f"},""") +
+        s""""build_docs_per_sec_${nCores}c":${f"$thrN%.1f"},""" +
+        s""""build_docs_per_sec_${cpus}c":${f"$thr4N%.1f"},""" +
+        s""""scaling_efficiency":${f"$effHead%.3f"},""" +
+        s""""scaling_pair":"${if (degenerate) "degenerate(see_" + nCores + "_" + cpus + ")"
+           else s"local[$nLow]->local[$nCores]"}",""" +
+        s""""scaling_efficiency_${nCores}_$cpus":${f"$effHigh%.3f"},""" +
+        s""""build_runs_sec":{""" +
+        lowFrag(s""""${nLow}c":[${secsLow.map(s => f"$s%.2f").mkString(",")}],""") +
+        s""""${nCores}c":[${secsN.map(s => f"$s%.2f").mkString(",")}],""" +
+        s""""${cpus}c":[${secs4N.map(s => f"$s%.2f").mkString(",")}]},""" +
+        s""""steal_pct":{""" +
+        lowFrag(s""""${nLow}c":[${steals(low).mkString(",")}],""") +
+        s""""${nCores}c":[${steals(rounds.map(_._2)).mkString(",")}],""" +
+        s""""${cpus}c":[${steals(rounds.map(_._3)).mkString(",")}]},""" +
+        s""""dist_qps":{""" +
+        lowFrag(s""""${nLow}c":${f"$qpsLow%.1f"},""") +
+        s""""${nCores}c":${f"$qpsN%.1f"},""" +
+        s""""${cpus}c":${f"$qps4N%.1f"}},""" +
+        s""""query_scaling_efficiency":${f"$qEffHead%.3f"},""" +
+        s""""query_scaling_efficiency_${nCores}_$cpus":${f"$qEffHigh%.3f"},""" +
+        s""""query_p50_ms":${r4N.getOrElse("BENCH_P50_MS", "-1")},""" +
+        s""""query_p95_ms":${r4N.getOrElse("BENCH_P95_MS", "-1")},"""
+      }
+
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s""""query_runs_sec":$qRuns,"query_rounds":$QueryRounds,"sf":"$sfDir",""" +
+      s""""build_docs":$buildDocs,""" + ladderJson + s""""query_k":250}"""
+
+    // stdout for the driver AND a side file as the canonical
+    // machine-readable record — sbt wraps stdout in "[info] " prefixes,
+    // which broke the driver's strict line parser (round-2 review:
+    // BENCH_r02.json carried `parsed: null`)
+    println(json)
+    val outPath = java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json"))
+    java.nio.file.Files.write(outPath,
+      (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
   }
 }

@@ -35,9 +35,11 @@ object TweetIndex {
       .map { case (id, ft, rq, q, ts) =>
         (id, TweetProfile.concatenateTweets(ft, rq, q), ts) }
       .toDF("doc_id", "text", "ingest_ts")
-    val postings = TweetProfile.capitalEntityFold(spark, textDf)
-      .select($"term", $"doc_id".as("docId"), $"tf".cast("int").as("tf"),
-        $"dl".cast("int").as("dl"), $"ts")
-    Build.runFromPostings(spark, postings, indexDir, cfg)
+    TweetProfile.capitalEntityFold(spark, textDf) { folded =>
+      val postings = folded
+        .select($"term", $"doc_id".as("docId"), $"tf".cast("int").as("tf"),
+          $"dl".cast("int").as("dl"), $"ts")
+      Build.runFromPostings(spark, postings, indexDir, cfg)
+    }
   }
 }

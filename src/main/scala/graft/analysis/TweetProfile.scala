@@ -80,12 +80,19 @@ object TweetProfile {
   /** The A6 two-pass fold over a (doc_id, text[, ingest_ts]) corpus:
     * pass 1 aggregates "ever seen lowercase" per upper(term) and entity
     * counts; pass 2 rewrites terms and prunes singleton entities.
-    * Returns final (doc_id, term, tf, dl, ts) — order-independent,
+    * The fold result is (doc_id, term, tf, dl, ts) — order-independent,
     * unlike the reference's merge-order-dependent mutation. dl is the
     * pre-fold alpha-token count (the profile's A2 doc length) and ts the
     * optional ingest timestamp, so the output plugs straight into
-    * Build.runFromPostings. */
-  def capitalEntityFold(spark: SparkSession, docs: DataFrame): DataFrame = {
+    * Build.runFromPostings.
+    *
+    * Scoped-continuation shape: the tokenize pass feeds FOUR consumers
+    * (two pass-1 aggregates, two pass-2 streams), so it is cached for
+    * the duration of `use` and unpersisted before returning — repeated
+    * folds in one session leave no block-manager residue (round-2
+    * review: the cache was never released). */
+  def capitalEntityFold[T](spark: SparkSession, docs: DataFrame)
+                          (use: DataFrame => T): T = {
     import spark.implicits._
     val tsCol =
       if (docs.columns.contains("ingest_ts")) $"ingest_ts".cast("long")
@@ -121,9 +128,10 @@ object TweetProfile {
         size($"terms").as("dl"), $"ts")
       .join(liveEntities, $"term" === $"entity")
       .select($"doc_id", $"term", $"dl", $"ts")
-    termRows.union(entityRows)
+    val out = termRows.union(entityRows)
       .groupBy($"doc_id", $"term")
       .agg(count(lit(1)).as("tf"), first($"dl").as("dl"),
         first($"ts").as("ts"))
+    try use(out) finally emitted.unpersist(blocking = false)
   }
 }

@@ -25,12 +25,21 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * vector (bit-for-bit, so the DuckDB oracle hash still matches): each
   * float is widened to double, dot and both norms accumulate in
   * ascending index order, and the result is dot / (sqrt(na) * sqrt(nb)).
-  * Extra elements of the longer input are ignored (fixed-dim embeddings
-  * never differ). ONE deliberate difference: a zero-norm (or empty)
-  * vector yields NaN — IEEE 0/0 — where the HOF form under Spark's
-  * default ANSI mode throws DIVIDE_BY_ZERO mid-job; NaN is the
-  * conventional "similarity undefined" answer and keeps a single bad
-  * vector from failing a corpus-wide pass (spec-pinned). */
+  *
+  * Documented divergences from the HOF form (all spec-pinned):
+  *  1. zero-norm (or empty) vector → NaN — IEEE 0/0 — where the HOF
+  *     under Spark's default ANSI mode throws DIVIDE_BY_ZERO mid-job;
+  *     NaN is the conventional "similarity undefined" answer and keeps
+  *     one bad vector from failing a corpus-wide pass;
+  *  2. length mismatch → extra elements of the longer input are IGNORED
+  *     (the HOF's zip_with null-pads and yields NULL). Fixed-dim
+  *     embedding tables never hit this; the tail-ignore keeps the hot
+  *     loop branch-free;
+  *  3. NULL array ELEMENT → NULL result, exactly like the HOF (never
+  *     silently treated as 0.0). The per-element null check is emitted
+  *     ONLY when the child schema says elements can be null
+  *     (containsNull) — nullable-free columns keep the branch-free
+  *     loop. */
 case class CosineSimilarity(left: Expression, right: Expression)
     extends BinaryExpression {
 
@@ -47,6 +56,17 @@ case class CosineSimilarity(left: Expression, right: Expression)
   override def dataType: DataType = DoubleType
   override def prettyName: String = "graft_cosine"
 
+  private def elemsNullable(t: DataType): Boolean = t match {
+    case ArrayType(_, cn) => cn
+    case _ => false
+  }
+  private lazy val checkElems =
+    elemsNullable(left.dataType) || elemsNullable(right.dataType)
+  // a null ELEMENT produces a null result even when both columns are
+  // themselves non-nullable
+  override def nullable: Boolean =
+    left.nullable || right.nullable || checkElems
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
@@ -54,6 +74,7 @@ case class CosineSimilarity(left: Expression, right: Expression)
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     while (i < n) {
+      if (checkElems && (x.isNullAt(i) || y.isNullAt(i))) return null
       val xi = x.getFloat(i).toDouble
       val yi = y.getFloat(i).toDouble
       dot += xi * yi; na += xi * xi; nb += yi * yi
@@ -71,15 +92,24 @@ case class CosineSimilarity(left: Expression, right: Expression)
       val nb = ctx.freshName("nb")
       val xi = ctx.freshName("xi")
       val yi = ctx.freshName("yi")
+      // emitted only for schemas that can hold null elements — the
+      // common containsNull=false case keeps the branch-free loop
+      val nullCheck =
+        if (checkElems)
+          s"if ($x.isNullAt($i) || $y.isNullAt($i)) { ${ev.isNull} = true; break; }"
+        else ""
       s"""
          |int $n = Math.min($x.numElements(), $y.numElements());
          |double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
+         |  $nullCheck
          |  double $xi = (double) $x.getFloat($i);
          |  double $yi = (double) $y.getFloat($i);
          |  $dot += $xi * $yi; $na += $xi * $xi; $nb += $yi * $yi;
          |}
-         |${ev.value} = $dot / (Math.sqrt($na) * Math.sqrt($nb));
+         |if (!${ev.isNull}) {
+         |  ${ev.value} = $dot / (Math.sqrt($na) * Math.sqrt($nb));
+         |}
        """.stripMargin
     })
 

@@ -62,7 +62,8 @@ object Build {
       stagingCodec: String = "uncompressed",
       verifySha: Boolean = true,
       heavySampleFraction: Double = 1.0,
-      tokenizer: Tokenizer.Config = Tokenizer.default) {
+      tokenizer: Tokenizer.Config = Tokenizer.default,
+      spellIndex: Boolean = true) {
     require(Set("parquet", "cache", "none")(stagingMode),
       s"unknown stagingMode $stagingMode")
   }
@@ -341,6 +342,31 @@ object Build {
         .groupBy($"term")
         .agg(sum($"df").cast("long").as("df"), sum($"cf").cast("long").as("cf"))
         .write.mode(SaveMode.Overwrite).parquet(s"$indexDir/term_stats")
+    }
+
+    // ---- spell artifact: the SymSpell delete-variant index, built ONCE
+    // here (the vocab is already in hand as term_stats) and persisted
+    // beside it — engines load it with one sequential read instead of
+    // each driver/executor JVM re-deriving it on its first unknown-term
+    // miss (and scan-mode engines paying a vocab collect). The entry
+    // budget is checked with a vocab-sized AGGREGATE first; an extreme
+    // vocabulary skips the artifact and engines keep their bounded
+    // fallback — same guard the lazy path applies, moved to build time.
+    if (cfg.spellIndex) phase("spell-index") {
+      val lenCol = length($"term").cast("long")
+      val entryEst = spark.read.parquet(s"$indexDir/term_stats")
+        .select((lit(1L) + lenCol +
+          when(lenCol <= lit(graft.query.Spell.DeleteIndex.MaxLen2.toLong),
+            // len*(len-1) is even, so the double division is exact
+            (lenCol * (lenCol - lit(1L)) / 2).cast("long"))
+            .otherwise(lit(0L))).as("e"))
+        .agg(coalesce(sum($"e"), lit(0L))).head().getLong(0)
+      if (entryEst <= graft.query.EngineCore.MaxSpellIndexEntries) {
+        val vocab = spark.read.parquet(s"$indexDir/term_stats")
+          .select($"term", $"df").as[(String, Long)].collect()
+        graft.query.SpellStore.write(s"$indexDir/spell",
+          graft.query.Spell.DeleteIndex.build(vocab))
+      }
     }
 
     // A9: numbers-in-corpus counter (reference persists

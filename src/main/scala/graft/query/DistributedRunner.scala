@@ -52,13 +52,20 @@ object DistributedRunner {
     val core = new EngineCore(r.getLong(0), r.getDouble(1), scale,
       tieAware, new ArrayTsSource(tsIds, tsVals),
       Engine.loadResolver(spark, indexDir), s"$indexDir/segments",
-      tokCfg, pruneSingletons, spell)
+      tokCfg, pruneSingletons, spell, spellDir = s"$indexDir/spell")
     val bc = spark.sparkContext.broadcast(core)
     val kc = math.min(k, 2000) // reference hard cap (ranker.py:48-49)
     queries.select($"query_num".cast("int"), $"query".cast("string"))
       .as[(Int, String)]
       .mapPartitions[(Int, Long, Int, Double)] { (it: Iterator[(Int, String)]) =>
         val eng = bc.value
+        // release this task thread's segment-reader handles at task end:
+        // repeated run() calls broadcast fresh cores, and without the
+        // hook each core would pin one handle set per task thread for
+        // the executor's lifetime (round-2 advice). Within the task the
+        // handle cache still amortizes across the query slice.
+        Option(org.apache.spark.TaskContext.get()).foreach(
+          _.addTaskCompletionListener[Unit](_ => eng.closeThreadReader()))
         it.flatMap { case (qn, q) =>
           eng.searchWand(q, kc).iterator.zipWithIndex.map {
             case ((id, s), i) => (qn, id, i + 1, s)

@@ -26,7 +26,8 @@ final class Engine(spark: SparkSession, indexDir: String,
                    tokCfg: Tokenizer.Config = Tokenizer.default,
                    pruneSingletons: Boolean = true,
                    preload: Boolean = false,
-                   spell: Boolean = true) {
+                   spell: Boolean = true,
+                   eagerSpell: Boolean = false) {
   import spark.implicits._
 
   val (nDocs, avgdl, boundScale, tsMin, tsMax) = {
@@ -90,7 +91,10 @@ final class Engine(spark: SparkSession, indexDir: String,
 
   private val core = new EngineCore(nDocs, avgdl, boundScale,
     tsMax != tsMin, tsSource, resolver, s"$indexDir/segments",
-    tokCfg, pruneSingletons, spell)
+    tokCfg, pruneSingletons, spell, spellDir = s"$indexDir/spell")
+  // eagerSpell: pay the artifact load (or build) at construction so no
+  // user query hides a multi-second first-miss spike (round-2 advice)
+  if (eagerSpell) core.warmSpell()
 
   def lookup(queryTerms: Map[String, Int]): Seq[TermPostings] =
     core.lookup(queryTerms)

@@ -72,17 +72,44 @@ final class EngineCore(
     val nDocs: Long, val avgdl: Double, val boundScale: Double,
     val tieAware: Boolean, tsSource: TsSource,
     resolver: TermResolver, segmentsDir: String,
-    tokCfg: Tokenizer.Config, pruneSingletons: Boolean, spell: Boolean)
+    tokCfg: Tokenizer.Config, pruneSingletons: Boolean, spell: Boolean,
+    spellDir: String = "")
     extends Serializable {
 
   /** Per-thread segment readers: one broadcast core instance serves all
     * of an executor's task threads concurrently, and SegmentReader's
     * stream-handle cache + seek/read pattern is single-threaded state.
-    * Bounded by the executor's task-thread pool. */
+    * Bounded by the executor's task-thread pool; every materialized
+    * reader is tracked so close() releases ALL of them, not just the
+    * calling thread's (round-2 review: a multi-threaded driver leaked
+    * the other threads' handles). */
+  @transient private lazy val allReaders =
+    new java.util.concurrent.ConcurrentLinkedQueue[graft.index.SegmentReader]()
   @transient private lazy val readerTL =
-    ThreadLocal.withInitial[graft.index.SegmentReader](() =>
-      new graft.index.SegmentReader(segmentsDir))
-  private def reader: graft.index.SegmentReader = readerTL.get()
+    new ThreadLocal[graft.index.SegmentReader]()
+  private def reader: graft.index.SegmentReader = {
+    var r = readerTL.get()
+    if (r == null) {
+      r = new graft.index.SegmentReader(segmentsDir)
+      allReaders.add(r)
+      readerTL.set(r)
+    }
+    r
+  }
+
+  /** Close and drop the CALLING thread's reader (if any) — hooked to
+    * task completion by DistributedRunner so executor task threads don't
+    * accumulate one handle set per broadcast core across jobs; the next
+    * task on this thread re-opens its (few, segment-count-bounded)
+    * streams. */
+  def closeThreadReader(): Unit = {
+    val r = readerTL.get()
+    if (r != null) {
+      readerTL.remove()
+      allReaders.remove(r)
+      r.close()
+    }
+  }
 
   @transient private lazy val tsArrays: (Array[Long], Array[Long]) =
     if (tieAware) tsSource.load() else (Array.emptyLongArray, Array.emptyLongArray)
@@ -104,15 +131,21 @@ final class EngineCore(
       ct > it || (ct == it && candId < incId)
     })
 
-  /** Spell machinery for unknown terms: a SymSpell-style delete-variant
-    * index built LAZILY on the first miss from the resolver's stats
-    * (generating the full edit-2 string neighborhood per miss measured
-    * 50-190 ms on a 150k vocab — the index answers in ~1 ms); only a
-    * resolver that refuses the stats load (extreme vocab) degrades to
-    * the bounded generate-and-probe fallback. Corrections are memoized
-    * per JVM — they are pure given the frozen dictionary. */
-  @transient private lazy val deleteIdx: Option[Spell.DeleteIndex] =
-    resolver.allStats.flatMap { m =>
+  /** Spell machinery for unknown terms: the SymSpell-style delete-variant
+    * index, resolved in preference order —
+    *  1. the persisted BUILD artifact (`$indexDir/spell`, written once at
+    *     index-build time): one sequential read, so a cold executor's
+    *     first-miss correction latency ≈ warm latency;
+    *  2. lazily built from the resolver's stats (pre-artifact indexes;
+    *     generating the full edit-2 string neighborhood per miss measured
+    *     50-190 ms on a 150k vocab — the index answers in ~1 ms);
+    *  3. a resolver that refuses the stats load (extreme vocab) degrades
+    *     to the bounded generate-and-probe fallback.
+    * Corrections are memoized per JVM — pure given the frozen dict. */
+  @transient private lazy val deleteIdx: Option[Spell.DeleteIndex] = {
+    val fromArtifact =
+      if (spellDir.nonEmpty) SpellStore.load(spellDir) else None
+    fromArtifact.orElse(resolver.allStats.flatMap { m =>
       // guard on the INDEX size, not the stats-map size: the delete
       // index holds ~1 + len + len²/2 variant entries per term, two
       // orders of magnitude more than the (term, df) map — a vocab that
@@ -127,7 +160,13 @@ final class EngineCore(
       }
       if (entries > EngineCore.MaxSpellIndexEntries) None
       else Some(Spell.DeleteIndex.build(m))
-    }
+    })
+  }
+
+  /** Force spell-index materialization now (artifact load or build) so
+    * the cost lands at a predictable moment instead of inside the first
+    * corrected query's latency. */
+  def warmSpell(): Unit = if (spell) { deleteIdx; () }
   @transient private lazy val spellMemo =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def correctionOf(t: String): String = {
@@ -194,7 +233,14 @@ final class EngineCore(
     }
   }
 
-  def close(): Unit = reader.close()
+  def close(): Unit = {
+    var r = allReaders.poll()
+    while (r != null) {
+      try r.close() catch { case _: Exception => () }
+      r = allReaders.poll()
+    }
+    readerTL.remove()
+  }
 
   /** Exhaustive BM25: decode every posting of every query term, score all
     * matching docs, exact top-k. The oracle for WAND rank identity. */

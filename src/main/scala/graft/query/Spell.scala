@@ -140,12 +140,54 @@ object Spell {
     * so crowded variants keep exactly the candidates an argmax-df policy
     * could pick. */
   final class DeleteIndex private (terms: Array[String], dfs: Array[Long],
-                                   map: java.util.HashMap[java.lang.Long, Array[Int]]) {
+                                   map: java.util.HashMap[java.lang.Long, Array[Int]],
+                                   truncated: java.util.HashSet[java.lang.Long]) {
+
+    /** Buckets that hit the list cap at build time. A truncated bucket
+      * keeps its 4096 HIGHEST-df members, but the sole distance-1
+      * candidate for some query could in principle be the evicted one —
+      * queries whose variant set touches a truncated bucket therefore
+      * take the exact generate-and-probe fallback below instead of
+      * silently diverging from the argmax-df-at-min-distance policy. */
+    def nTruncatedBuckets: Int = truncated.size()
+
+    private def touchesTruncated(q: String): Boolean = {
+      if (truncated.isEmpty) return false
+      val vs = DeleteIndex.variants(q)
+      var i = 0
+      while (i < vs.length) {
+        if (truncated.contains(vs(i))) return true
+        i += 1
+      }
+      false
+    }
+
+    /** Self-contained vocab lookup for the exact fallback (the index
+      * already carries every (term, df)). */
+    @transient private lazy val byTerm: java.util.HashMap[String, java.lang.Long] = {
+      val m = new java.util.HashMap[String, java.lang.Long](terms.length * 2)
+      var i = 0
+      while (i < terms.length) { m.put(terms(i), dfs(i)); i += 1 }
+      m
+    }
+
+    private def exactFallback(q: String): String =
+      Spell.correct2(q, cands => {
+        val out = Map.newBuilder[String, Long]
+        cands.foreach { c =>
+          val d = byTerm.get(c)
+          if (d != null) out += c -> d.longValue()
+        }
+        out.result()
+      })
 
     /** Reference policy over the index: known → unchanged; else argmax
       * df among distance-1 candidates; else among distance-2; ties
-      * lexicographic; none → unchanged. */
+      * lexicographic; none → unchanged. Queries touching a truncated
+      * bucket route to the exact generate-and-probe path (same policy,
+      * immune to capped-list eviction). */
     def correct(q: String): String = {
+      if (touchesTruncated(q)) return exactFallback(q)
       val cands = new java.util.HashSet[Integer]()
       DeleteIndex.variants(q).foreach { h =>
         val hit = map.get(h)
@@ -171,9 +213,37 @@ object Spell {
       }
       if (best == null) q else best
     }
+
+    /** Binary artifact dump (format DeleteIndex.Magic): vocabulary, the
+      * variant-hash posting map, and the truncated-bucket set. Written
+      * once at index-build time; an executor materializes the whole
+      * structure with one sequential read instead of re-hashing every
+      * vocab term's O(len²) delete neighborhood per JVM. */
+    def save(out: java.io.DataOutputStream): Unit = {
+      out.writeInt(DeleteIndex.Magic)
+      out.writeInt(terms.length)
+      var i = 0
+      while (i < terms.length) {
+        out.writeUTF(terms(i)); out.writeLong(dfs(i)); i += 1
+      }
+      out.writeInt(map.size())
+      val it = map.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        out.writeLong(e.getKey.longValue())
+        val v = e.getValue
+        out.writeInt(v.length)
+        var j = 0
+        while (j < v.length) { out.writeInt(v(j)); j += 1 }
+      }
+      out.writeInt(truncated.size())
+      val tit = truncated.iterator()
+      while (tit.hasNext) out.writeLong(tit.next().longValue())
+    }
   }
 
   object DeleteIndex {
+    val Magic = 0x47535031 // "GSP1"
     /** Longest term that gets 2-delete variants (len²/2 of them); longer
       * terms index only 1-deletes — so queries beyond this length have
       * edit-1 reach only (a DOCUMENTED approximation: correcting a
@@ -226,12 +296,14 @@ object Spell {
       arr
     }
 
-    def build(vocab: Iterable[(String, Long)]): DeleteIndex = {
+    def build(vocab: Iterable[(String, Long)],
+              maxListLen: Int = MaxListLen): DeleteIndex = {
       // df-desc insertion order => capped lists keep the argmax-df picks
       val sorted = vocab.toArray.sortBy { case (t, df) => (-df, t) }
       val terms = sorted.map(_._1)
       val dfs = sorted.map(_._2)
       val map = new java.util.HashMap[java.lang.Long, Array[Int]](terms.length * 4)
+      val truncated = new java.util.HashSet[java.lang.Long]()
       var idx = 0
       while (idx < terms.length) {
         val vs = variants(terms(idx))
@@ -240,16 +312,44 @@ object Spell {
           val key = java.lang.Long.valueOf(vs(v))
           val cur = map.get(key)
           if (cur == null) map.put(key, Array(idx))
-          else if (cur.length < MaxListLen) {
+          else if (cur.length < maxListLen) {
             val nw = java.util.Arrays.copyOf(cur, cur.length + 1)
             nw(cur.length) = idx
             map.put(key, nw)
-          }
+          } else truncated.add(key) // observable: these route to exact fallback
           v += 1
         }
         idx += 1
       }
-      new DeleteIndex(terms, dfs, map)
+      new DeleteIndex(terms, dfs, map, truncated)
+    }
+
+    /** Load an artifact written by [[DeleteIndex.save]]. */
+    def load(in: java.io.DataInputStream): DeleteIndex = {
+      val magic = in.readInt()
+      require(magic == Magic, f"bad spell-index magic 0x$magic%08x")
+      val n = in.readInt()
+      val terms = new Array[String](n)
+      val dfs = new Array[Long](n)
+      var i = 0
+      while (i < n) { terms(i) = in.readUTF(); dfs(i) = in.readLong(); i += 1 }
+      val nKeys = in.readInt()
+      val map = new java.util.HashMap[java.lang.Long, Array[Int]](nKeys * 2)
+      var k = 0
+      while (k < nKeys) {
+        val key = in.readLong()
+        val len = in.readInt()
+        val arr = new Array[Int](len)
+        var j = 0
+        while (j < len) { arr(j) = in.readInt(); j += 1 }
+        map.put(key, arr)
+        k += 1
+      }
+      val nTrunc = in.readInt()
+      val truncated = new java.util.HashSet[java.lang.Long](nTrunc * 2 + 16)
+      var t = 0
+      while (t < nTrunc) { truncated.add(in.readLong()); t += 1 }
+      new DeleteIndex(terms, dfs, map, truncated)
     }
   }
 }

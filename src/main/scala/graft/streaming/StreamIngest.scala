@@ -37,7 +37,15 @@ object StreamIngest {
   }
 
   /** Running term statistics via per-term state (df, cf), emitting an
-    * update per term per micro-batch. */
+    * update per term per micro-batch.
+    *
+    * State bound (explicit): EXACT running totals need one state entry
+    * per distinct term ever seen — state is VOCABULARY-sized, not
+    * stream-length-sized, which is the same sublinear bound the batch
+    * build's term_stats carries and is the correct cost of exact df/cf.
+    * A deployment that cannot carry full-vocab state trades exactness
+    * for a bound with [[termStatsStreamTtl]] instead; the pipeline
+    * front door (`cleanStream`) is already watermark-bounded. */
   def termStatsStream(docs: Dataset[DocEvent],
                       cfg: Tokenizer.Config = Tokenizer.default): Dataset[TermUpdate] = {
     import docs.sparkSession.implicits._
@@ -51,6 +59,56 @@ object StreamIngest {
           rows.foreach { r => df += 1; cf += r._3 }
           state.update((df, cf))
           TermUpdate(term, df, cf)
+      }
+  }
+
+  /** TTL-bounded variant of [[termStatsStream]]: a term idle for `ttl`
+    * of EVENT time has its state EXPIRED (flatMapGroupsWithState +
+    * EventTimeTimeout riding the stream's watermark), so state is
+    * bounded by the active vocabulary inside the TTL horizon instead of
+    * the all-time one. The documented trade: an expired term that
+    * reappears RESTARTS its counts — long-tail stats become
+    * horizon-local approximations while hot-term stats stay effectively
+    * exact (hot terms never idle long enough to expire).
+    *
+    * Event-time (not processing-time) timers on purpose: processing-time
+    * timers make the engine schedule no-data micro-batches continuously
+    * while any timer is pending — a full state-store scan per trigger on
+    * an IDLE stream, forever. Event-time timers fire inside the data
+    * batches that advance the watermark, so an idle stream costs
+    * nothing and expiry is deterministic against the stream's own
+    * clock. */
+  def termStatsStreamTtl(docs: Dataset[DocEvent], ttl: String,
+                         watermarkDelay: String = "10 minutes",
+                         cfg: Tokenizer.Config = Tokenizer.default): Dataset[TermUpdate] = {
+    import docs.sparkSession.implicits._
+    postingsStream(docs, cfg)
+      .withWatermark("ts", watermarkDelay)
+      .as[(String, Long, Int, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Long), TermUpdate](
+        OutputMode.Update, GroupStateTimeout.EventTimeTimeout) {
+        case (term, rows, state: GroupState[(Long, Long)]) =>
+          if (state.hasTimedOut) {
+            state.remove() // idle past TTL: drop state, emit nothing
+            Iterator.empty
+          } else {
+            val (df0, cf0) = state.getOption.getOrElse((0L, 0L))
+            var df = df0; var cf = cf0
+            var maxTs = Long.MinValue
+            rows.foreach { r =>
+              df += 1; cf += r._3
+              maxTs = math.max(maxTs, r._4.getTime)
+            }
+            state.update((df, cf))
+            // timer = last-seen event time + ttl; clamped above the
+            // current watermark (a timestamp at-or-below it is illegal,
+            // reachable only via a late row straggling in under the
+            // watermark delay)
+            val base = math.max(maxTs, state.getCurrentWatermarkMs + 1)
+            state.setTimeoutTimestamp(base, ttl)
+            Iterator.single(TermUpdate(term, df, cf))
+          }
       }
   }
 

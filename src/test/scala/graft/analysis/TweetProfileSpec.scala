@@ -37,6 +37,7 @@ class TweetProfileSpec extends SparkSpec {
 
   test("A6: always-capitalized stays UPPER; ever-lowercase folds; singleton entities dropped") {
     import spark.implicits._
+    val persistedBefore = spark.sparkContext.getPersistentRDDs.keySet
     val docs = Seq(
       (0L, "Obama met Apple executives"),
       (1L, "the apple fell"),
@@ -44,8 +45,8 @@ class TweetProfileSpec extends SparkSpec {
       (3L, "New York is large"),
       (4L, "New York again")
     ).toDF("doc_id", "text")
-    val out = TweetProfile.capitalEntityFold(spark, docs)
-      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val out = TweetProfile.capitalEntityFold(spark, docs)(
+      _.collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))))
     val terms = out.map(_._2).toSet
     // Obama never lowercase -> OBAMA
     assert(terms.contains("OBAMA") && !terms.contains("obama"))
@@ -57,9 +58,12 @@ class TweetProfileSpec extends SparkSpec {
     val entRows = out.filter(_._2 == "New York")
     assert(entRows.map(_._1).toSet == Set(3L, 4L))
     // deterministic across reruns
-    val again = TweetProfile.capitalEntityFold(spark, docs)
-      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val again = TweetProfile.capitalEntityFold(spark, docs)(
+      _.collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))))
     assert(out.sortBy(t => (t._1, t._2)).toSeq == again.sortBy(t => (t._1, t._2)).toSeq)
+    // scoped cache lifecycle: repeated folds leave no block-manager residue
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- persistedBefore
+    assert(leaked.isEmpty, s"fold cache leaked RDDs: $leaked")
   }
 
   test("A6 end-to-end: tweet-profile index builds through Build/Engine and answers queries") {

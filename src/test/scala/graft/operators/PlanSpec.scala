@@ -134,6 +134,26 @@ class PlanSpec extends SparkSpec {
     assert(got(2) == 1.0)
   }
 
+  test("native cosine: NULL array element yields NULL (like the HOF), never a silent 0.0") {
+    import org.apache.spark.sql.functions._
+    // array() literals carry containsNull=true -> the checked loop path
+    val df = spark.sql(
+      """SELECT array(cast(1.0 as float), cast(null as float)) AS embedding,
+        |       array(cast(1.0 as float), cast(2.0 as float)) AS qe
+        |UNION ALL
+        |SELECT array(cast(1.0 as float), cast(0.0 as float)),
+        |       array(cast(1.0 as float), cast(null as float))
+        |UNION ALL
+        |SELECT array(cast(3.0 as float), cast(0.0 as float)),
+        |       array(cast(2.0 as float), cast(0.0 as float))""".stripMargin)
+    val got = df.select(
+      graft.functions.CosineSimilarity.cosine(col("embedding"), col("qe")).as("c"))
+      .collect()
+    assert(got(0).isNullAt(0), "null element in left must yield NULL")
+    assert(got(1).isNullAt(0), "null element in right must yield NULL")
+    assert(got(2).getDouble(0) == 1.0)
+  }
+
   test("q15 ANN: query side broadcasts; big side has no shuffle before top-k") {
     val p = plan(Similarity.annBruteForce(spark, dir))
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"))

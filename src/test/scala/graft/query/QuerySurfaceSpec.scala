@@ -81,6 +81,88 @@ class QuerySurfaceSpec extends SparkSpec {
     }
   }
 
+  test("truncated delete-index buckets route to the exact fallback — policy never diverges") {
+    // force MASSIVE truncation (every list capped at 1 entry): the capped
+    // index must still answer every probe exactly like generate-and-probe
+    // correct2, because queries touching a truncated bucket take the
+    // exact fallback instead of trusting the capped list (round-2 advice:
+    // a crowded bucket could otherwise evict the sole distance-1
+    // candidate and silently change the correction)
+    val r = new scala.util.Random(13)
+    val vocab: Map[String, Long] =
+      ((0 until 200).map(i => graft.corpus.Synth.coldTerm(i) -> (1L + r.nextInt(500))) ++
+        Seq("spark" -> 100L, "quartz" -> 7L, "a" -> 3L, "ab" -> 9L,
+          "ac" -> 9L, "bc" -> 4L)).toMap
+    val capped = Spell.DeleteIndex.build(vocab, maxListLen = 1)
+    assert(capped.nTruncatedBuckets > 0, "cap=1 must truncate buckets")
+    def batch(cs: Seq[String]) = cs.flatMap(c => vocab.get(c).map(c -> _)).toMap
+    val probes = vocab.keys.take(30).toSeq ++
+      Seq("spork", "quare", "aa", "b", "zz", "abq", "zzzzzzzz") ++
+      (0 until 40).map { i =>
+        val t = graft.corpus.Synth.coldTerm(i)
+        if (i % 2 == 0) t.drop(1) else t.updated(t.length / 2, 'q')
+      }
+    probes.foreach { q =>
+      assert(capped.correct(q) == Spell.correct2(q, batch),
+        s"capped index diverged from policy for '$q'")
+    }
+  }
+
+  test("spell artifact round-trips through SpellStore byte-stream with identical corrections") {
+    val r = new scala.util.Random(17)
+    val vocab: Map[String, Long] =
+      ((0 until 150).map(i => graft.corpus.Synth.coldTerm(i) -> (1L + r.nextInt(500))) ++
+        Seq("spark" -> 100L, "quartz" -> 7L)).toMap
+    val ix = Spell.DeleteIndex.build(vocab)
+    val d = tmpDir("graft-spellstore")
+    SpellStore.write(d, ix)
+    val loaded = SpellStore.load(d).getOrElse(fail("artifact not loadable"))
+    val probes = vocab.keys.take(30).toSeq ++
+      Seq("spork", "spirk", "quare", "zzzzzzzz", "ca", "ac") ++
+      (0 until 40).map(i => graft.corpus.Synth.coldTerm(i).drop(1))
+    probes.foreach { q =>
+      assert(loaded.correct(q) == ix.correct(q), s"round-trip drift for '$q'")
+    }
+    assert(SpellStore.load(tmpDir("graft-nospell")).isEmpty) // missing => None
+  }
+
+  test("index build persists the spell artifact; a cold core corrects WITHOUT any vocab load") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "gamma gamma gamma delta"), (1L, "gamma epsilon"),
+      (2L, "gamma delta")).toDF("doc_id", "content")
+    val idx = tmpDir("graft-spellartifact-index")
+    Build.run(spark, docs, idx, Build.Config(numPartitions = 2,
+      verifySha = false, tokenizer = Tokenizer.plainCfg))
+    assert(graft.index.SegmentStore.fs(idx)
+      .exists(SpellStore.path(s"$idx/spell")), "build must write the artifact")
+    // a resolver that REFUSES the stats load: before the artifact, this
+    // forced the bounded generate-and-probe path (and executors paid a
+    // per-JVM rebuild); now the artifact alone must serve corrections
+    val full = Engine.loadResolver(spark, idx)
+    val noStats = new TermResolver {
+      def dfBatch(cands: Seq[String]) = full.dfBatch(cands)
+      def dictEntries(terms: Seq[String]) = full.dictEntries(terms)
+      def allStats: Option[Map[String, Long]] = None
+    }
+    val cs = spark.read.parquet(s"$idx/corpus_stats")
+      .select($"n_docs", $"avgdl").head()
+    val core = new EngineCore(cs.getLong(0), cs.getDouble(1), 1.0,
+      tieAware = false, new ArrayTsSource(Array.empty, Array.empty),
+      noStats, s"$idx/segments", Tokenizer.plainCfg,
+      pruneSingletons = false, spell = true, spellDir = s"$idx/spell")
+    core.warmSpell() // the eager knob: cost lands here, not in a query
+    // edit-1 and edit-2 corrections resolve purely from the artifact
+    assert(core.searchWand("gamm", 10).map(_._1).toSet == Set(0L, 1L, 2L))
+    assert(core.searchWand("gamxx", 10).map(_._1).toSet == Set(0L, 1L, 2L))
+    core.close()
+    // the driver Engine's eagerSpell knob drives the same path
+    val eng = new Engine(spark, idx, Tokenizer.plainCfg,
+      pruneSingletons = false, preload = false, eagerSpell = true)
+    assert(eng.searchWand("gamm", 10).map(_._1).toSet == Set(0L, 1L, 2L))
+    eng.close()
+  }
+
   test("isOneEdit is EXACTLY membership in edits1 (randomized, incl. digits/punct)") {
     val r = new scala.util.Random(11)
     val chars = "abcz_1.K-"

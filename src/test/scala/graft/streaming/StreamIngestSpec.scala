@@ -36,6 +36,42 @@ class StreamIngestSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("TTL term stats expire idle state: an expired term restarts its counts") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[StreamIngest.DocEvent]
+    // event-time TTL: expiry is driven by the data's own timestamps —
+    // no sleeps, no processing-time busy-batches. Timer = last event ts
+    // + 30s; it fires in the first batch that STARTS with the watermark
+    // (delay 5s) past it. A key with new data in a batch is never
+    // "timed out" in that same batch, so the expiry sweep needs a batch
+    // of other terms before alpha returns.
+    val updates = StreamIngest.termStatsStreamTtl(input.toDS(), ttl = "30 seconds",
+      watermarkDelay = "5 seconds", cfg = Tokenizer.plainCfg)
+    val q = updates.writeStream.format("memory").queryName("ttl_updates")
+      .outputMode(OutputMode.Update).start()
+    try {
+      input.addData(StreamIngest.DocEvent(0, "alpha beta", ts(100)))
+      q.processAllAvailable() // alpha/beta timer = 130s; watermark -> 95s
+      input.addData(StreamIngest.DocEvent(1, "gamma", ts(200)))
+      q.processAllAvailable() // starts at wm 95s (timer alive); wm -> 195s
+      input.addData(StreamIngest.DocEvent(2, "delta", ts(210)))
+      q.processAllAvailable() // starts at wm 195s > 130s: alpha/beta EXPIRE
+      input.addData(StreamIngest.DocEvent(3, "alpha", ts(300)))
+      q.processAllAvailable() // state was removed: df restarts at 1
+      val alphaDfs = spark.sql(
+        "SELECT df FROM ttl_updates WHERE term = 'alpha' ORDER BY df")
+        .collect().map(_.getLong(0)).toSeq
+      // two updates, BOTH df=1: the second did not resume from the first
+      assert(alphaDfs == Seq(1L, 1L), s"expected restart after TTL, got $alphaDfs")
+      // beta never returned after expiry: exactly its one original update
+      val betaDfs = spark.sql(
+        "SELECT df FROM ttl_updates WHERE term = 'beta'")
+        .collect().map(_.getLong(0)).toSeq
+      assert(betaDfs == Seq(1L), s"got $betaDfs")
+    } finally q.stop()
+  }
+
   test("watermarked ingest-rate windows aggregate docs and tokens") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
