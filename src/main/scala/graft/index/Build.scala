@@ -348,26 +348,30 @@ object Build {
     // here (the vocab is already in hand as term_stats) and persisted
     // beside it — engines load it with one sequential read instead of
     // each driver/executor JVM re-deriving it on its first unknown-term
-    // miss (and scan-mode engines paying a vocab collect). The entry
-    // budget is checked with a vocab-sized AGGREGATE first; an extreme
+    // miss (and scan-mode engines paying a vocab collect). Guards:
+    // vocab ROW count from parquet metadata caps the driver collect
+    // (same 2M budget as the scan resolver), then the exact entry
+    // estimate runs in memory on the collected rows — the same check
+    // the engine's lazy path applies, moved to build time; an extreme
     // vocabulary skips the artifact and engines keep their bounded
-    // fallback — same guard the lazy path applies, moved to build time.
-    if (cfg.spellIndex) phase("spell-index") {
-      val lenCol = length($"term").cast("long")
-      val entryEst = spark.read.parquet(s"$indexDir/term_stats")
-        .select((lit(1L) + lenCol +
-          when(lenCol <= lit(graft.query.Spell.DeleteIndex.MaxLen2.toLong),
-            // len*(len-1) is even, so the double division is exact
-            (lenCol * (lenCol - lit(1L)) / 2).cast("long"))
-            .otherwise(lit(0L))).as("e"))
-        .agg(coalesce(sum($"e"), lit(0L))).head().getLong(0)
-      if (entryEst <= graft.query.EngineCore.MaxSpellIndexEntries) {
-        val vocab = spark.read.parquet(s"$indexDir/term_stats")
-          .select($"term", $"df").as[(String, Long)].collect()
-        graft.query.SpellStore.write(s"$indexDir/spell",
-          graft.query.Spell.DeleteIndex.build(vocab))
+    // fallback. Runs as a FUTURE overlapped with the remaining small
+    // phases (A9 counter, corpus_stats, marker reads) — the artifact
+    // build is driver-side CPU while those are Spark jobs.
+    val spellF = scala.concurrent.Future {
+      if (cfg.spellIndex) phase("spell-index") {
+        val stats = spark.read.parquet(s"$indexDir/term_stats")
+        if (stats.count() <= 2000000L) {
+          val vocab = stats
+            .select($"term", $"df").as[(String, Long)].collect()
+          val budget = graft.query.EngineCore.MaxSpellIndexEntries
+          val est = graft.query.Spell.DeleteIndex.entryEstimate(
+            vocab.iterator.map(_._1), budget)
+          if (est <= budget)
+            graft.query.SpellStore.write(s"$indexDir/spell",
+              graft.query.Spell.DeleteIndex.build(vocab))
+        }
       }
-    }
+    }(scala.concurrent.ExecutionContext.global)
 
     // A9: numbers-in-corpus counter (reference persists
     // AMOUNT_OF_NUMBERS_IN_CORPUS, parser_module.py:18 + 519-521,
@@ -387,6 +391,12 @@ object Build {
     // manifest markers already carry per-partition rows — no extra job
     val totalPostings = (0 until cfg.numPartitions)
       .flatMap(p => SegmentStore.readMarker(segDir, p)).map(_.rows).sum
+
+    // the overlapped spell-artifact future must land before the build
+    // reports complete (a reader may open the index the moment run()
+    // returns)
+    scala.concurrent.Await.result(spellF,
+      scala.concurrent.duration.Duration.Inf)
 
     Result(indexDir, n, av, totalPostings, shaViol, lineage)
   }

@@ -151,13 +151,8 @@ final class EngineCore(
       // orders of magnitude more than the (term, df) map — a vocab that
       // loads fine can still be unbuildable, and the guard must catch
       // that before allocation, falling back to bounded probing
-      var entries = 0L
-      val it = m.keysIterator
-      while (it.hasNext && entries <= EngineCore.MaxSpellIndexEntries) {
-        val n = it.next().length.toLong
-        entries += 1 + n +
-          (if (n <= Spell.DeleteIndex.MaxLen2) n * (n - 1) / 2 else 0L)
-      }
+      val entries = Spell.DeleteIndex.entryEstimate(
+        m.keysIterator, EngineCore.MaxSpellIndexEntries)
       if (entries > EngineCore.MaxSpellIndexEntries) None
       else Some(Spell.DeleteIndex.build(m))
     })

@@ -268,32 +268,81 @@ object Spell {
       h
     }
 
-    /** Hashes of s and its distinct 1- and 2-delete variants. */
-    private[Spell] def variants(s: String): Array[Long] = {
-      val out = new java.util.HashSet[java.lang.Long]()
-      out.add(fnv(s))
-      val n = s.length
-      val sb = new java.lang.StringBuilder(n)
+    /** fnv of s with the chars at original positions skip1 (and skip2,
+      * when >= 0) removed — the hash of a delete-variant WITHOUT
+      * materializing the variant string (the StringBuilder-per-variant
+      * form made the build-time artifact phase allocation-bound:
+      * vocab × len²/2 builders). Must stay bit-identical to
+      * fnv(variant). */
+    private def fnvSkip(s: String, skip1: Int, skip2: Int): Long = {
+      var h = -3750763034362895579L
       var i = 0
+      val n = s.length
       while (i < n) {
-        sb.setLength(0); sb.append(s, 0, i).append(s, i + 1, n)
-        out.add(fnv(sb))
-        if (n <= MaxLen2) {
-          var j = i + 1
-          while (j < n) { // delete chars at original positions i and j
-            val sb2 = new java.lang.StringBuilder(n)
-            sb2.append(s, 0, i).append(s, i + 1, j).append(s, j + 1, n)
-            out.add(fnv(sb2))
-            j += 1
-          }
+        if (i != skip1 && i != skip2) {
+          h ^= s.charAt(i)
+          h *= 1099511628211L
         }
         i += 1
       }
-      val arr = new Array[Long](out.size())
-      val it = out.iterator()
-      var k = 0
-      while (it.hasNext) { arr(k) = it.next().longValue(); k += 1 }
-      arr
+      h
+    }
+
+    /** Hashes of s and its distinct 1- and 2-delete variants. */
+    private[Spell] def variants(s: String): Array[Long] = {
+      val n = s.length
+      val two = n <= MaxLen2
+      val cap = 1 + n + (if (two) n * (n - 1) / 2 else 0)
+      val buf = new Array[Long](cap)
+      var c = 0
+      buf(c) = fnv(s); c += 1
+      var i = 0
+      while (i < n) {
+        buf(c) = fnvSkip(s, i, -1); c += 1
+        if (two) {
+          var j = i + 1
+          while (j < n) { buf(c) = fnvSkip(s, i, j); c += 1; j += 1 }
+        }
+        i += 1
+      }
+      // distinct (deleting either of two equal adjacent chars collides):
+      // sort + unique in place of the boxed HashSet
+      java.util.Arrays.sort(buf, 0, c)
+      var w = 0
+      var r = 0
+      while (r < c) {
+        if (w == 0 || buf(r) != buf(w - 1)) { buf(w) = buf(r); w += 1 }
+        r += 1
+      }
+      if (w == cap) buf else java.util.Arrays.copyOf(buf, w)
+    }
+
+    /** Growable bucket used only during build: copy-per-append on plain
+      * arrays made crowded buckets O(k²) (a 4096-cap bucket cost 8M
+      * element copies). */
+    private final class IntBuf(first: Int) {
+      var arr: Array[Int] = new Array[Int](4)
+      var len: Int = 1
+      arr(0) = first
+      def add(v: Int): Unit = {
+        if (len == arr.length) arr = java.util.Arrays.copyOf(arr, len * 2)
+        arr(len) = v; len += 1
+      }
+      def trimmed: Array[Int] =
+        if (len == arr.length) arr else java.util.Arrays.copyOf(arr, len)
+    }
+
+    /** Upper bound on delete-index entries for a vocabulary — the SAME
+      * formula the lazy engine guard and the build-time artifact phase
+      * apply (1 + len + len²/2 for 2-delete-eligible terms), stopping
+      * early once `budget` is exceeded. */
+    def entryEstimate(terms: Iterator[String], budget: Long): Long = {
+      var entries = 0L
+      while (terms.hasNext && entries <= budget) {
+        val n = terms.next().length.toLong
+        entries += 1 + n + (if (n <= MaxLen2) n * (n - 1) / 2 else 0L)
+      }
+      entries
     }
 
     def build(vocab: Iterable[(String, Long)],
@@ -302,24 +351,54 @@ object Spell {
       val sorted = vocab.toArray.sortBy { case (t, df) => (-df, t) }
       val terms = sorted.map(_._1)
       val dfs = sorted.map(_._2)
-      val map = new java.util.HashMap[java.lang.Long, Array[Int]](terms.length * 4)
+      // variant hashing is the CPU of the build and embarrassingly
+      // parallel; precompute per-term hash arrays across a small pool
+      // (determinism unaffected — insertion below stays sequential
+      // term-major, which is what the df-desc cap semantics need)
+      val varr = new Array[Array[Long]](terms.length)
+      val nThreads =
+        if (terms.length < 4096) 1
+        else math.min(8, Runtime.getRuntime.availableProcessors())
+      if (nThreads == 1) {
+        var i = 0
+        while (i < terms.length) { varr(i) = variants(terms(i)); i += 1 }
+      } else {
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(nThreads)
+        try {
+          val chunk = (terms.length + nThreads - 1) / nThreads
+          (0 until nThreads).map { t =>
+            pool.submit(new Runnable {
+              def run(): Unit = {
+                var i = t * chunk
+                val end = math.min(terms.length, i + chunk)
+                while (i < end) { varr(i) = variants(terms(i)); i += 1 }
+              }
+            })
+          }.foreach(_.get())
+        } finally pool.shutdown()
+      }
+      val bufs = new java.util.HashMap[java.lang.Long, IntBuf](terms.length * 4)
       val truncated = new java.util.HashSet[java.lang.Long]()
       var idx = 0
       while (idx < terms.length) {
-        val vs = variants(terms(idx))
+        val vs = varr(idx)
+        varr(idx) = null // release as consumed
         var v = 0
         while (v < vs.length) {
           val key = java.lang.Long.valueOf(vs(v))
-          val cur = map.get(key)
-          if (cur == null) map.put(key, Array(idx))
-          else if (cur.length < maxListLen) {
-            val nw = java.util.Arrays.copyOf(cur, cur.length + 1)
-            nw(cur.length) = idx
-            map.put(key, nw)
-          } else truncated.add(key) // observable: these route to exact fallback
+          val cur = bufs.get(key)
+          if (cur == null) bufs.put(key, new IntBuf(idx))
+          else if (cur.len < maxListLen) cur.add(idx)
+          else truncated.add(key) // observable: these route to exact fallback
           v += 1
         }
         idx += 1
+      }
+      val map = new java.util.HashMap[java.lang.Long, Array[Int]](bufs.size() * 2)
+      val it = bufs.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        map.put(e.getKey, e.getValue.trimmed)
       }
       new DeleteIndex(terms, dfs, map, truncated)
     }
