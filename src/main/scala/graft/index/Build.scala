@@ -63,9 +63,12 @@ object Build {
       verifySha: Boolean = true,
       heavySampleFraction: Double = 1.0,
       tokenizer: Tokenizer.Config = Tokenizer.default,
-      spellIndex: Boolean = true) {
+      spellIndex: Boolean = true,
+      shuffleMode: String = "rows") {
     require(Set("parquet", "cache", "none")(stagingMode),
       s"unknown stagingMode $stagingMode")
+    require(Set("rows", "runs")(shuffleMode),
+      s"unknown shuffleMode $shuffleMode")
   }
 
   final case class Result(indexDir: String, nDocs: Long, avgdl: Double,
@@ -284,7 +287,8 @@ object Build {
 
     val nSalts = cfg.nSalts
     val lineage = s"docs=$n|avgdl=$av|salts=$nSalts|P=${cfg.numPartitions}|" +
-      s"stem=${cfg.tokenizer.stem}|v3"
+      s"stem=${cfg.tokenizer.stem}|v3" +
+      (if (cfg.shuffleMode == "runs") "|runs" else "")
 
     // ---- the ONE full-posting shuffle: salted term repartition →
     // sorted runs → segment writer. The salt is a Catalyst expression
@@ -305,32 +309,71 @@ object Build {
     val salted = postings.select($"term".as("_1"), saltExpr.as("_2"),
       $"docId".as("_3"), $"tf".as("_4"), $"dl".as("_5"))
 
-    val sorted = salted
-      .repartition(cfg.numPartitions, $"_1", $"_2")
-      .sortWithinPartitions($"_1", $"_2", $"_3")
-    // consume the sorted shuffle output as InternalRows: the term string
-    // is decoded ONCE per (term, salt) run, not once per posting — the
-    // typed-encoder path allocated a String + tuple per row, and at
-    // millions of postings per partition that deserialization was a
-    // measurable slice of the reduce stage (memory bandwidth is the
-    // single-box scaling ceiling, BASELINE.md)
-    val entriesRdd = sorted.queryExecution.toRdd.mapPartitions { rows =>
-      val pid = TaskContext.getPartitionId()
-      var curU: org.apache.spark.unsafe.types.UTF8String = null
-      var curS: String = null
-      val mapped = rows.map { r =>
-        val t = r.getUTF8String(0)
-        if (curU == null || !curU.equals(t)) { curU = t.copy(); curS = curU.toString }
-        (curS, r.getInt(1), Codec.Posting(r.getLong(2), r.getInt(3), r.getInt(4)))
+    if (cfg.shuffleMode == "runs") {
+      // ---- runs mode (SURVEY §4 item 4 experiment): the shuffle ships
+      // per-(term,salt) delta-gap varbyte-packed runs built by map-side
+      // partial aggregation (PostingRunAgg) instead of raw posting rows
+      // — the term string crosses the network once per map partition,
+      // postings at ~3-6 B each. The aggregation exchange is pinned to
+      // numPartitions with AQE coalescing off so marker pids stay
+      // stable for resume; both modes then run the SAME segment-writer
+      // core, emitting byte-identical files (IndexSpec gate).
+      import org.apache.spark.sql.graftshim.SqlShim
+      val conf = spark.conf
+      val oldP = conf.get("spark.sql.shuffle.partitions")
+      val oldC = conf.get("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      conf.set("spark.sql.shuffle.partitions", cfg.numPartitions.toString)
+      conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      try {
+        val runCol = SqlShim.column(PostingRunAgg(
+          SqlShim.expression($"_3"), SqlShim.expression($"_4"),
+          SqlShim.expression($"_5")).toAggregateExpression())
+        val runs = salted.groupBy($"_1", $"_2").agg(runCol.as("run"))
+          .sortWithinPartitions($"_1", $"_2")
+        val entriesRdd = runs.queryExecution.toRdd.mapPartitions { rows =>
+          val pid = TaskContext.getPartitionId()
+          val grouped = rows.map { r =>
+            (r.getUTF8String(0).toString, r.getInt(1),
+              RunBuf.postings(r.getBinary(2)))
+          }
+          SegmentStore.writePartitionRuns(segDir, pid, lineage, grouped,
+            (tf, dl) => BM25.normPart(tf, dl, av)).entries.iterator
+        }
+        phase("segments+dict") {
+          spark.createDataset(entriesRdd).toDF()
+            .write.mode(SaveMode.Overwrite).parquet(s"$indexDir/dict")
+        }
+      } finally {
+        conf.set("spark.sql.shuffle.partitions", oldP)
+        conf.set("spark.sql.adaptive.coalescePartitions.enabled", oldC)
       }
-      val marker = SegmentStore.writePartition(segDir, pid, lineage,
-        mapped, (tf, dl) => BM25.normPart(tf, dl, av)) // maxU: idf-independent
-      marker.entries.iterator
-    }
-
-    phase("segments+dict") {
-      spark.createDataset(entriesRdd).toDF()
-        .write.mode(SaveMode.Overwrite).parquet(s"$indexDir/dict")
+    } else {
+      val sorted = salted
+        .repartition(cfg.numPartitions, $"_1", $"_2")
+        .sortWithinPartitions($"_1", $"_2", $"_3")
+      // consume the sorted shuffle output as InternalRows: the term string
+      // is decoded ONCE per (term, salt) run, not once per posting — the
+      // typed-encoder path allocated a String + tuple per row, and at
+      // millions of postings per partition that deserialization was a
+      // measurable slice of the reduce stage (memory bandwidth is the
+      // single-box scaling ceiling, BASELINE.md)
+      val entriesRdd = sorted.queryExecution.toRdd.mapPartitions { rows =>
+        val pid = TaskContext.getPartitionId()
+        var curU: org.apache.spark.unsafe.types.UTF8String = null
+        var curS: String = null
+        val mapped = rows.map { r =>
+          val t = r.getUTF8String(0)
+          if (curU == null || !curU.equals(t)) { curU = t.copy(); curS = curU.toString }
+          (curS, r.getInt(1), Codec.Posting(r.getLong(2), r.getInt(3), r.getInt(4)))
+        }
+        val marker = SegmentStore.writePartition(segDir, pid, lineage,
+          mapped, (tf, dl) => BM25.normPart(tf, dl, av)) // maxU: idf-independent
+        marker.entries.iterator
+      }
+      phase("segments+dict") {
+        spark.createDataset(entriesRdd).toDF()
+          .write.mode(SaveMode.Overwrite).parquet(s"$indexDir/dict")
+      }
     }
 
     // ---- term stats from the writer's dict entries: df/cf summed over

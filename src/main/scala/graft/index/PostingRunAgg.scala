@@ -1,0 +1,181 @@
+package graft.index
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.types.{BinaryType, DataType}
+
+/** Growable (docId, tf, dl) run buffer for [[PostingRunAgg]]. `tf` and
+  * `dl` ride one packed long (tf high 32 / dl low 32) so the buffer is
+  * two primitive arrays and the docId co-sort swaps one payload. */
+final class RunBuf(var ids: Array[Long], var payload: Array[Long], var len: Int) {
+  def add(docId: Long, tf: Int, dl: Int): Unit = {
+    if (len == ids.length) {
+      val n = math.max(8, len * 2)
+      ids = java.util.Arrays.copyOf(ids, n)
+      payload = java.util.Arrays.copyOf(payload, n)
+    }
+    ids(len) = docId
+    payload(len) = (tf.toLong << 32) | (dl.toLong & 0xFFFFFFFFL)
+    len += 1
+  }
+
+  def append(o: RunBuf): Unit = {
+    if (len + o.len > ids.length) {
+      val n = math.max(len + o.len, len * 2)
+      ids = java.util.Arrays.copyOf(ids, n)
+      payload = java.util.Arrays.copyOf(payload, n)
+    }
+    System.arraycopy(o.ids, 0, ids, len, o.len)
+    System.arraycopy(o.payload, 0, payload, len, o.len)
+    len += o.len
+  }
+
+  /** In-place quicksort by docId carrying the payload — primitive,
+    * allocation-free (docIds are DISTINCT within a (term, salt) group:
+    * the tokenizer emits one posting per (term, doc) and salts split by
+    * docId range, so no equal-key pathology). */
+  def sort(): Unit = qsort(0, len - 1)
+
+  private def qsort(lo: Int, hi: Int): Unit = {
+    var l = lo
+    var h = hi
+    while (l < h) {
+      // median-of-3 pivot guards the pre-sorted partials common here
+      val mid = l + (h - l) / 2
+      val a = ids(l); val b = ids(mid); val c = ids(h)
+      val pivot =
+        if (a < b) { if (b < c) b else if (a < c) c else a }
+        else { if (a < c) a else if (b < c) c else b }
+      var i = l
+      var j = h
+      while (i <= j) {
+        while (ids(i) < pivot) i += 1
+        while (ids(j) > pivot) j -= 1
+        if (i <= j) {
+          val ti = ids(i); ids(i) = ids(j); ids(j) = ti
+          val tp = payload(i); payload(i) = payload(j); payload(j) = tp
+          i += 1; j -= 1
+        }
+      }
+      // recurse into the smaller half, loop the larger: O(log n) stack
+      if (j - l < h - i) { qsort(l, j); l = i } else { qsort(i, h); h = j }
+    }
+  }
+
+  /** Sort + pack: n, varbyte(delta docIds), varbyte(tfs), varbyte(dls) —
+    * the same delta-gap varbyte idea as the segment codec, applied to
+    * the SHUFFLE payload (a raw row ships the term string again plus
+    * ~16 B of fixed-width ints per posting; the packed run ships the
+    * term once per map partition and ~3-6 B per posting). */
+  def serialize(): Array[Byte] = {
+    sort()
+    val out = new scala.collection.mutable.ArrayBuffer[Byte](4 + len * 5)
+    out += (len >>> 24).toByte
+    out += (len >>> 16).toByte
+    out += (len >>> 8).toByte
+    out += len.toByte
+    val tmp = new Array[Long](len)
+    var i = 0
+    var prev = 0L
+    while (i < len) { tmp(i) = ids(i) - prev; prev = ids(i); i += 1 }
+    Codec.varbyteEncode(tmp, out)
+    i = 0
+    while (i < len) { tmp(i) = payload(i) >>> 32; i += 1 } // tf
+    Codec.varbyteEncode(tmp, out)
+    i = 0
+    while (i < len) { tmp(i) = payload(i) & 0xFFFFFFFFL; i += 1 } // dl
+    Codec.varbyteEncode(tmp, out)
+    out.toArray
+  }
+}
+
+object RunBuf {
+  def empty(): RunBuf = new RunBuf(new Array[Long](8), new Array[Long](8), 0)
+
+  def deserialize(bytes: Array[Byte]): RunBuf = {
+    val n = ((bytes(0) & 0xFF) << 24) | ((bytes(1) & 0xFF) << 16) |
+      ((bytes(2) & 0xFF) << 8) | (bytes(3) & 0xFF)
+    val ids = new Array[Long](math.max(8, n))
+    val payload = new Array[Long](math.max(8, n))
+    val tmp = new Array[Long](n)
+    var pos = Codec.varbyteDecode(bytes, 4, n, tmp, 0)
+    var i = 0
+    var acc = 0L
+    while (i < n) { acc += tmp(i); ids(i) = acc; i += 1 }
+    pos = Codec.varbyteDecode(bytes, pos, n, tmp, 0)
+    i = 0
+    while (i < n) { payload(i) = tmp(i) << 32; i += 1 }
+    Codec.varbyteDecode(bytes, pos, n, tmp, 0)
+    i = 0
+    while (i < n) { payload(i) |= tmp(i) & 0xFFFFFFFFL; i += 1 }
+    new RunBuf(ids, payload, n)
+  }
+
+  /** Unpack a serialized run to codec postings (docId-sorted). */
+  def postings(bytes: Array[Byte]): Array[Codec.Posting] = {
+    val b = deserialize(bytes)
+    val out = new Array[Codec.Posting](b.len)
+    var i = 0
+    while (i < b.len) {
+      out(i) = Codec.Posting(b.ids(i), (b.payload(i) >>> 32).toInt,
+        (b.payload(i) & 0xFFFFFFFFL).toInt)
+      i += 1
+    }
+    out
+  }
+}
+
+/** SURVEY §4 item 4 (round-2 stretch): fuse "collect a (term, salt)
+  * run" into the aggregation so the ONE full-posting shuffle ships
+  * delta-gap varbyte-packed runs instead of raw posting rows — the
+  * map-side combine writes each term string once per map partition and
+  * ~3-6 B per posting where a shuffle row carries the term again plus
+  * ~16 B fixed-width. This is the reference's "posting runs spilled
+  * then k-way merged" (indexer.py:154-168, 376-554) reborn as Spark
+  * partial aggregation: serialize() encodes a sorted partial run at
+  * shuffle write, merge() concatenates runs, eval() re-sorts once and
+  * emits the final packed run for the segment writer.
+  *
+  * Selected by `Build.Config(shuffleMode = "runs")`; the default
+  * ("rows") path keeps the all-Tungsten sort shuffle. IndexSpec pins
+  * the two modes byte-identical on the same corpus.
+  */
+case class PostingRunAgg(docId: Expression, tf: Expression, dl: Expression,
+                         mutableAggBufferOffset: Int = 0,
+                         inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[RunBuf] {
+
+  override def children: Seq[Expression] = Seq(docId, tf, dl)
+  override def nullable: Boolean = false
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "posting_run"
+
+  override def createAggregationBuffer(): RunBuf = RunBuf.empty()
+
+  override def update(buffer: RunBuf, input: InternalRow): RunBuf = {
+    buffer.add(docId.eval(input).asInstanceOf[Long],
+      tf.eval(input).asInstanceOf[Int], dl.eval(input).asInstanceOf[Int])
+    buffer
+  }
+
+  override def merge(buffer: RunBuf, other: RunBuf): RunBuf = {
+    buffer.append(other)
+    buffer
+  }
+
+  override def eval(buffer: RunBuf): Any = buffer.serialize()
+
+  override def serialize(buffer: RunBuf): Array[Byte] = buffer.serialize()
+
+  override def deserialize(bytes: Array[Byte]): RunBuf =
+    RunBuf.deserialize(bytes)
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): PostingRunAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): PostingRunAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): PostingRunAgg =
+    copy(docId = newChildren(0), tf = newChildren(1), dl = newChildren(2))
+}

@@ -107,6 +107,61 @@ object SegmentStore {
         return m // resume: skip without consuming the shuffle iterator
       case _ =>
     }
+    writeCore(dir, pid, lineage, groupRows(it), scoreOf, postingBudget)
+  }
+
+  /** The runs-shuffle variant ([[PostingRunAgg]]): `it` yields whole
+    * (term, salt, docId-sorted postings) groups, sorted by (term, salt)
+    * — the aggregation already collected each run. Same encode / roll /
+    * marker core as [[writePartition]], so the two shuffle modes emit
+    * byte-identical segment files (IndexSpec pins it). */
+  def writePartitionRuns(dir: String, pid: Int, lineage: String,
+                         it: Iterator[(String, Int, Array[Codec.Posting])],
+                         scoreOf: (Int, Int) => Double,
+                         postingBudget: Long = SegmentPostingBudget): PartitionMarker = {
+    readMarker(dir, pid) match {
+      case Some(m) if isComplete(dir, pid, lineage) =>
+        return m
+      case _ =>
+    }
+    writeCore(dir, pid, lineage, it, scoreOf, postingBudget)
+  }
+
+  /** Change-detection grouping of a (term, salt, posting)-sorted row
+    * stream into whole groups — one group's postings buffered at a
+    * time, like the original streaming writer. */
+  private def groupRows(it: Iterator[(String, Int, Codec.Posting)])
+      : Iterator[(String, Int, Array[Codec.Posting])] =
+    new Iterator[(String, Int, Array[Codec.Posting])] {
+      private var pendingTerm: String = null
+      private var pendingSalt = -1
+      private var pendingPosting: Codec.Posting = null
+      private val buf = ArrayBuffer.empty[Codec.Posting]
+      def hasNext: Boolean = pendingPosting != null || it.hasNext
+      def next(): (String, Int, Array[Codec.Posting]) = {
+        buf.clear()
+        if (pendingPosting == null) {
+          val (t, s, p) = it.next()
+          pendingTerm = t; pendingSalt = s; pendingPosting = p
+        }
+        val term = pendingTerm
+        val salt = pendingSalt
+        buf += pendingPosting
+        pendingPosting = null
+        var done = false
+        while (!done && it.hasNext) {
+          val (t, s, p) = it.next()
+          if (t == term && s == salt) buf += p
+          else { pendingTerm = t; pendingSalt = s; pendingPosting = p; done = true }
+        }
+        (term, salt, buf.toArray)
+      }
+    }
+
+  private def writeCore(dir: String, pid: Int, lineage: String,
+                        groups: Iterator[(String, Int, Array[Codec.Posting])],
+                        scoreOf: (Int, Int) => Double,
+                        postingBudget: Long): PartitionMarker = {
     val f = fs(dir)
     val entries = ArrayBuffer.empty[DictEntry]
     val files = ArrayBuffer.empty[FileMeta]
@@ -142,11 +197,10 @@ object SegmentStore {
     openFile()
 
     def flushGroup(term: String, salt: Int,
-                   ps: ArrayBuffer[Codec.Posting]): Unit = {
-      if (ps.isEmpty) return
+                   arr: Array[Codec.Posting]): Unit = {
+      if (arr.isEmpty) return
       if (rowsInFile >= postingBudget) { closeFile(); openFile() }
       val start = out.size().toLong
-      val arr = ps.toArray
       val blocks = Codec.encode(arr, scoreOf)
       out.writeInt(arr.length)
       out.writeInt(blocks.length)
@@ -163,20 +217,9 @@ object SegmentStore {
         (out.size() - start).toInt, arr.length, cf)
       rows += arr.length
       rowsInFile += arr.length
-      ps.clear()
     }
 
-    var curTerm: String = null
-    var curSalt = -1
-    val buf = ArrayBuffer.empty[Codec.Posting]
-    it.foreach { case (term, salt, p) =>
-      if (term != curTerm || salt != curSalt) {
-        flushGroup(curTerm, curSalt, buf)
-        curTerm = term; curSalt = salt
-      }
-      buf += p
-    }
-    flushGroup(curTerm, curSalt, buf)
+    groups.foreach { case (term, salt, arr) => flushGroup(term, salt, arr) }
     closeFile()
 
     val marker = PartitionMarker(pid, files.toSeq, rows, totalBytes,

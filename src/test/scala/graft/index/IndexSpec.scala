@@ -88,6 +88,47 @@ class IndexSpec extends SparkSpec {
     } finally { r1.close(); r2.close() }
   }
 
+  test("runs shuffle mode is byte-identical to rows mode: segments, dict, rankings (SURVEY §4 item 4)") {
+    val (idx, _) = built
+    val idxR = tmpDir("graft-index-runs")
+    Build.run(spark, spark.read.parquet(corpusDir), idxR,
+      Build.Config(numPartitions = 8, nSalts = 4, saltDfThreshold = 50,
+        shuffleMode = "runs"))
+    // identical partitioning (same hash keys + count) + identical group
+    // order + identical encode core => the segment FILES must match
+    // byte-for-byte, salted heavy terms included
+    val f = SegmentStore.fs(s"$idx/segments")
+    def segs(d: String): Seq[String] =
+      f.listStatus(new Path(s"$d/segments")).filter(_.isFile)
+        .map(_.getPath.getName).filter(_.endsWith(".bin")).sorted.toSeq
+    assert(segs(idx) == segs(idxR), "segment file sets differ")
+    def bytes(d: String, n: String): Array[Byte] = {
+      val p = new Path(s"$d/segments/$n")
+      val len = f.getFileStatus(p).getLen.toInt
+      val buf = new Array[Byte](len)
+      val in = f.open(p)
+      try in.readFully(0, buf) finally in.close()
+      buf
+    }
+    segs(idx).foreach { nm =>
+      assert(java.util.Arrays.equals(bytes(idx, nm), bytes(idxR, nm)),
+        s"segment $nm differs between shuffle modes")
+    }
+    import spark.implicits._
+    val d1 = spark.read.parquet(s"$idx/dict").as[SegmentStore.DictEntry]
+      .collect().sortBy(e => (e.term, e.salt, e.file)).toSeq
+    val d2 = spark.read.parquet(s"$idxR/dict").as[SegmentStore.DictEntry]
+      .collect().sortBy(e => (e.term, e.salt, e.file)).toSeq
+    assert(d1 == d2, "dict entries differ between shuffle modes")
+    val e1 = new Engine(spark, idx, preload = true)
+    val e2 = new Engine(spark, idxR, preload = true)
+    try {
+      for (q <- Seq("license import", "return the value", "static void main"))
+        assert(e1.searchWand(q, 20).toSeq == e2.searchWand(q, 20).toSeq,
+          s"ranking differs: $q")
+    } finally { e1.close(); e2.close() }
+  }
+
   test("WAND is rank-identical to exhaustive BM25 (north rule; SURVEY §5 item 3b)") {
     val (idx, _) = built
     val eng = new Engine(spark, idx, preload = true)
