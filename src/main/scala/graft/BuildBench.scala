@@ -42,7 +42,9 @@ object BuildBench {
       stagingCodec = sys.env.getOrElse("GRAFT_STAGING_CODEC", "uncompressed"),
       // the at-scale config: heavy-term detection over a 2% sample
       heavySampleFraction = sys.env.getOrElse("GRAFT_HEAVY_SAMPLE", "0.02").toDouble,
-      tokenizer = Tokenizer.default)
+      tokenizer = Tokenizer.default,
+      // A/B hook for the posting-shuffle experiment (SURVEY §4 item 4)
+      shuffleMode = sys.env.getOrElse("GRAFT_SHUFFLE_MODE", "rows"))
     // JIT/classload warmup on a small slice (untimed) so the timed run
     // measures steady-state throughput, not cold-JVM compilation
     val warmDir = java.nio.file.Files

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Dedup, IndexOps, Multimodal, Relational, Similarity, TextAnalysis, TextRelational}
+import graft.operators.{Assembly, Dedup, IndexOps, Multimodal, Relational, Similarity, TextAnalysis, TextRelational}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -57,6 +57,9 @@ object SparkEntry {
     "q29_clean_corpus" -> ((s, d) => TextAnalysis.cleanCorpus(s, d)),
     // Multimodal plumbing (decode stubbed — no codecs in sandbox)
     "q21_multimodal" -> ((s, d) => Multimodal.features(s, d)),
+    // Corpus assembly (post-clean mixing + packing)
+    "q30_stratified_sample" -> ((s, d) => Assembly.stratifiedSample(s, d)),
+    "q31_pack_sequences" -> ((s, d) => Assembly.packSequences(s, d)),
   )
 
   /** DuckDB equivalents, same column names + total ORDER BY. */
@@ -87,5 +90,7 @@ object SparkEntry {
     "q26_repetition" -> TextAnalysis.repetitionSql,
     "q27_decontam" -> Dedup.decontamSql,
     "q29_clean_corpus" -> TextAnalysis.cleanCorpusSql,
+    "q30_stratified_sample" -> Assembly.stratifiedSampleSql,
+    "q31_pack_sequences" -> Assembly.packSequencesSql,
   )
 }

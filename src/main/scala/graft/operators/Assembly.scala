@@ -1,0 +1,124 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Corpus-assembly operators — the step AFTER cleaning (q29) in a
+  * training-data pipeline: deterministic stratified sampling (data
+  * mixing across sources) and fixed-context sequence packing. Both are
+  * exact-oracle-checked (DuckDB) and designed for the 100 TB shape:
+  * sampling is map-only (zero shuffle, no RNG state — the keep/drop
+  * decision is a pure hash of the row), packing is a two-level
+  * distributed prefix-sum instead of a single-partition global window.
+  */
+object Assembly {
+
+  /** q30: deterministic stratified sampling for source mixing.
+    *
+    * Each source gets a mixing rate cycling (0.25, 0.5, 0.75, 1.0) by
+    * its numeric suffix (a stand-in for a real mixing config; the
+    * MECHANISM is the point). A row is kept iff the first 8 hex chars
+    * of md5("graft-mix-" + doc_id) sort below the rate's hex threshold
+    * — a pure function of the row, so the sample is reproducible
+    * across runs, engines, and cluster sizes, needs no RNG
+    * synchronization, and rerunning on an appended corpus never flips
+    * a previous decision (the property `Bernoulli sample via
+    * rand()` does NOT have). Plan shape: scan → project → filter; zero
+    * exchanges (PlanSpec gate).
+    */
+  def stratifiedSample(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val u = substring(md5(concat(lit("graft-mix-"), $"doc_id".cast("string"))), 1, 8)
+    val m = (regexp_extract($"source", "([0-9]+)", 1).cast("int") % 4)
+    val rate = (m.cast("double") + 1.0) / 4.0
+    val thr = element_at(
+      array(lit("40000000"), lit("80000000"), lit("c0000000")), m + 1)
+    spark.read.parquet(s"$dir/documents.parquet")
+      .select($"doc_id", $"source", rate.as("rate"), u.as("u_hex"), m.as("m"))
+      .filter($"m" === 3 || $"u_hex" < thr)
+      .select($"doc_id", $"source", $"rate", $"u_hex")
+      .orderBy($"doc_id")
+  }
+
+  val stratifiedSampleSql: String =
+    """SELECT doc_id, source, rate, u_hex FROM (
+      |  SELECT doc_id, source,
+      |    (CAST(regexp_extract(source, '([0-9]+)', 1) AS INT) % 4) AS m,
+      |    (CAST(regexp_extract(source, '([0-9]+)', 1) AS INT) % 4 + 1.0) / 4.0 AS rate,
+      |    substr(md5('graft-mix-' || CAST(doc_id AS VARCHAR)), 1, 8) AS u_hex
+      |  FROM documents)
+      |WHERE m = 3 OR u_hex < (CASE m WHEN 0 THEN '40000000'
+      |                               WHEN 1 THEN '80000000'
+      |                               ELSE 'c0000000' END)
+      |ORDER BY doc_id""".stripMargin
+
+  /** Context-window size for [[packSequences]] in BPE-ish pieces
+    * (ceil(n_chars/4)); small so sf0.01 exercises many bins. */
+  val PackCtx = 512L
+
+  /** Docs per prefix-sum bucket. At 10^11 docs this yields a 10^8-row
+    * bucket ledger — if that outgrows one window partition, the same
+    * two-level scan applies recursively (bucket-of-buckets); one extra
+    * level covers any corpus that fits on disk. */
+  val PackBucket = 1000L
+
+  /** q31: sequence packing (GPT-style concat-and-split): documents are
+    * concatenated in doc_id order and split into fixed [[PackCtx]]-piece
+    * context windows; each doc reports its global piece offset and the
+    * bin its first piece lands in.
+    *
+    * The naive formulation is `sum(n_pieces) OVER (ORDER BY doc_id)` —
+    * a GLOBAL running sum, which Spark executes as a single-partition
+    * window: the whole corpus funnels through one task (the q14-class
+    * scale killer). Instead, the classic two-level distributed scan:
+    *   1. bucket = doc_id / [[PackBucket]]; per-bucket piece sums via
+    *      hash agg (map-side partial, tiny output);
+    *   2. running sum over the bucket LEDGER only (metadata-sized
+    *      single-partition window — n/1000 rows);
+    *   3. broadcast-join offsets back; within-bucket running sum via a
+    *      window PARTITIONED by bucket (bounded: ≤ PackBucket rows per
+    *      partition, parallel across buckets).
+    * The DuckDB oracle runs the naive global window — same math, so the
+    * distributed scan is exact-checked against it, and PlanSpec gates
+    * that no unbounded-partition window survives in the plan.
+    *
+    * Reads only (doc_id, n_chars): column pruning keeps `text` out of
+    * the scan entirely.
+    */
+  def packSequences(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select($"doc_id", ceil($"n_chars" / 4.0).cast("long").as("n_pieces"),
+        floor($"doc_id" / lit(PackBucket)).cast("long").as("bucket"))
+    val ledger = docs.groupBy($"bucket")
+      .agg(sum($"n_pieces").as("bucket_pieces"))
+    val wLedger = Window.orderBy($"bucket")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = ledger.select($"bucket",
+      coalesce(sum($"bucket_pieces").over(wLedger), lit(0L)).as("bucket_off"))
+    val wInBucket = Window.partitionBy($"bucket").orderBy($"doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs
+      .join(broadcast(offsets), "bucket")
+      .select($"doc_id", $"n_pieces",
+        ($"bucket_off" +
+          coalesce(sum($"n_pieces").over(wInBucket), lit(0L))).as("start_off"))
+      .select($"doc_id", $"n_pieces", $"start_off",
+        // floor, not cast: DuckDB CAST(double AS BIGINT) rounds where
+        // Spark truncates — floor() agrees in both engines
+        floor($"start_off" / lit(PackCtx)).cast("long").as("bin_id"))
+      .orderBy($"doc_id")
+  }
+
+  val packSequencesSql: String =
+    s"""SELECT doc_id, n_pieces, start_off, CAST(floor(start_off / $PackCtx) AS BIGINT) AS bin_id
+       |FROM (
+       |  SELECT doc_id, n_pieces,
+       |    CAST(COALESCE(sum(n_pieces) OVER (ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_off
+       |  FROM (
+       |    SELECT doc_id, CAST(ceil(n_chars / 4.0) AS BIGINT) AS n_pieces
+       |    FROM documents))
+       |ORDER BY doc_id""".stripMargin
+}

@@ -194,4 +194,31 @@ class PlanSpec extends SparkSpec {
       s"query-time kernel pass crept back into the ANN plan:\n${p.take(800)}")
     assert(p.contains("TakeOrderedAndProject"))
   }
+
+  test("q30 stratified sample is map-only: the only exchange is the output sort") {
+    val p = plan(Assembly.stratifiedSample(spark, dir))
+    // the keep/drop decision is a pure hash of the row — no shuffle, no
+    // RNG state, no aggregation may appear
+    assert(!p.contains("Exchange hashpartitioning"), p.take(800))
+    assert(!p.contains("Exchange SinglePartition"), p.take(800))
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,source:string>"),
+      "scan must prune to (doc_id, source)")
+  }
+
+  test("q31 packing: partitioned window over docs, single-partition only on the bucket ledger") {
+    val df = Assembly.packSequences(spark, dir)
+    val p = plan(df)
+    // the per-doc running sum must be windowed BY BUCKET (bounded
+    // partitions) — a global window over the corpus is the q14-class
+    // single-task funnel this operator exists to avoid
+    assert(p.contains("windowspecdefinition(bucket#"),
+      s"docs-side window lost its bucket partitioning:\n${p.take(1200)}")
+    // exactly one single-partition exchange: the metadata-sized ledger
+    assert("Exchange SinglePartition".r.findAllIn(p).size == 1,
+      s"unexpected single-partition exchanges:\n${p.take(1200)}")
+    // ledger offsets join back via broadcast; text never enters the scan
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,n_chars:bigint>"),
+      "scan must prune to (doc_id, n_chars) — text must not be read")
+  }
 }

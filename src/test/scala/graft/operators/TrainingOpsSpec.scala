@@ -291,4 +291,42 @@ class TrainingOpsSpec extends SparkSpec {
     assert(!p.contains("Window"), "argmax regressed to a row_number window")
     assert(p.contains("partial_min"), "struct-min argmax is not map-side partial")
   }
+
+  test("q30 sample keeps EXACTLY the rows whose md5 clears the source's threshold") {
+    val dir = "/root/testdata/sf0.001"
+    import spark.implicits._
+    def u8(docId: Long): String = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+      d.digest(s"graft-mix-$docId".getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString.substring(0, 8)
+    }
+    val all = spark.read.parquet(s"$dir/documents.parquet")
+      .select($"doc_id", $"source").as[(Long, String)].collect()
+    val expected = all.filter { case (id, src) =>
+      val m = "([0-9]+)".r.findFirstIn(src).get.toInt % 4
+      m == 3 || u8(id) < Seq("40000000", "80000000", "c0000000")(m)
+    }.map(_._1).sorted.toSeq
+    val got = Assembly.stratifiedSample(spark, dir)
+      .select($"doc_id").as[Long].collect().toSeq
+    assert(got == expected, s"sample mismatch: got ${got.size}, expected ${expected.size}")
+    // determinism across runs (no RNG state): second run identical
+    assert(Assembly.stratifiedSample(spark, dir)
+      .select($"doc_id").as[Long].collect().toSeq == expected)
+  }
+
+  test("q31 packing offsets are the exact global running sum (distributed scan == naive)") {
+    val dir = "/root/testdata/sf0.001"
+    import spark.implicits._
+    val rows = Assembly.packSequences(spark, dir)
+      .select($"doc_id", $"n_pieces", $"start_off", $"bin_id")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    var cum = 0L
+    rows.foreach { case (id, n, off, bin) =>
+      assert(off == cum, s"doc $id: start_off $off != running sum $cum")
+      assert(bin == off / Assembly.PackCtx, s"doc $id: bin $bin")
+      cum += n
+    }
+    assert(rows.nonEmpty && cum > Assembly.PackCtx,
+      "fixture too small to exercise multiple bins")
+  }
 }
