@@ -49,15 +49,29 @@ object BuildBench {
     // measures steady-state throughput, not cold-JVM compilation
     val warmDir = java.nio.file.Files
       .createTempDirectory("graft-bench-warm").toString
+    // shuffle-payload meter: the evidence behind the rows-vs-runs
+    // shuffle-mode decision is bytes on the wire, not just wall-clock
+    // (on one box the shuffle is RAM-local and free; on a cluster it
+    // is the network bottleneck the runs mode exists to shrink)
+    val shuffleBytes = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(
+          sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+        shuffleBytes.addAndGet(sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+    })
     Build.run(spark, docsDf.filter(s"doc_id < ${math.min(nDocs, 1000L)}"),
       warmDir, cfg)
+    Thread.sleep(500) // let the async listener bus drain the warmup stages
+    val sb0 = shuffleBytes.get()
     val st0 = readProcStat()
     val t0 = System.nanoTime()
     Build.run(spark, docsDf, idxDir, cfg)
     val sec = (System.nanoTime() - t0) / 1e9
     val st1 = readProcStat()
+    Thread.sleep(500)
     println(f"BENCH_BUILD_SECONDS=$sec%.3f")
     println(s"BENCH_BUILD_DOCS=$nDocs")
+    println(f"BENCH_SHUFFLE_MB=${(shuffleBytes.get() - sb0) / 1e6}%.1f")
     // hypervisor steal across the timed window: this box is a shared-host
     // VM and steal bursts are the main run-to-run noise source; emitting
     // it per measurement lets any one scaling number carry its own

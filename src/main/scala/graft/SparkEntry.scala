@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Assembly, Dedup, IndexOps, Multimodal, Relational, Similarity, TextAnalysis, TextRelational}
+import graft.operators.{Assembly, Dedup, DupClusters, IndexOps, Multimodal, Relational, Similarity, TextAnalysis, TextRelational}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -60,6 +60,8 @@ object SparkEntry {
     // Corpus assembly (post-clean mixing + packing)
     "q30_stratified_sample" -> ((s, d) => Assembly.stratifiedSample(s, d)),
     "q31_pack_sequences" -> ((s, d) => Assembly.packSequences(s, d)),
+    // Duplicate clustering: connected components over near-dup pairs
+    "q32_dup_clusters" -> ((s, d) => DupClusters.clusters(s, d)),
   )
 
   /** DuckDB equivalents, same column names + total ORDER BY. */
@@ -92,5 +94,6 @@ object SparkEntry {
     "q29_clean_corpus" -> TextAnalysis.cleanCorpusSql,
     "q30_stratified_sample" -> Assembly.stratifiedSampleSql,
     "q31_pack_sequences" -> Assembly.packSequencesSql,
+    "q32_dup_clusters" -> DupClusters.clustersSql,
   )
 }

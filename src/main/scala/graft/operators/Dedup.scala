@@ -56,7 +56,10 @@ object Dedup {
       .distinct()
   }
 
-  def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
+  /** Full near-dup pair set (jaccard >= [[JaccardMin]]), no top-k cap —
+    * the edge list [[DupClusters]] clusters over; q11 is this plus its
+    * presentation ordering/limit. */
+  private[operators] def jaccardPairsAll(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val sh = shingleDf(spark, dir)
     // hot-shingle cap: boilerplate shingles would otherwise create
@@ -84,12 +87,19 @@ object Dedup {
       .select($"doc_a", $"doc_b",
         round($"inter" / ($"sza" + $"szb" - $"inter"), 4).as("jaccard"))
       .filter($"jaccard" >= JaccardMin)
+  }
+
+  def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    jaccardPairsAll(spark, dir)
       .orderBy($"jaccard".desc, $"doc_a", $"doc_b")
       .limit(TopPairs)
   }
 
-  val ngramJaccardSql: String =
-    s"""WITH toks AS (
+  /** Shared CTE chain ending in `pairs(doc_a, doc_b, jaccard)` — the
+    * q11 oracle presents it top-k, the q32 oracle clusters over it. */
+  private[operators] val jaccardPairCtes: String =
+    s"""toks AS (
        |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t <> '') AS arr
        |  FROM documents),
        |sh0 AS (
@@ -104,13 +114,18 @@ object Dedup {
        |inter AS (
        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
        |  FROM capped a JOIN capped b ON a.sh = b.sh AND a.doc_id < b.doc_id
-       |  GROUP BY a.doc_id, b.doc_id)
-       |SELECT doc_a, doc_b,
-       |  round(inter / (sa.sz + sb.sz - inter), 4) AS jaccard
-       |FROM inter
-       |JOIN sizes sa ON sa.doc_id = doc_a
-       |JOIN sizes sb ON sb.doc_id = doc_b
-       |WHERE round(inter / (sa.sz + sb.sz - inter), 4) >= $JaccardMin
+       |  GROUP BY a.doc_id, b.doc_id),
+       |pairs AS (
+       |  SELECT doc_a, doc_b,
+       |    round(inter / (sa.sz + sb.sz - inter), 4) AS jaccard
+       |  FROM inter
+       |  JOIN sizes sa ON sa.doc_id = doc_a
+       |  JOIN sizes sb ON sb.doc_id = doc_b
+       |  WHERE round(inter / (sa.sz + sb.sz - inter), 4) >= $JaccardMin)""".stripMargin
+
+  val ngramJaccardSql: String =
+    s"""WITH $jaccardPairCtes
+       |SELECT doc_a, doc_b, jaccard FROM pairs
        |ORDER BY jaccard DESC, doc_a, doc_b
        |LIMIT $TopPairs""".stripMargin
 

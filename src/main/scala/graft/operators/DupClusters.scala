@@ -1,0 +1,143 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** q32: duplicate-cluster assignment — connected components over the
+  * near-dup pair graph (q11's jaccard pairs), the step a real
+  * training-data pipeline needs BETWEEN pair finding (q11/q12/q13) and
+  * canonical-document selection: transitive near-dups A~B~C must
+  * collapse to ONE kept doc even when (A,C) itself clears no threshold.
+  *
+  * Algorithm: the alternating large-star / small-star method (Kiveris
+  * et al., "Connected Components in MapReduce and Beyond", SoCC'14) —
+  * the published O(log n)-round, shuffle-only CC formulation:
+  *   - large-star: every node u links each LARGER neighbor to
+  *     m(u) = min(N(u) ∪ {u}) — hubs collapse toward their minimum;
+  *   - small-star: every node u links its smaller neighbors (and
+  *     itself) to its minimum smaller neighbor — chains flatten.
+  * Both phases are a groupBy(node).min + a re-join on the same key
+  * (co-partitioned, no collect_list: a hub's neighbor set is never
+  * materialized in one task, which is exactly the skew trap a naive
+  * Pregel-style min-propagation hits on boilerplate-heavy dup graphs).
+  * Iteration happens on the EDGE list only — edge-sized, never
+  * corpus-sized — with a localCheckpoint per round to truncate lineage
+  * (an unbounded iterative plan otherwise re-derives every prior round
+  * at each action). Convergence is detected by an order-independent
+  * edge-set signature (count + sum of xxhash64(a,b)): one cheap
+  * aggregate per round instead of two except-joins.
+  *
+  * At convergence the edge set is a star forest: every non-minimum
+  * member holds exactly one edge to its component minimum, so the
+  * label map IS the edge list. Docs in no pair are their own singleton
+  * cluster (left join + coalesce). cluster_id = min doc_id of the
+  * component — deterministic, no ordering or RNG dependence.
+  *
+  * Oracle: DuckDB recursive CTE propagating min labels over the same
+  * pair CTEs ([[Dedup.jaccardPairCtes]]) — an independent fixpoint
+  * formulation of the same closure, exact-compared on every row.
+  */
+object DupClusters {
+
+  /** Hard cap on star rounds — the algorithm's bound is O(log n); 30
+    * rounds covers any n that fits on disk. A non-converged exit is a
+    * bug, not a truncation, so it throws rather than returns. */
+  val MaxRounds = 30
+
+  def clusters(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val pairs = Dedup.jaccardPairsAll(spark, dir)
+      .select($"doc_a".as("a"), $"doc_b".as("b"))
+    val labels = starContract(pairs)
+    val docs = spark.read.parquet(s"$dir/documents.parquet").select($"doc_id")
+    val lab = docs.join(labels, Seq("doc_id"), "left")
+      .select($"doc_id", coalesce($"cluster_id", $"doc_id").as("cluster_id"))
+    val sizes = lab.groupBy($"cluster_id").agg(count(lit(1)).as("cluster_size"))
+    lab.join(sizes, "cluster_id")
+      .select($"doc_id", $"cluster_id", $"cluster_size",
+        ($"doc_id" === $"cluster_id").cast("int").as("is_canonical"))
+      .orderBy($"doc_id")
+  }
+
+  /** Alternating large-star/small-star to fixpoint; returns the star
+    * forest as (doc_id, cluster_id) for every NON-singleton member
+    * (component minimums label themselves). Input: undirected edges
+    * (a, b), a != b, any orientation, dups allowed. */
+  private[operators] def starContract(edges0: DataFrame): DataFrame = {
+    val spark = edges0.sparkSession
+    import spark.implicits._
+
+    // large-star: m(u) = min over u's FULL neighborhood (and u itself);
+    // each neighbor v > u re-links to m. groupBy + join on u — two
+    // shuffles on one key, hub neighbor lists never in one task.
+    def largeStar(e: DataFrame): DataFrame = {
+      val bidir = e.select($"a".as("u"), $"b".as("v"))
+        .union(e.select($"b".as("u"), $"a".as("v")))
+      val mins = bidir.groupBy($"u")
+        .agg(min($"v").as("mv"))
+        .select($"u", least($"mv", $"u").as("m"))
+      bidir.join(mins, "u")
+        .filter($"v" > $"u" && $"v" =!= $"m")
+        .select($"v".as("a"), $"m".as("b"))
+        .distinct()
+    }
+
+    // small-star: orient every edge to its smaller endpoint; each node
+    // u links its smaller neighbors (and itself) to its minimum
+    // smaller neighbor. All emitted edges keep a > b.
+    def smallStar(e: DataFrame): DataFrame = {
+      val or = e.select(greatest($"a", $"b").as("u"), least($"a", $"b").as("v"))
+      val mins = or.groupBy($"u").agg(min($"v").as("m"))
+      val j = or.join(mins, "u")
+      j.select($"v".as("a"), $"m".as("b"))
+        .union(j.select($"u".as("a"), $"m".as("b")))
+        .filter($"a" =!= $"b")
+        .distinct()
+    }
+
+    // order-independent edge-set signature: one aggregate per round
+    // instead of two except-joins. XOR, not SUM: commutative like sum
+    // but can't overflow (ANSI-mode sum of 64-bit hashes would abort
+    // the job); edges are distinct() so xor never self-cancels a dup.
+    // A 64-bit collision across <=30 rounds is ~2^-59 — and the DuckDB
+    // oracle + union-find spec pin exactness independently.
+    def sig(e: DataFrame): (Long, Long) = {
+      val r = e.agg(count(lit(1)), expr("bit_xor(xxhash64(a, b))")).head()
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+
+    var cur = edges0.filter($"a" =!= $"b")
+      .select(greatest($"a", $"b").as("a"), least($"a", $"b").as("b"))
+      .distinct().localCheckpoint()
+    var curSig = sig(cur)
+    var rounds = 0
+    var converged = cur.isEmpty
+    while (!converged) {
+      rounds += 1
+      require(rounds <= MaxRounds, s"star contraction did not converge in $MaxRounds rounds")
+      val next = smallStar(largeStar(cur)).localCheckpoint()
+      val nextSig = sig(next)
+      converged = nextSig == curSig
+      cur = next
+      curSig = nextSig
+    }
+    cur.select($"a".as("doc_id"), $"b".as("cluster_id"))
+  }
+
+  val clustersSql: String =
+    s"""WITH RECURSIVE ${Dedup.jaccardPairCtes},
+       |edges AS (
+       |  SELECT doc_a AS s, doc_b AS d FROM pairs
+       |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+       |walk(node, label) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT e.d, w.label FROM walk w JOIN edges e ON e.s = w.node
+       |  WHERE w.label < e.d),
+       |lab AS (SELECT node AS doc_id, min(label) AS cluster_id FROM walk GROUP BY node),
+       |sz AS (SELECT cluster_id, count(*) AS cluster_size FROM lab GROUP BY cluster_id)
+       |SELECT l.doc_id, l.cluster_id, s.cluster_size,
+       |  CAST(l.doc_id = l.cluster_id AS INT) AS is_canonical
+       |FROM lab l JOIN sz s USING (cluster_id)
+       |ORDER BY l.doc_id""".stripMargin
+}

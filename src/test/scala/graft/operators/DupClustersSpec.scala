@@ -1,0 +1,107 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** q32 duplicate clustering: the large-star/small-star contraction is
+  * pinned against a driver-side union-find on the same edges — exact
+  * set equality of (node, component-min) labels — across adversarial
+  * graph shapes (chains, stars, cliques, forests, random), plus the
+  * end-to-end operator invariants on the real fixture. The DuckDB
+  * recursive-CTE oracle (q32 in CORRECTNESS) checks the full operator
+  * a third way.
+  */
+class DupClustersSpec extends SparkSpec {
+
+  /** Driver-side union-find: (node -> component min) for every node
+    * appearing in `edges`. */
+  private def unionFind(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    parent.keys.map(k => k -> find(k)).toMap
+  }
+
+  private def contract(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    import spark.implicits._
+    val df = edges.toDF("a", "b")
+    val got = DupClusters.starContract(df)
+      .as[(Long, Long)].collect().toMap
+    // star forest labels only non-minimum members; complete with the
+    // self-labels union-find carries for component minima
+    got ++ got.values.map(m => m -> m).toMap
+  }
+
+  test("star contraction == union-find on adversarial graph shapes") {
+    val shapes: Seq[(String, Seq[(Long, Long)])] = Seq(
+      "chain" -> (1L to 40L).sliding(2).map(s => (s(0), s(1))).toSeq,
+      "reversed chain" -> (1L to 40L).sliding(2).map(s => (s(1), s(0))).toSeq,
+      "star hub=max" -> (1L to 20L).map(i => (i, 99L)),
+      "star hub=min" -> (2L to 21L).map(i => (1L, i)),
+      "two cliques + bridgeless singleton edge" ->
+        ((for (i <- 1L to 6L; j <- (i + 1) to 6L) yield (i, j)) ++
+         (for (i <- 10L to 15L; j <- (i + 1) to 15L) yield (i, j)) :+ (100L, 101L)),
+      "forest of pairs" -> (0L until 30L by 2).map(i => (i, i + 1)),
+      "duplicate + self edges mixed" ->
+        Seq((1L, 2L), (2L, 1L), (1L, 1L), (2L, 3L), (2L, 3L), (7L, 7L)),
+      "random sparse" -> {
+        val r = new scala.util.Random(42)
+        Seq.fill(120)((r.nextInt(60).toLong, r.nextInt(60).toLong)).filter(e => e._1 != e._2)
+      }
+    )
+    shapes.foreach { case (name, edges) =>
+      val want = unionFind(edges).filter { case (k, _) =>
+        // self-only nodes (from self edges) stay out of the star forest
+        edges.exists(e => (e._1 == k || e._2 == k) && e._1 != e._2)
+      }
+      val got = contract(edges).filter { case (k, _) => want.contains(k) }
+      assert(got == want, s"shape '$name': got $got want $want")
+    }
+  }
+
+  test("empty edge set yields all-singleton clusters") {
+    import spark.implicits._
+    val got = DupClusters.starContract(Seq.empty[(Long, Long)].toDF("a", "b"))
+    assert(got.count() == 0)
+  }
+
+  test("q32 end-to-end invariants on the fixture corpus") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val out = DupClusters.clusters(spark, dir)
+      .as[(Long, Long, Long, Int)].collect()
+    val nDocs = spark.read.parquet(s"$dir/documents.parquet").count()
+    assert(out.length == nDocs, "every document gets exactly one cluster row")
+    assert(out.map(_._1).distinct.length == out.length, "doc_id unique")
+    // cluster_id is the component MIN: canonical iff doc_id == cluster_id,
+    // exactly one canonical per cluster, and sizes are consistent
+    val byCluster = out.groupBy(_._2)
+    byCluster.foreach { case (cid, rows) =>
+      assert(rows.map(_._1).min == cid, s"cluster $cid: id is not the min member")
+      assert(rows.count(_._4 == 1) == 1, s"cluster $cid: canonical count != 1")
+      assert(rows.forall(_._3 == rows.length), s"cluster $cid: size mismatch")
+    }
+    // clusters must agree with the pair graph: every q11-threshold pair
+    // lands in one cluster (transitivity is WHY this operator exists)
+    val pairs = Dedup.jaccardPairsAll(spark, dir)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect()
+    val label = out.map(r => r._1 -> r._2).toMap
+    pairs.foreach { case (a, b) =>
+      assert(label(a) == label(b), s"pair ($a,$b) split across clusters")
+    }
+    // and the clustering is exactly the pair graph's closure, no more:
+    // label map == union-find on the same pairs (+ singletons)
+    val want = unionFind(pairs)
+    out.foreach { case (id, cid, _, _) =>
+      assert(cid == want.getOrElse(id, id), s"doc $id: cluster $cid != union-find")
+    }
+    assert(pairs.nonEmpty && byCluster.exists(_._2.length > 2),
+      "fixture too small: need at least one transitive (size>2) cluster")
+  }
+}
