@@ -140,6 +140,14 @@ object RunBuf {
   * Selected by `Build.Config(shuffleMode = "runs")`; the default
   * ("rows") path keeps the all-Tungsten sort shuffle. IndexSpec pins
   * the two modes byte-identical on the same corpus.
+  *
+  * Measured (BASELINE.md round-3 experiment): 2.9× smaller build
+  * shuffle payload (416 → 143 MB on the 60k-doc bench corpus) at
+  * +11.5% single-box wall-clock at 8c (a wash at 32c) — the packing is
+  * added CPU where the shuffle is RAM-local, and a network-payload win
+  * where it isn't. Hence rows stays the single-box default and runs is
+  * the cluster knob; the IndexSpec byte-identity gate makes flipping it
+  * a zero-risk one-env-var A/B on the target cluster.
   */
 case class PostingRunAgg(docId: Expression, tf: Expression, dl: Expression,
                          mutableAggBufferOffset: Int = 0,
