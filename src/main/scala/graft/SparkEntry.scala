@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Assembly, Dedup, DupClusters, IndexOps, Multimodal, Relational, Similarity, TextAnalysis, TextRelational}
+import graft.operators.{Assembly, Dedup, DupClusters, IndexOps, LmScore, Multimodal, Relational, Similarity, TextAnalysis, TextRelational}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -62,6 +62,8 @@ object SparkEntry {
     "q31_pack_sequences" -> ((s, d) => Assembly.packSequences(s, d)),
     // Duplicate clustering: connected components over near-dup pairs
     "q32_dup_clusters" -> ((s, d) => DupClusters.clusters(s, d)),
+    // Reference-model (CCNet-style) novelty/familiarity scoring
+    "q33_trigram_novelty" -> ((s, d) => LmScore.trigramNovelty(s, d)),
   )
 
   /** DuckDB equivalents, same column names + total ORDER BY. */
@@ -95,5 +97,6 @@ object SparkEntry {
     "q30_stratified_sample" -> Assembly.stratifiedSampleSql,
     "q31_pack_sequences" -> Assembly.packSequencesSql,
     "q32_dup_clusters" -> DupClusters.clustersSql,
+    "q33_trigram_novelty" -> LmScore.trigramNoveltySql,
   )
 }

@@ -106,16 +106,20 @@ object DupClusters {
       (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
     }
 
+    // LAZY localCheckpoint: the signature aggregate is the action that
+    // materializes each round's edge set, so every round is ONE Spark
+    // job (eager checkpoint + separate sig action would be two — at
+    // small edge counts the loop cost is fixed job overhead, not data)
     var cur = edges0.filter($"a" =!= $"b")
       .select(greatest($"a", $"b").as("a"), least($"a", $"b").as("b"))
-      .distinct().localCheckpoint()
+      .distinct().localCheckpoint(false)
     var curSig = sig(cur)
     var rounds = 0
-    var converged = cur.isEmpty
+    var converged = curSig._1 == 0L
     while (!converged) {
       rounds += 1
       require(rounds <= MaxRounds, s"star contraction did not converge in $MaxRounds rounds")
-      val next = smallStar(largeStar(cur)).localCheckpoint()
+      val next = smallStar(largeStar(cur)).localCheckpoint(false)
       val nextSig = sig(next)
       converged = nextSig == curSig
       cur = next
