@@ -56,11 +56,28 @@ object Assembly {
     * (ceil(n_chars/4)); small so sf0.01 exercises many bins. */
   val PackCtx = 512L
 
-  /** Docs per prefix-sum bucket. At 10^11 docs this yields a 10^8-row
-    * bucket ledger — if that outgrows one window partition, the same
-    * two-level scan applies recursively (bucket-of-buckets); one extra
-    * level covers any corpus that fits on disk. */
+  /** Floor for docs per prefix-sum bucket (keeps sf0.001 tests
+    * exercising many buckets). The effective bucket size is
+    * [[packBucketFor]] — scale-aware, not a fixed constant. */
   val PackBucket = 1000L
+
+  /** Docs per prefix-sum bucket, derived from the corpus size: ~sqrt(n)
+    * bounds BOTH funnels of the two-level scan — the ledger window sees
+    * n/B ≈ sqrt(n) rows in its one task and each within-bucket window
+    * partition holds B ≈ sqrt(n) rows (10^11 docs -> ~3.2e5 each, a few
+    * MB — where a fixed B=1000 would push a 10^8-row ledger through one
+    * task, the same comment-only-scale-story wart the ANN layouts had).
+    * Deterministic in the input, so the output (a pure global running
+    * sum, bucketing-invariant) and its oracle are unaffected.
+    *
+    * `floor(doc_id / B)` bucket boundaries assume roughly DENSE doc_ids
+    * (true of this engine's ingest, which numbers docs contiguously —
+    * corpus/Ingest docId derivation); a sparse 64-bit id space would
+    * thin the buckets and re-grow the ledger — there, substitute
+    * `repartitionByRange(doc_id)` + `spark_partition_id` as the bucket
+    * key (density-free, same two-level math). */
+  def packBucketFor(n: Long): Long =
+    math.max(PackBucket, math.ceil(math.sqrt(n.toDouble)).toLong)
 
   /** q31: sequence packing (GPT-style concat-and-split): documents are
     * concatenated in doc_id order and split into fixed [[PackCtx]]-piece
@@ -71,12 +88,12 @@ object Assembly {
     * a GLOBAL running sum, which Spark executes as a single-partition
     * window: the whole corpus funnels through one task (the q14-class
     * scale killer). Instead, the classic two-level distributed scan:
-    *   1. bucket = doc_id / [[PackBucket]]; per-bucket piece sums via
-    *      hash agg (map-side partial, tiny output);
-    *   2. running sum over the bucket LEDGER only (metadata-sized
-    *      single-partition window — n/1000 rows);
+    *   1. bucket = doc_id / [[packBucketFor]](n) (~sqrt(n)); per-bucket
+    *      piece sums via hash agg (map-side partial, tiny output);
+    *   2. running sum over the bucket LEDGER only (single-partition
+    *      window over ~sqrt(n) rows);
     *   3. broadcast-join offsets back; within-bucket running sum via a
-    *      window PARTITIONED by bucket (bounded: ≤ PackBucket rows per
+    *      window PARTITIONED by bucket (bounded: ~sqrt(n) rows per
     *      partition, parallel across buckets).
     * The DuckDB oracle runs the naive global window — same math, so the
     * distributed scan is exact-checked against it, and PlanSpec gates
@@ -88,9 +105,12 @@ object Assembly {
   def packSequences(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
-    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val raw = spark.read.parquet(s"$dir/documents.parquet")
+    // parquet-metadata count: sizes the bucket level before the scan
+    val bucketSize = packBucketFor(raw.count())
+    val docs = raw
       .select($"doc_id", ceil($"n_chars" / 4.0).cast("long").as("n_pieces"),
-        floor($"doc_id" / lit(PackBucket)).cast("long").as("bucket"))
+        floor($"doc_id" / lit(bucketSize)).cast("long").as("bucket"))
     val ledger = docs.groupBy($"bucket")
       .agg(sum($"n_pieces").as("bucket_pieces"))
     val wLedger = Window.orderBy($"bucket")

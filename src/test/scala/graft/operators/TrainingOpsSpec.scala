@@ -314,6 +314,20 @@ class TrainingOpsSpec extends SparkSpec {
       .select($"doc_id").as[Long].collect().toSeq == expected)
   }
 
+  test("q31 bucket-size derivation bounds BOTH prefix-sum funnels") {
+    // floor keeps small fixtures multi-bucket-capable; sqrt takes over
+    // once it dominates
+    assert(Assembly.packBucketFor(500L) == Assembly.PackBucket)
+    assert(Assembly.packBucketFor(1000L * 1000) == Assembly.PackBucket)
+    assert(Assembly.packBucketFor(4L * 1000 * 1000) == 2000L)
+    // at 10^11 docs neither the ledger window nor a within-bucket
+    // partition may exceed ~sqrt(n) rows
+    val n = 100000000000L
+    val b = Assembly.packBucketFor(n)
+    assert(b <= 400000L, s"bucket size $b")
+    assert(n / b <= 400000L, s"ledger rows ${n / b}")
+  }
+
   test("q31 packing offsets are the exact global running sum (distributed scan == naive)") {
     val dir = "/root/testdata/sf0.001"
     import spark.implicits._
