@@ -44,7 +44,9 @@ object BuildBench {
       heavySampleFraction = sys.env.getOrElse("GRAFT_HEAVY_SAMPLE", "0.02").toDouble,
       tokenizer = Tokenizer.default,
       // A/B hook for the posting-shuffle experiment (SURVEY §4 item 4)
-      shuffleMode = sys.env.getOrElse("GRAFT_SHUFFLE_MODE", "rows"))
+      shuffleMode = sys.env.getOrElse("GRAFT_SHUFFLE_MODE", "rows"),
+      // A/B hook for costing the spell-artifact phase
+      spellIndex = sys.env.getOrElse("GRAFT_SPELL_ARTIFACT", "on") != "off")
     // JIT/classload warmup on a small slice (untimed) so the timed run
     // measures steady-state throughput, not cold-JVM compilation
     val warmDir = java.nio.file.Files
