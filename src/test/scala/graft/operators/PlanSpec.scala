@@ -205,6 +205,15 @@ class PlanSpec extends SparkSpec {
       "scan must prune to (doc_id, source)")
   }
 
+  test("q33 scoring: partial aggregation everywhere, no windows, pruned scan") {
+    val p = plan(LmScore.trigramNovelty(spark, dir))
+    // model counts and per-doc score aggs must both be map-side partial
+    assert(p.contains("partial_count"), s"model/count agg lost map-side combine:\n${p.take(800)}")
+    assert(!p.contains("Window"), "a window crept into the scoring plan")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      "scan must prune to (doc_id, text)")
+  }
+
   test("q31 packing: partitioned window over docs, single-partition only on the bucket ledger") {
     val df = Assembly.packSequences(spark, dir)
     val p = plan(df)
