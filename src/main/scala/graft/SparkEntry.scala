@@ -64,6 +64,8 @@ object SparkEntry {
     "q32_dup_clusters" -> ((s, d) => DupClusters.clusters(s, d)),
     // Reference-model (CCNet-style) novelty/familiarity scoring
     "q33_trigram_novelty" -> ((s, d) => LmScore.trigramNovelty(s, d)),
+    // IVF-PQ: compressed-code ANN serving (no oracle — approximate)
+    "q34_ann_ivfpq" -> ((s, d) => Similarity.annIvfPq(s, d)),
   )
 
   /** DuckDB equivalents, same column names + total ORDER BY. */

@@ -27,7 +27,15 @@ final case class AnnConfig(
     multiProbe: Int = 2,
     ivfLists: Int = 16,
     ivfProbes: Int = 4,
-    ivfIters: Int = 4)
+    ivfIters: Int = 4,
+    // PQ sub-quantizer shape (q34): pqM subspaces × pqK centroids each.
+    // pqK=16 -> 4-bit codes; pqM * 4 bits pack into ONE long column, so
+    // the ADC scorer is plain bit-ops + a 128-entry LUT literal — fully
+    // codegen'd. At 10^11 vectors the PQ layout is ~1.6 TB (8 B id +
+    // 8 B packed code + 4 B norm) vs ~25.6 TB of raw float32x64 —
+    // the 16x that makes vector serving RAM/disk-feasible at scale.
+    pqM: Int = 8,
+    pqK: Int = 16)
 
 /** Similarity search over the `embeddings` table (builder-prompt
   * training-data pipeline ops): brute-force cosine top-k as the exact
@@ -299,6 +307,173 @@ object Similarity {
       .withColumn("qe", typedLit(qEmb))
       .select($"vec_id", round(cosExpr, 4).as("cos"))
       .orderBy($"cos".desc, $"vec_id")
+      .limit(K)
+  }
+
+  // ---- IVF-PQ ANN (compressed serving path; not SQL-expressible) ----
+
+  /** Deterministic k-means under L2 (PQ quantizes raw subvectors, so
+    * the metric is Euclidean, unlike the cosine coarse quantizer):
+    * farthest-point seeding from index 0, ties by index, then 6 Lloyd
+    * sweeps with empty clusters keeping their centroid. */
+  private def kmeansL2(sample: Array[Array[Double]], k: Int): Array[Array[Double]] = {
+    def d2(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+      s
+    }
+    val seeds = scala.collection.mutable.ArrayBuffer(0)
+    while (seeds.length < math.min(k, sample.length)) {
+      var bestI = -1; var bestD = Double.NegativeInfinity
+      var i = 0
+      while (i < sample.length) {
+        if (!seeds.contains(i)) {
+          var nearest = Double.PositiveInfinity
+          seeds.foreach { s => val d = d2(sample(i), sample(s))
+            if (d < nearest) nearest = d }
+          if (nearest > bestD) { bestD = nearest; bestI = i }
+        }
+        i += 1
+      }
+      seeds += bestI
+    }
+    var cents = seeds.map(sample(_).clone()).toArray
+    for (_ <- 1 to 6) {
+      val sums = Array.fill(cents.length)(new Array[Double](sample(0).length))
+      val counts = new Array[Int](cents.length)
+      sample.foreach { v =>
+        var best = 0; var bestD = Double.PositiveInfinity; var c = 0
+        while (c < cents.length) {
+          val d = d2(v, cents(c)); if (d < bestD) { bestD = d; best = c }
+          c += 1
+        }
+        counts(best) += 1
+        var i = 0
+        while (i < v.length) { sums(best)(i) += v(i); i += 1 }
+      }
+      cents = cents.indices.map { c =>
+        if (counts(c) == 0) cents(c) else sums(c).map(_ / counts(c))
+      }.toArray
+    }
+    cents
+  }
+
+  private val pqCache =
+    TrieMap.empty[(String, AnnConfig), Array[Array[Array[Double]]]]
+
+  /** PQ sub-quantizer codebooks: `pqM` subspaces × `pqK` L2 centroids,
+    * trained on the same deterministic hash-ordered sample the coarse
+    * quantizer uses. Sample-trained codebooks are standard PQ practice
+    * (Jégou et al. TPAMI'11 train on a learning subset; FAISS default) —
+    * the result is pqM × pqK × (dim/pqM) doubles, broadcastable at any
+    * corpus scale. */
+  private[operators] def trainPq(spark: SparkSession, dir: String,
+                                 cfg: AnnConfig = DefaultAnn)
+      : Array[Array[Array[Double]]] = pqCache.getOrElseUpdate((dir, cfg), {
+    import spark.implicits._
+    val sample = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select($"vec_id".cast("long"), $"embedding").as[(Long, Array[Float])]
+      .orderBy(xxhash64($"vec_id"), $"vec_id").limit(64 * cfg.pqK)
+      .collect().map(_._2.map(_.toDouble))
+    val dim = sample(0).length
+    require(dim % cfg.pqM == 0, s"dim $dim not divisible by pqM=${cfg.pqM}")
+    val sub = dim / cfg.pqM
+    Array.tabulate(cfg.pqM) { m =>
+      kmeansL2(sample.map(_.slice(m * sub, (m + 1) * sub)), cfg.pqK)
+    }
+  })
+
+  /** Bits per packed sub-code; pqM codes must fit one long. */
+  private def pqBits(cfg: AnnConfig): Int = {
+    val bits = 32 - Integer.numberOfLeadingZeros(cfg.pqK - 1)
+    require(bits * cfg.pqM <= 64,
+      s"pqM=${cfg.pqM} x $bits-bit codes exceed one long")
+    bits
+  }
+
+  /** One-pass IVF-PQ index build: every vector gets its coarse list
+    * (partition key), its pqM sub-codes PACKED INTO ONE LONG, and its
+    * exact norm — (vec_id, code, norm, list) is ~20 B/vector vs 256+ B
+    * of raw float32 embedding, the compression that makes 10^11-vector
+    * serving disk-feasible. Raw embeddings are never read at query
+    * time. */
+  private[operators] def pqLayout(spark: SparkSession, dir: String,
+                                  cfg: AnnConfig = DefaultAnn): String =
+    layoutCache.getOrElseUpdate(("ivfpq", dir, cfg), {
+      import spark.implicits._
+      val coarse = spark.sparkContext.broadcast(trainIvf(spark, dir, cfg))
+      val cbs = spark.sparkContext.broadcast(trainPq(spark, dir, cfg))
+      val bits = pqBits(cfg)
+      val out = graft.TempDirs.create("graft-ivfpq-layout")
+      spark.read.parquet(s"$dir/embeddings.parquet")
+        .select($"vec_id".cast("long"), $"embedding").as[(Long, Array[Float])]
+        .map { case (id, emb) =>
+          val v = emb.map(_.toDouble)
+          val list = nearestCentroids(v, coarse.value, 1).head
+          val sub = v.length / cfg.pqM
+          var code = 0L
+          var m = 0
+          while (m < cfg.pqM) {
+            var bestK = 0; var bestD = Double.PositiveInfinity
+            var k = 0
+            while (k < cbs.value(m).length) {
+              var d = 0.0; var i = 0
+              val c = cbs.value(m)(k)
+              while (i < sub) {
+                val x = v(m * sub + i) - c(i); d += x * x; i += 1
+              }
+              if (d < bestD) { bestD = d; bestK = k }
+              k += 1
+            }
+            code |= bestK.toLong << (bits * m)
+            m += 1
+          }
+          var n2 = 0.0; var i = 0
+          while (i < v.length) { n2 += v(i) * v(i); i += 1 }
+          (id, code, math.sqrt(n2).toFloat, list)
+        }.toDF("vec_id", "code", "norm", "list")
+        .write.mode("overwrite").partitionBy("list").parquet(out)
+      out
+    })
+
+  /** q34: IVF-PQ ANN — partition-pruned probes over the COMPRESSED
+    * layout, scored by asymmetric distance computation (ADC): the
+    * query-side lookup table lut[m][k] = dot(q_m, c_mk) is a pure
+    * driver-side function of the query vector and the codebooks (128
+    * doubles at the default config), and each row's approximate cosine
+    * is an UNROLLED fully-codegen'd column expression — bit-shift +
+    * mask + element_at on the LUT literal, summed over subspaces, over
+    * the row's single packed-long code. No kernel pass, no HOF lambda,
+    * no raw embedding read: the serving scan touches (vec_id, code,
+    * norm) in the probed partitions only. */
+  def annIvfPq(spark: SparkSession, dir: String,
+               cfg: AnnConfig = DefaultAnn): DataFrame = {
+    import spark.implicits._
+    val cents = trainIvf(spark, dir, cfg)
+    val cbs = trainPq(spark, dir, cfg)
+    val qv = queryEmbedding(spark, dir).map(_.toDouble)
+    val probes = nearestCentroids(qv, cents, cfg.ivfProbes)
+    val bits = pqBits(cfg)
+    val mask = (1L << bits) - 1
+    val sub = qv.length / cfg.pqM
+    val lut: Array[Double] = Array.tabulate(cfg.pqM * cfg.pqK) { i =>
+      val m = i / cfg.pqK; val k = i % cfg.pqK
+      var d = 0.0; var j = 0
+      while (j < sub) { d += qv(m * sub + j) * cbs(m)(k)(j); j += 1 }
+      d
+    }
+    var qn = 0.0; qv.foreach(x => qn += x * x)
+    val qNorm = math.sqrt(qn)
+    val lutCol = typedLit(lut)
+    val adc = (0 until cfg.pqM).map { m =>
+      element_at(lutCol,
+        shiftright($"code", bits * m).bitwiseAND(lit(mask)).cast("int")
+          + lit(m * cfg.pqK + 1))
+    }.reduce(_ + _)
+    spark.read.parquet(pqLayout(spark, dir, cfg))
+      .filter($"list".isin(probes: _*) && $"vec_id" =!= QueryVecId)
+      .select($"vec_id", round(adc / ($"norm" * qNorm), 4).as("cos_pq"))
+      .orderBy($"cos_pq".desc, $"vec_id")
       .limit(K)
   }
 

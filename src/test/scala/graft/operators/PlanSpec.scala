@@ -195,6 +195,21 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"))
   }
 
+  test("q34 serves from the compressed layout: pruned partitions, packed-code columns, zero kernels") {
+    val p = plan(Similarity.annIvfPq(spark, dir))
+    assert(p.contains("graft-ivfpq-layout"), s"not reading the PQ layout:\n${p.take(800)}")
+    assert(p.contains("PartitionFilters: [list#"),
+      s"probe is not partition-pruned:\n${p.take(800)}")
+    // the serving scan must read ONLY (vec_id, code, norm) — reading an
+    // embedding column would mean the 16x compression isn't real
+    assert(p.contains("ReadSchema: struct<vec_id:bigint,code:bigint,norm:float>"),
+      s"scan reads more than the compressed columns:\n${p.take(800)}")
+    // ADC is a pure column expression: no object kernel, no HOF lambda
+    assert(!p.contains("DeserializeToObject") && !p.contains("LambdaFunction"),
+      s"non-columnar scoring crept into the ADC plan:\n${p.take(800)}")
+    assert(p.contains("TakeOrderedAndProject"))
+  }
+
   test("q30 stratified sample is map-only: the only exchange is the output sort") {
     val p = plan(Assembly.stratifiedSample(spark, dir))
     // the keep/drop decision is a pure hash of the row — no shuffle, no

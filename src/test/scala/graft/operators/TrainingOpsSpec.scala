@@ -157,6 +157,49 @@ class TrainingOpsSpec extends SparkSpec {
     assert(ivfRecall >= 0.8, s"IVF recall=$ivfRecall at $cfg")
   }
 
+  test("q34 IVF-PQ on planted clusters: ADC over packed codes recovers the true neighbors") {
+    val brute = Similarity.annBruteForce(spark, clusteredDir).collect()
+      .map(_.getLong(0)).toSet
+    val pq = Similarity.annIvfPq(spark, clusteredDir).collect()
+      .map(_.getLong(0)).toSet
+    val recall = brute.intersect(pq).size.toDouble / brute.size
+    assert(recall >= 0.8, s"IVF-PQ recall=$recall")
+    // and at a non-default shape: 4 subspaces of 16 dims, 8 centroids
+    // (3-bit codes) — nothing pins pqM=8/pqK=16
+    val cfg = AnnConfig(ivfLists = 8, ivfProbes = 3, pqM = 4, pqK = 8)
+    val pq2 = Similarity.annIvfPq(spark, clusteredDir, cfg).collect()
+      .map(_.getLong(0)).toSet
+    val recall2 = brute.intersect(pq2).size.toDouble / brute.size
+    assert(recall2 >= 0.7, s"IVF-PQ recall=$recall2 at $cfg (coarser codes)")
+  }
+
+  test("q34 layout is the compressed serving format: no embedding column, codes fit their bits") {
+    import spark.implicits._
+    val layout = spark.read.parquet(
+      Similarity.pqLayout(spark, clusteredDir))
+    assert(layout.columns.sorted.toSeq == Seq("code", "list", "norm", "vec_id"),
+      s"layout carries extra columns: ${layout.columns.toSeq}")
+    // every packed code decodes to sub-codes < pqK (4-bit lanes)
+    val codes = layout.select($"code").as[Long].collect()
+    assert(codes.nonEmpty)
+    codes.foreach { c =>
+      (0 until 8).foreach { m =>
+        val k = (c >> (4 * m)) & 15
+        assert(k >= 0 && k < 16, s"lane $m of code $c out of range")
+      }
+    }
+    // norms are the exact vector norms (spot-check vs raw table)
+    val raw = spark.read.parquet(s"$clusteredDir/embeddings.parquet")
+      .select($"vec_id".cast("long"), $"embedding").as[(Long, Array[Float])]
+      .collect().toMap
+    layout.select($"vec_id".cast("long"), $"norm").as[(Long, Float)]
+      .collect().take(50).foreach { case (id, n) =>
+        val v = raw(id).map(_.toDouble)
+        assert(math.abs(n - math.sqrt(v.map(x => x * x).sum)) < 1e-3,
+          s"vec $id: stored norm $n")
+      }
+  }
+
   test("q14 blocking factor derives from corpus size and never changes results") {
     // derivation: smallest block count whose block-pairs fit the
     // per-task vector budget, floored at 8 for test-scale parallelism
