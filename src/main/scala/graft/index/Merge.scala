@@ -22,6 +22,29 @@ import org.apache.spark.sql.functions._
   */
 object Merge {
 
+  /** Segments are immutable after build, so on a local filesystem the
+    * "copy" is a HARD LINK — chained re-merges (the streaming indexer
+    * merges current+snapshot every epoch) stay O(#files) metadata ops
+    * instead of re-copying the accumulated posting bytes each epoch
+    * (quadratic over the stream's life). Non-local filesystems fall
+    * back to a byte copy; content is identical either way, so every
+    * merge≡rebuild byte-identity gate is unaffected. */
+  private def linkOrCopy(fsIn: org.apache.hadoop.fs.FileSystem, src: Path,
+                         fsOut: org.apache.hadoop.fs.FileSystem, dst: Path): Unit = {
+    val bothLocal =
+      fsIn.getScheme == "file" && fsOut.getScheme == "file"
+    val linked = bothLocal && {
+      try {
+        java.nio.file.Files.createLink(
+          java.nio.file.Paths.get(dst.toUri.getPath),
+          java.nio.file.Paths.get(src.toUri.getPath))
+        true
+      } catch { case _: Exception => false } // cross-device etc. -> copy
+    }
+    if (!linked)
+      org.apache.hadoop.fs.FileUtil.copy(fsIn, src, fsOut, dst, false, fsIn.getConf)
+  }
+
   /** Merge `parts` (built over docId-disjoint corpora) into `outDir`.
     * Validates disjointness via doc_stats ranges. */
   def disjoint(spark: SparkSession, parts: Seq[String], outDir: String): Unit = {
@@ -51,10 +74,8 @@ object Merge {
         .filter(_.isFile).map(_.getPath.getName)
         .filter(_.endsWith(".bin"))
       files.foreach { name =>
-        org.apache.hadoop.fs.FileUtil.copy(
-          fsIn, new Path(s"$p/segments/$name"),
-          fsOut, new Path(s"$outDir/segments/p$i-$name"),
-          false, fsIn.getConf)
+        linkOrCopy(fsIn, new Path(s"$p/segments/$name"),
+          fsOut, new Path(s"$outDir/segments/p$i-$name"))
       }
       spark.read.parquet(s"$p/dict")
         .withColumn("file", concat(lit(s"p$i-"), $"file"))
