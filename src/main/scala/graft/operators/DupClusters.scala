@@ -109,7 +109,9 @@ object DupClusters {
     // LAZY localCheckpoint: the signature aggregate is the action that
     // materializes each round's edge set, so every round is ONE Spark
     // job (eager checkpoint + separate sig action would be two — at
-    // small edge counts the loop cost is fixed job overhead, not data)
+    // small edge counts the loop cost is fixed job overhead, not data).
+    // Superseded rounds' checkpoint blocks become unreachable and are
+    // freed by the ContextCleaner; live state is ≤ 2 edge-sized sets.
     var cur = edges0.filter($"a" =!= $"b")
       .select(greatest($"a", $"b").as("a"), least($"a", $"b").as("b"))
       .distinct().localCheckpoint(false)

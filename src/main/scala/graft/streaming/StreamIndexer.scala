@@ -54,9 +54,12 @@ object StreamIndexer {
     val tmp = new Path(s"$root/CURRENT.tmp")
     val out = fs.create(tmp, true)
     try out.write(target.getBytes("UTF-8")) finally out.close()
-    fs.delete(new Path(s"$root/CURRENT"), false)
-    require(fs.rename(tmp, new Path(s"$root/CURRENT")),
-      s"pointer flip failed for $target")
+    // FileContext rename with OVERWRITE: one atomic replace — a plain
+    // delete+rename pair would leave a window where a reader finds no
+    // CURRENT at all, breaking the never-torn claim
+    org.apache.hadoop.fs.FileContext.getFileContext(fs.getUri, fs.getConf)
+      .rename(tmp, new Path(s"$root/CURRENT"),
+        org.apache.hadoop.fs.Options.Rename.OVERWRITE)
   }
 
   /** One epoch's work: build-if-absent, merge-if-absent, publish.
