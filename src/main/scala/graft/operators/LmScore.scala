@@ -29,6 +29,10 @@ import org.apache.spark.sql.functions._
   * Scale shape: the model is a vocab-sized partial-agg groupBy; the
   * scoring join is key-colocated on the trigram (broadcast under AQE
   * at small model sizes); the per-doc agg is map-side partial. The
+  * corpus text is deliberately tokenized twice (once for the model
+  * subset, once for the scoring stream) — persisting the trigram
+  * stream to skip the second pass would cache a corpus-sized
+  * intermediate, which at 100 TB costs more than re-tokenizing. The
   * Zipf head of the model (hot trigrams like "} } }") concentrates
   * join rows per key — AQE skew-join splits those at runtime, and the
   * model row per key is a single long, so even a hot partition streams.

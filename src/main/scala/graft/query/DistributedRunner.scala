@@ -31,7 +31,14 @@ import graft.analysis.Tokenizer
 object DistributedRunner {
 
   /** Score every (query_num, query) row; returns
-    * (query_num, doc_id, rank, score) rows, ranked per query. */
+    * (query_num, doc_id, rank, score) rows, ranked per query.
+    *
+    * Broadcast lifecycle: the returned DataFrame is LAZY, so the core
+    * broadcast must outlive any action the caller runs on it — eager
+    * unpersist here would break the plan. Once the result goes
+    * unreferenced the ContextCleaner reclaims the broadcast; the
+    * executor-side file handles (the leak that matters) are released
+    * per task by the completion hook below. */
   def run(spark: SparkSession, indexDir: String, queries: DataFrame,
           k: Int = 250,
           tokCfg: Tokenizer.Config = Tokenizer.default,
