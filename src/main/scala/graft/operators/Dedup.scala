@@ -16,7 +16,9 @@ import graft.analysis.Fingerprints
   *    hot-shingle cap (df <= MaxShingleDf) so no quadratic blowup on
   *    boilerplate shingles (the same skew logic as the index build);
   *  - MinHash/LSH shuffles fixed-width signatures (k longs/doc), never
-  *    the text, and joins on band keys only;
+  *    the text, joins on band keys only, and bounds oversized band
+  *    buckets (giant dup clusters) with representative star edges so no
+  *    bucket ever enumerates O(s²) pairs;
   *  - SimHash near-dup join uses the 4×16-bit pigeonhole chunks, so
   *    candidates are equal-chunk hash-join buckets, not a cross join.
   */
@@ -38,6 +40,15 @@ object Dedup {
 
   // ---- q11: word-bigram Jaccard near-dup ----------------------------
 
+  /** Hot-shingle df cap. Known recall boundary, pinned by fixture
+    * (TrainingOpsSpec "q11 giant-cluster regime"): a near-dup CLUSTER
+    * larger than this has ALL its shingles capped away (each shingle's
+    * df >= cluster size), so q11 reports no pairs inside it — by
+    * design: shingles shared by 50+ docs are uninformative boilerplate
+    * for pairwise Jaccard, and giant exact/near clusters are owned by
+    * q10 (exact digest) and q12 (MinHash+LSH, whose [[MaxBandBucket]]
+    * star path is built for precisely that regime) feeding q32
+    * clustering. */
   val MaxShingleDf = 50
   val JaccardMin = 0.2
   val TopPairs = 100
@@ -136,7 +147,26 @@ object Dedup {
   val RowsPerBand = 4
   val LshJaccardMin = 0.5
 
-  def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
+  /** Band-bucket size cap. A band bucket of size s would enumerate
+    * s(s-1)/2 candidate pairs in the self-join — a 1M-member duplicate
+    * cluster (exactly the thing dedup runs FOR on crawl corpora) pushes
+    * ~5·10¹¹ rows through ONE band key. Buckets over the cap skip pair
+    * enumeration entirely: every member collided with the bucket
+    * minimum on a FULL band (all [[RowsPerBand]] signature rows), so
+    * (rep, member) is a near-certain dup; the star edges keep candidate
+    * count O(s) per bucket and [[DupClusters.starContract]] recovers
+    * the full cluster transitively. Same skew discipline as q11's
+    * MaxShingleDf and the salted index shuffle. The trade: within an
+    * oversized bucket q12 reports only (rep, member) pairs, not all
+    * member×member pairs — clustering (q32), not the raw pair list, is
+    * the consumer that matters in that regime. */
+  val MaxBandBucket = 1000
+
+  /** LSH candidate pairs BEFORE exact-Jaccard verification — exposed so
+    * the skew fixture can assert candidate-row counts stay O(cluster)
+    * on a planted oversized dup cluster. */
+  private[operators] def lshCandidates(spark: SparkSession, dir: String,
+                                       maxBucket: Int): DataFrame = {
     import spark.implicits._
     val docs = spark.read.parquet(s"$dir/documents.parquet")
       .select($"doc_id".cast("long"), $"text").as[(Long, String)]
@@ -148,11 +178,31 @@ object Dedup {
     val bandKeys = sigs.as[(Long, Array[Long])].flatMap { case (id, sig) =>
       Fingerprints.lshBands(sig, Bands, RowsPerBand).map(k => (k, id))
     }.toDF("band", "doc_id")
-    val cand = bandKeys.as("a")
-      .join(bandKeys.as("b"),
+    // bucket-size bound: partial-aggregating count per band key (the
+    // shuffle carries (band, partial count), like q11's hot set); the
+    // oversized set is bounded by totalBandRows/maxBucket so AQE
+    // broadcasts both the anti-join and the star join below.
+    val big = bandKeys.groupBy($"band")
+      .agg(count(lit(1)).as("bsz"), min($"doc_id").as("rep"))
+      .filter($"bsz" > maxBucket)
+      .select($"band", $"rep")
+    val smallKeys = bandKeys.join(big.select($"band"), Seq("band"), "left_anti")
+    val pairCand = smallKeys.as("a")
+      .join(smallKeys.as("b"),
         $"a.band" === $"b.band" && $"a.doc_id" < $"b.doc_id")
       .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
-      .distinct()
+    // star edges for oversized buckets: rep = min(doc_id) in the
+    // bucket, so doc_a < doc_b holds by construction.
+    val starCand = bandKeys.join(big, "band")
+      .filter($"doc_id" =!= $"rep")
+      .select($"rep".as("doc_a"), $"doc_id".as("doc_b"))
+    pairCand.union(starCand).distinct()
+  }
+
+  def minhashLsh(spark: SparkSession, dir: String,
+                 maxBucket: Int = MaxBandBucket): DataFrame = {
+    import spark.implicits._
+    val cand = lshCandidates(spark, dir, maxBucket)
     // verify candidates with exact Jaccard (text joined back only for
     // the small candidate set)
     val txt = spark.read.parquet(s"$dir/documents.parquet")

@@ -259,6 +259,75 @@ class TrainingOpsSpec extends SparkSpec {
       s"top pairs not the planted dups: ${top.take(5).toSeq}")
   }
 
+  test("q12 oversized band buckets: candidates stay O(cluster), star links to the representative, q32 recovers the cluster") {
+    import spark.implicits._
+    // plant a dup cluster LARGER than MaxBandBucket — the crawl-corpus
+    // regime LSH dedup exists for. All members identical => every band
+    // bucket holds the whole cluster, so naive enumeration would emit
+    // n(n-1)/2 ≈ 719k candidate pairs through each of 8 band keys.
+    val n = 1200
+    require(n > Dedup.MaxBandBucket)
+    val dupText = (0 until 20).map(i => "tok" + i).mkString(" ")
+    val r = new scala.util.Random(7)
+    val uniq = (0 until 10).map(i =>
+      (100000L + i, Seq.fill(25)("u" + r.nextInt(5000)).mkString(" ")))
+    val d = tmpDir("graft-bigbucket")
+    ((0L until n.toLong).map(i => (i, dupText)) ++ uniq)
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    // candidate rows: (rep, member) star edges only — O(cluster), never
+    // O(cluster^2)
+    val candCount = Dedup.lshCandidates(spark, d, Dedup.MaxBandBucket).count()
+    assert(candCount >= (n - 1).toLong, s"star edges missing: $candCount")
+    assert(candCount <= (n - 1).toLong + 50,
+      s"candidate blowup: $candCount rows for a $n-member cluster")
+    // verified output: every member linked to the bucket-min rep at j=1
+    val pairs = Dedup.minhashLsh(spark, d).collect()
+      .map(rr => (rr.getLong(0), rr.getLong(1), rr.getDouble(2)))
+    val star = pairs.filter(p => p._1 == 0L && p._2 < n)
+    assert(star.length == n - 1, s"expected ${n - 1} star pairs, got ${star.length}")
+    assert(star.forall(_._3 == 1.0))
+    // q32 path: star contraction over the q12 edge list recovers the
+    // FULL cluster even though q12 never enumerated member×member pairs
+    val edges = pairs.toSeq.toDF("a", "b", "j").select($"a", $"b")
+    val lab = DupClusters.starContract(edges).collect()
+      .map(rr => (rr.getLong(0), rr.getLong(1))).toMap
+    (1L until n.toLong).foreach { id =>
+      assert(lab(id) == 0L, s"doc $id not clustered to 0: ${lab.get(id)}")
+    }
+  }
+
+  test("q11 giant-cluster regime: clusters > MaxShingleDf are invisible to q11 by design; q12+q32 own them") {
+    import spark.implicits._
+    // a near-dup cluster larger than MaxShingleDf caps away ALL its
+    // shingles (each shingle's df >= cluster size), so q11 reports no
+    // pairs inside it — pinned here so the recall boundary is explicit.
+    val n = 60
+    require(n > Dedup.MaxShingleDf)
+    val dupText = (0 until 20).map(i => "gc" + i).mkString(" ")
+    val r = new scala.util.Random(11)
+    val uniq = (0 until 15).map(i =>
+      (100000L + i, Seq.fill(30)("v" + r.nextInt(5000)).mkString(" ")))
+    val d = tmpDir("graft-giantcluster")
+    ((0L until n.toLong).map(i => (i, dupText)) ++ uniq)
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val q11 = Dedup.jaccardPairsAll(spark, d).collect()
+      .map(rr => (rr.getLong(0), rr.getLong(1)))
+    assert(!q11.exists { case (a, b) => a < n && b < n },
+      s"q11 unexpectedly found pairs inside the giant cluster: ${q11.take(3).toSeq}")
+    // q12 (bucket size 60 < MaxBandBucket -> full enumeration) finds it
+    val q12 = Dedup.minhashLsh(spark, d).collect()
+      .map(rr => (rr.getLong(0), rr.getLong(1)))
+      .filter { case (a, b) => a < n && b < n }
+    assert(q12.length == n * (n - 1) / 2,
+      s"q12 should see all cluster pairs, got ${q12.length}")
+    val edges = q12.toSeq.toDF("a", "b")
+    val lab = DupClusters.starContract(edges).collect()
+      .map(rr => (rr.getLong(0), rr.getLong(1))).toMap
+    (1L until n.toLong).foreach(id => assert(lab(id) == 0L))
+  }
+
   test("q25 PII redaction scrubs planted emails/phones/IPs and counts them") {
     import spark.implicits._
     val d = tmpDir("graft-pii")
