@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked run's stdout through VERBATIM (no "[info] " prefix):
+// the driver's bench harness parses the one JSON line graft.Bench prints,
+// and sbt's default logger prefix broke its strict parser three rounds
+// running (BENCH_r0{1,2,3}.json all carried `parsed: null`).
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

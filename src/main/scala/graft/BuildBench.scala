@@ -63,14 +63,18 @@ object BuildBench {
     })
     Build.run(spark, docsDf.filter(s"doc_id < ${math.min(nDocs, 1000L)}"),
       warmDir, cfg)
-    Thread.sleep(500) // let the async listener bus drain the warmup stages
+    // deterministic drain of the async listener bus: a fixed sleep could
+    // attribute warmup stages to the timed window on a loaded box
+    org.apache.spark.graftshim.CoreShim
+      .waitListenerBusEmpty(spark.sparkContext, 30000)
     val sb0 = shuffleBytes.get()
     val st0 = readProcStat()
     val t0 = System.nanoTime()
     Build.run(spark, docsDf, idxDir, cfg)
     val sec = (System.nanoTime() - t0) / 1e9
     val st1 = readProcStat()
-    Thread.sleep(500)
+    org.apache.spark.graftshim.CoreShim
+      .waitListenerBusEmpty(spark.sparkContext, 30000)
     println(f"BENCH_BUILD_SECONDS=$sec%.3f")
     println(s"BENCH_BUILD_DOCS=$nDocs")
     println(f"BENCH_SHUFFLE_MB=${(shuffleBytes.get() - sb0) / 1e6}%.1f")

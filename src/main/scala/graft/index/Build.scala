@@ -155,6 +155,36 @@ object Build {
     r
   }
 
+  /** Best-effort spell-artifact build from an index's term_stats: the
+    * same guards as the engine's lazy path (vocab row cap, then the
+    * exact delete-variant entry estimate), persisted via SpellStore.
+    * NEVER throws — the artifact is an optional optimization with a
+    * graceful SpellStore.load→None fallback at query time, so a
+    * transient FS failure here must not fail an otherwise-complete
+    * index build (or merge). Shared by the build's overlapped future
+    * and by [[Merge.disjoint]], so merged/streamed indexes carry the
+    * artifact too instead of each serving JVM re-deriving it. */
+  def trySpellArtifact(spark: SparkSession, indexDir: String): Unit =
+    try {
+      import spark.implicits._
+      val stats = spark.read.parquet(s"$indexDir/term_stats")
+      if (stats.count() <= 2000000L) {
+        val vocab = stats
+          .select($"term", $"df").as[(String, Long)].collect()
+        val budget = graft.query.EngineCore.MaxSpellIndexEntries
+        val est = graft.query.Spell.DeleteIndex.entryEstimate(
+          vocab.iterator.map(_._1), budget)
+        if (est <= budget)
+          graft.query.SpellStore.write(s"$indexDir/spell",
+            graft.query.Spell.DeleteIndex.build(vocab))
+      }
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        System.err.println(
+          s"[build] spell-artifact skipped (${e.getClass.getSimpleName}: " +
+            s"${e.getMessage}); engines fall back to lazy/bounded paths")
+    }
+
   def run(spark: SparkSession, docs: DataFrame, indexDir: String,
           cfg: Config = Config()): Result = {
     import spark.implicits._
@@ -402,19 +432,20 @@ object Build {
     // build is driver-side CPU while those are Spark jobs.
     val spellF = scala.concurrent.Future {
       if (cfg.spellIndex) phase("spell-index") {
-        val stats = spark.read.parquet(s"$indexDir/term_stats")
-        if (stats.count() <= 2000000L) {
-          val vocab = stats
-            .select($"term", $"df").as[(String, Long)].collect()
-          val budget = graft.query.EngineCore.MaxSpellIndexEntries
-          val est = graft.query.Spell.DeleteIndex.entryEstimate(
-            vocab.iterator.map(_._1), budget)
-          if (est <= budget)
-            graft.query.SpellStore.write(s"$indexDir/spell",
-              graft.query.Spell.DeleteIndex.build(vocab))
-        }
+        trySpellArtifact(spark, indexDir)
       }
     }(scala.concurrent.ExecutionContext.global)
+
+    // ts artifact: the keyed point-read store behind recency tiebreaks
+    // (TsStore scaladoc) — written whenever the corpus carries ANY
+    // nonzero ingest_ts (a constant-ts part still needs it so a later
+    // disjoint merge with newer parts can tiebreak across parts without
+    // regenerating); an all-zero corpus pays nothing. Tiny next to the
+    // posting shuffle: a range repartition of 16 B rows.
+    if (tsMin != 0L || tsMax != 0L) phase("ts-artifact") {
+      TsStore.write(spark, spark.read.parquet(s"$indexDir/doc_stats"),
+        s"$indexDir/ts", cfg.numPartitions)
+    }
 
     // A9: numbers-in-corpus counter (reference persists
     // AMOUNT_OF_NUMBERS_IN_CORPUS, parser_module.py:18 + 519-521,

@@ -46,8 +46,11 @@ object Merge {
   }
 
   /** Merge `parts` (built over docId-disjoint corpora) into `outDir`.
-    * Validates disjointness via doc_stats ranges. */
-  def disjoint(spark: SparkSession, parts: Seq[String], outDir: String): Unit = {
+    * Validates disjointness via doc_stats ranges. `spellIndex=false`
+    * skips regenerating the spell artifact (engines fall back to the
+    * lazy bounded delete-index build). */
+  def disjoint(spark: SparkSession, parts: Seq[String], outDir: String,
+               spellIndex: Boolean = true): Unit = {
     import spark.implicits._
     require(parts.size >= 2, "need at least two indexes to merge")
 
@@ -67,18 +70,27 @@ object Merge {
     val fsOut = SegmentStore.fs(outDir)
     fsOut.mkdirs(new Path(s"$outDir/segments/_markers"))
 
-    // ---- segments: copy under part-prefixed names; re-point dicts ----
+    // ---- segments: link under FLAT epoch-scoped names (m<part>-<idx>
+    // .bin) and re-point dicts through a file-count-bound rename map.
+    // A recursive prefix (p$i-<origname>) compounded ~3 chars per
+    // chained re-merge, so a continuously-streaming index hit the
+    // 255-byte filename limit after ~80 micro-batches; flat names make
+    // chained merges rename-stable (a merged part's m0-5.bin simply
+    // becomes m<i>-<j>.bin one level deep again). ----------------------
     val dicts = parts.zipWithIndex.map { case (p, i) =>
       val fsIn = SegmentStore.fs(s"$p/segments")
       val files = fsIn.listStatus(new Path(s"$p/segments"))
         .filter(_.isFile).map(_.getPath.getName)
-        .filter(_.endsWith(".bin"))
-      files.foreach { name =>
+        .filter(_.endsWith(".bin")).sorted
+      val renames = files.zipWithIndex.map { case (name, j) =>
+        val nn = s"m$i-$j.bin"
         linkOrCopy(fsIn, new Path(s"$p/segments/$name"),
-          fsOut, new Path(s"$outDir/segments/p$i-$name"))
+          fsOut, new Path(s"$outDir/segments/$nn"))
+        (name, nn)
       }
       spark.read.parquet(s"$p/dict")
-        .withColumn("file", concat(lit(s"p$i-"), $"file"))
+        .join(broadcast(renames.toSeq.toDF("file", "new_file")), "file")
+        .drop("file").withColumnRenamed("new_file", "file")
     }
     // allowMissingColumns everywhere below: a part built by an earlier
     // engine generation may lack newer columns (ingest_ts in doc_stats,
@@ -140,5 +152,46 @@ object Merge {
     Seq((totals, avgdl, boundScale, tsMin, tsMax))
       .toDF("n_docs", "avgdl", "bound_scale", "ts_min", "ts_max")
       .write.mode(SaveMode.Overwrite).parquet(s"$outDir/corpus_stats")
+
+    // ---- ts artifact: doc ranges are disjoint, so part stores LINK
+    // under flat names (t<part>-<idx>.bin — a chained re-merge
+    // re-flattens instead of compounding prefixes) and their manifests
+    // concatenate. Only a legacy part that carries recency but predates
+    // the artifact forces a regenerate from the merged doc_stats. ------
+    val anyTs = partStats.exists(s => s._3 != 0L || s._4 != 0L)
+    if (anyTs) {
+      val linkable = parts.zip(partStats).forall {
+        case (p, (_, _, tMin, tMax)) =>
+          (tMin == 0L && tMax == 0L) || TsStore.exists(s"$p/ts")
+      }
+      if (linkable) {
+        fsOut.mkdirs(new Path(s"$outDir/ts"))
+        val metas = parts.zipWithIndex.flatMap { case (p, i) =>
+          val fsIn = SegmentStore.fs(s"$p/ts")
+          TsStore.readManifest(s"$p/ts").getOrElse(Seq.empty)
+            .zipWithIndex.map { case (tf, j) =>
+              val nn = s"t$i-$j.bin"
+              linkOrCopy(fsIn, new Path(s"$p/ts/${tf.name}"),
+                fsOut, new Path(s"$outDir/ts/$nn"))
+              tf.copy(name = nn)
+            }
+        }
+        TsStore.writeManifest(s"$outDir/ts", metas)
+      } else {
+        TsStore.write(spark, spark.read.parquet(s"$outDir/doc_stats"),
+          s"$outDir/ts",
+          math.max(1, math.min(1024, (totals / 2000000L).toInt + 1)))
+      }
+    }
+
+    // ---- spell artifact: the delete-variant index keys on the UNION
+    // vocab, so part artifacts can't be linked — regenerate from the
+    // just-written merged term_stats (vocab-bound, same best-effort
+    // guards as the build; a failure degrades to the engines' lazy
+    // bounded path, never fails the merge). Without this, an index
+    // served off a merge (every StreamIndexer epoch) re-derived the
+    // delete index per serving JVM — the exact cost the artifact
+    // removes. ---------------------------------------------------------
+    if (spellIndex) Build.trySpellArtifact(spark, outDir)
   }
 }

@@ -31,8 +31,13 @@ object Assembly {
     val u = substring(md5(concat(lit("graft-mix-"), $"doc_id".cast("string"))), 1, 8)
     val m = (regexp_extract($"source", "([0-9]+)", 1).cast("int") % 4)
     val rate = (m.cast("double") + 1.0) / 4.0
+    // 4th sentinel threshold ("g…" sorts above every 8-char hex string)
+    // makes the lookup total for m=3: the m===3 disjunct alone relied on
+    // Or short-circuiting to dodge an out-of-bounds element_at, which
+    // ANSI mode aborts on if any plan rewrite evaluates the right branch
     val thr = element_at(
-      array(lit("40000000"), lit("80000000"), lit("c0000000")), m + 1)
+      array(lit("40000000"), lit("80000000"), lit("c0000000"),
+        lit("g0000000")), m + 1)
     spark.read.parquet(s"$dir/documents.parquet")
       .select($"doc_id", $"source", rate.as("rate"), u.as("u_hex"), m.as("m"))
       .filter($"m" === 3 || $"u_hex" < thr)

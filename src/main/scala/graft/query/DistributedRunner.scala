@@ -18,16 +18,15 @@ import graft.analysis.Tokenizer
   * per-thread segment reader. No shuffle anywhere: results stream
   * straight out of the map.
   *
-  * Scale shape: the dictionary part of the broadcast is vocab-bound
-  * (dict + stats) — doc-sized state (postings) stays on disk and is
-  * block-pruned per query. The one doc-count-bound piece is the
-  * recency-tiebreak timestamp array on tie-aware indexes (16 B/doc;
-  * fine at test/bench scale, and the same materialization the driver
-  * Engine documents): at true corpus scale ingest_ts moves to a keyed
-  * point-read store consulted only on exact score ties, or recency
-  * ranking is disabled (`tieAware=false` indexes broadcast nothing
-  * per-doc). 10^6 queries against a 10^12-doc index otherwise fan out
-  * to however many executors exist with zero coordination. */
+  * Scale shape: the broadcast is vocab-bound (dict + stats) — doc-sized
+  * state (postings) stays on disk and is block-pruned per query.
+  * Recency tiebreaks on tie-aware indexes ride the same discipline: the
+  * index's ts artifact (graft.index.TsStore) serializes as a directory
+  * string and executors point-read it only on exact score ties, so
+  * NOTHING doc-count-sized crosses the driver or the broadcast (a
+  * pre-artifact legacy index falls back to the documented array
+  * preload). 10^6 queries against a 10^12-doc index fan out to however
+  * many executors exist with zero coordination. */
 object DistributedRunner {
 
   /** Score every (query_num, query) row; returns
@@ -53,11 +52,11 @@ object DistributedRunner {
       val t = cs.select($"ts_min", $"ts_max").head()
       t.getLong(0) != t.getLong(1)
     }
-    val (tsIds, tsVals) =
-      if (tieAware) Engine.loadTs(spark, indexDir)
-      else (Array.emptyLongArray, Array.emptyLongArray)
+    val tsSource =
+      if (tieAware) Engine.tsSourceFor(spark, indexDir, eager = true)
+      else new ArrayTsSource(Array.emptyLongArray, Array.emptyLongArray)
     val core = new EngineCore(r.getLong(0), r.getDouble(1), scale,
-      tieAware, new ArrayTsSource(tsIds, tsVals),
+      tieAware, tsSource,
       Engine.loadResolver(spark, indexDir), s"$indexDir/segments",
       tokCfg, pruneSingletons, spell, spellDir = s"$indexDir/spell")
     val bc = spark.sparkContext.broadcast(core)

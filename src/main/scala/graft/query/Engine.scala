@@ -79,15 +79,14 @@ final class Engine(spark: SparkSession, indexDir: String,
       }
     }
 
-  /** Test-scale materialization of doc_id -> ingest_ts (the reference
-    * loads its whole docs_dict the same way, search_engine.py:65-69); at
-    * cluster scale doc_stats is a point-read keyed store instead. Loaded
-    * lazily by the core and only when ties can actually differ by
-    * recency. */
-  private val tsSource: TsSource = new TsSource { // driver-only closure
-    def load(): (Array[Long], Array[Long]) =
-      Engine.loadTs(spark, indexDir)
-  }
+  /** Recency-tiebreak source: the keyed point-read ts artifact when the
+    * build wrote one (the scale path — nothing doc-count-sized is ever
+    * materialized), else the legacy array preload (pre-artifact indexes
+    * only; the reference's docs_dict habit, search_engine.py:65-69).
+    * Either way the core opens it lazily and only when ties can
+    * actually differ by recency. */
+  private val tsSource: TsSource =
+    Engine.tsSourceFor(spark, indexDir, eager = false)
 
   private val core = new EngineCore(nDocs, avgdl, boundScale,
     tsMax != tsMin, tsSource, resolver, s"$indexDir/segments",
@@ -140,6 +139,26 @@ object Engine {
     val dict = spark.read.parquet(s"$indexDir/dict")
       .as[SegmentStore.DictEntry].collect().groupBy(_.term)
     new PreloadedResolver(stats, dict)
+  }
+
+  /** Pick the tiebreak source for an index: the ts artifact when
+    * present (serializes as a directory string — vocab-bound broadcast),
+    * else the doc-count array fallback; `eager` collects the arrays now
+    * (executor-bound cores can't carry a SparkSession), lazy defers to
+    * the first tie (driver engines). */
+  def tsSourceFor(spark: SparkSession, indexDir: String,
+                  eager: Boolean): TsSource = {
+    val tsDir = s"$indexDir/ts"
+    if (graft.index.TsStore.exists(tsDir)) new StoreTsSource(tsDir)
+    else if (eager) {
+      val (ids, vals) = loadTs(spark, indexDir)
+      new ArrayTsSource(ids, vals)
+    } else new TsSource { // driver-only closure
+      def open(): TsLookup = {
+        val (ids, vals) = loadTs(spark, indexDir)
+        new ArrayTsSource(ids, vals).open()
+      }
+    }
   }
 
   /** doc_id -> ingest_ts as flat sorted arrays (binary-searched on the

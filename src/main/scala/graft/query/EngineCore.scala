@@ -32,14 +32,63 @@ final class PreloadedResolver(stats: Map[String, Long],
   def allStats: Option[Map[String, Long]] = Some(stats)
 }
 
-/** Lazy provider of the doc_id -> ingest_ts arrays consulted on exact
-  * score ties; array-backed for serialized (executor) cores, a
-  * spark-reading closure for driver engines (never serialized). */
-trait TsSource extends Serializable {
-  def load(): (Array[Long], Array[Long])
+/** Point lookup of doc_id -> ingest_ts, consulted ONLY on exact score
+  * ties. Implementations must be safe to call from multiple task
+  * threads sharing one broadcast core. */
+trait TsLookup {
+  def tsOf(id: Long): Long
+  def close(): Unit = ()
 }
+
+/** Lazy provider of a [[TsLookup]]; materialized per JVM on the first
+  * tie-aware comparison. What serializes (and so what rides the
+  * DistributedRunner broadcast) is THIS object — the file-backed
+  * [[StoreTsSource]] is just a directory string, keeping the broadcast
+  * vocab-bound on tie-aware indexes. */
+trait TsSource extends Serializable {
+  def open(): TsLookup
+}
+
+/** Array-backed source: test/bench-scale preloads and legacy indexes
+  * without a ts artifact (the doc-count materialization the reference
+  * does at startup, search_engine.py:65-69 — Engine's documented
+  * fallback, never the scale path). */
 final class ArrayTsSource(ids: Array[Long], vals: Array[Long]) extends TsSource {
-  def load(): (Array[Long], Array[Long]) = (ids, vals)
+  def open(): TsLookup = new TsLookup {
+    def tsOf(id: Long): Long = {
+      val i = java.util.Arrays.binarySearch(ids, id)
+      if (i >= 0) vals(i) else 0L
+    }
+  }
+}
+
+/** File-backed source over the index's ts artifact
+  * (graft.index.TsStore): O(log n) positioned page reads on exact ties,
+  * nothing doc-count-sized in memory or in the broadcast. A per-JVM
+  * memo makes repeated heap-sift lookups of the same doc free; the
+  * underlying reader is single-threaded, so misses serialize on it —
+  * ties are rare by construction (exact double equality), so this is
+  * off the hot loop. Open file handles are ts-file-count-bounded. */
+final class StoreTsSource(tsDir: String) extends TsSource {
+  def open(): TsLookup = new TsLookup {
+    private var r: graft.index.TsStore.Reader = null
+    private val memo =
+      new java.util.concurrent.ConcurrentHashMap[java.lang.Long, java.lang.Long]()
+    def tsOf(id: Long): Long = {
+      val hit = memo.get(id)
+      if (hit != null) return hit.longValue
+      val v = this.synchronized {
+        if (r == null) r = new graft.index.TsStore.Reader(tsDir)
+        r.tsOf(id)
+      }
+      if (memo.size > 65536) memo.clear()
+      memo.put(id, v)
+      v
+    }
+    override def close(): Unit = this.synchronized {
+      if (r != null) { r.close(); r = null }
+    }
+  }
 }
 
 /** A query term's resolved postings: query tf, document frequency, and
@@ -89,7 +138,11 @@ final class EngineCore(
     new ThreadLocal[graft.index.SegmentReader]()
   private def reader: graft.index.SegmentReader = {
     var r = readerTL.get()
-    if (r == null) {
+    // membership check (O(#threads), tiny): close() drains allReaders but
+    // can only clear the CALLING thread's ThreadLocal slot — another
+    // thread's cached reader would otherwise come back closed
+    // (use-after-close) instead of being recreated
+    if (r == null || !allReaders.contains(r)) {
       r = new graft.index.SegmentReader(segmentsDir)
       allReaders.add(r)
       readerTL.set(r)
@@ -111,15 +164,17 @@ final class EngineCore(
     }
   }
 
-  @transient private lazy val tsArrays: (Array[Long], Array[Long]) =
-    if (tieAware) tsSource.load() else (Array.emptyLongArray, Array.emptyLongArray)
+  // materialized-or-not tracked separately so close() only touches a
+  // lookup that actually opened (a lazy val can't be probed)
+  @transient @volatile private var tsOpened: TsLookup = null
+  @transient private lazy val tsLookup: TsLookup = {
+    val l = tsSource.open()
+    tsOpened = l
+    l
+  }
 
   private def tsOf(id: Long): Long =
-    if (!tieAware) 0L
-    else {
-      val i = java.util.Arrays.binarySearch(tsArrays._1, id)
-      if (i >= 0) tsArrays._2(i) else 0L
-    }
+    if (!tieAware) 0L else tsLookup.tsOf(id)
 
   /** True ranking order: candidate beats incumbent on higher score, then
     * newer ingest_ts, then smaller docId. Explicit and iteration-order
@@ -235,6 +290,11 @@ final class EngineCore(
       r = allReaders.poll()
     }
     readerTL.remove()
+    val l = tsOpened
+    if (l != null) {
+      tsOpened = null
+      try l.close() catch { case _: Exception => () }
+    }
   }
 
   /** Exhaustive BM25: decode every posting of every query term, score all

@@ -105,6 +105,50 @@ class MergeSpec extends SparkSpec {
     engM.close(); engF.close()
   }
 
+  test("chained merges keep segment names flat and carry the spell artifact") {
+    import spark.implicits._
+    def build(lo: Long, name: String): String = {
+      val d = tmpDir(name)
+      Build.run(spark, (lo until lo + 30L).map(i =>
+        (i, s"shared word$i term${i % 5}")).toDF("doc_id", "content"),
+        d, Build.Config(numPartitions = 2, verifySha = false,
+          tokenizer = Tokenizer.plainCfg))
+      d
+    }
+    val a = build(0L, "flat-a"); val b = build(100L, "flat-b")
+    val c = build(200L, "flat-c"); val d = build(300L, "flat-d")
+    val m1 = tmpDir("flat-m1"); val m2 = tmpDir("flat-m2")
+    val m3 = tmpDir("flat-m3")
+    Merge.disjoint(spark, Seq(a, b), m1)
+    Merge.disjoint(spark, Seq(m1, c), m2)
+    Merge.disjoint(spark, Seq(m2, d), m3) // 3 generations deep
+    // flat epoch-scoped names: no compounding prefix over chained merges
+    // (a p$i- scheme grew ~3 chars per epoch and hit the 255-byte
+    // filename limit after ~80 micro-batches of a continuous stream)
+    val segNames = SegmentStore.fs(m3)
+      .listStatus(new org.apache.hadoop.fs.Path(s"$m3/segments"))
+      .filter(_.isFile).map(_.getPath.getName).filter(_.endsWith(".bin"))
+    assert(segNames.nonEmpty)
+    assert(segNames.forall(_.matches("m\\d+-\\d+\\.bin")), segNames.mkString(","))
+    // dict entries all resolve to linked files (rename map covered them)
+    val dictFiles = spark.read.parquet(s"$m3/dict")
+      .select($"file").distinct().as[String].collect().toSet
+    assert(dictFiles.subsetOf(segNames.toSet))
+    // the merged index carries a REGENERATED spell artifact over the
+    // union vocab (served engines hit the artifact, not the lazy path)
+    val spell = graft.query.SpellStore.load(s"$m3/spell")
+    assert(spell.isDefined, "merged index missing spell artifact")
+    // a 1-edit typo corrects against the union vocab via the artifact
+    assert(spell.get.correct("sharet") == "shared")
+    // and it still answers queries identically to a full rebuild
+    val engM = new Engine(spark, m3, Tokenizer.plainCfg,
+      pruneSingletons = false, preload = true)
+    assert(engM.nDocs == 120)
+    assert(engM.searchWand("shared", 10).toSeq ==
+      engM.searchExhaustive("shared", 10).toSeq)
+    engM.close()
+  }
+
   test("overlapping docId ranges are rejected") {
     import spark.implicits._
     val docs = (0L until 20L).map(i => (i, "alpha beta")).toDF("doc_id", "content")
