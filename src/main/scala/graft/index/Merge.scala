@@ -194,4 +194,117 @@ object Merge {
     // removes. ---------------------------------------------------------
     if (spellIndex) Build.trySpellArtifact(spark, outDir)
   }
+
+  /** Compaction: rewrite `indexDir`'s segment files with TRUE block-max
+    * bounds recomputed under the index's own (merged) avgdl, resetting
+    * `bound_scale` to exactly 1.
+    *
+    * Chained metadata-only merges compose `bound_scale` multiplicatively
+    * (each re-merge loosens WAND's upper bounds by its avgdl ratio), so
+    * a long-running StreamIndexer's pruning decays toward exhaustive
+    * scoring. U(tf, dl) = BM25.normPart is idf-independent and the
+    * posting payload (ids/tfs/dls varbyte) doesn't mention avgdl, so
+    * compaction only replaces each block header's fixed-width maxU
+    * double: records are self-delimiting, files rewrite in one streaming
+    * pass each (distributed one task per segment file, no shuffle), byte
+    * length is provably unchanged, and the dict's (file, offset, length)
+    * pointers carry over verbatim. All other metadata links/copies;
+    * corpus_stats is rewritten with bound_scale=1. */
+  def compact(spark: SparkSession, indexDir: String, outDir: String): Unit = {
+    val cs = spark.read.parquet(s"$indexDir/corpus_stats").head()
+    val avgdl = cs.getAs[Double]("avgdl")
+
+    val fsIn = SegmentStore.fs(indexDir)
+    val fsOut = SegmentStore.fs(outDir)
+    fsOut.mkdirs(new Path(s"$outDir/segments/_markers"))
+    val segFiles = fsIn.listStatus(new Path(s"$indexDir/segments"))
+      .filter(_.isFile).map(_.getPath.getName).filter(_.endsWith(".bin"))
+      .toSeq.sorted
+    val inSeg = s"$indexDir/segments"
+    val outSeg = s"$outDir/segments"
+    if (segFiles.nonEmpty)
+      spark.sparkContext
+        .parallelize(segFiles, math.min(segFiles.size,
+          spark.sparkContext.defaultParallelism))
+        .foreach(name => rewriteSegment(inSeg, outSeg, name, avgdl))
+
+    // dict pointers are unchanged by construction; stats carry over
+    Seq("dict", "doc_stats", "term_stats").foreach { sub =>
+      spark.read.parquet(s"$indexDir/$sub")
+        .write.mode(SaveMode.Overwrite).parquet(s"$outDir/$sub")
+    }
+    // preserve whatever columns this generation carries (e.g. a plain
+    // build's n_number_tokens); only the scale is rewritten
+    spark.read.parquet(s"$indexDir/corpus_stats")
+      .withColumn("bound_scale", lit(1.0))
+      .write.mode(SaveMode.Overwrite).parquet(s"$outDir/corpus_stats")
+
+    // ts + spell artifacts: content-identical, link under the SAME names
+    TsStore.readManifest(s"$indexDir/ts").foreach { metas =>
+      fsOut.mkdirs(new Path(s"$outDir/ts"))
+      metas.foreach { tf =>
+        linkOrCopy(fsIn, new Path(s"$indexDir/ts/${tf.name}"),
+          fsOut, new Path(s"$outDir/ts/${tf.name}"))
+      }
+      TsStore.writeManifest(s"$outDir/ts", metas)
+    }
+    val spellSrc = graft.query.SpellStore.path(s"$indexDir/spell")
+    if (fsIn.exists(spellSrc)) {
+      fsOut.mkdirs(new Path(s"$outDir/spell"))
+      linkOrCopy(fsIn, spellSrc, fsOut,
+        graft.query.SpellStore.path(s"$outDir/spell"))
+    }
+  }
+
+  /** One segment file's compaction pass: stream records (layout per
+    * SegmentStore scaladoc), decode each block, recompute maxU with
+    * `avgdl`, re-emit with identical structure/length. tmp+rename like
+    * every other writer, so task retries are idempotent. */
+  private def rewriteSegment(inDir: String, outDir: String, name: String,
+                             avgdl: Double): Unit = {
+    val fsIn = SegmentStore.fs(inDir)
+    val fsOut = SegmentStore.fs(outDir)
+    val srcPath = new Path(s"$inDir/$name")
+    val len = fsIn.getFileStatus(srcPath).getLen
+    val in = new java.io.DataInputStream(
+      new java.io.BufferedInputStream(fsIn.open(srcPath), 1 << 16))
+    val tmp = new Path(s"$outDir/$name.tmp-${java.util.UUID.randomUUID()}")
+    val out = new java.io.DataOutputStream(
+      new java.io.BufferedOutputStream(fsOut.create(tmp, true), 1 << 16))
+    var read = 0L
+    try {
+      while (read < len) {
+        val df = in.readInt(); val nBlocks = in.readInt()
+        out.writeInt(df); out.writeInt(nBlocks)
+        read += 8L
+        var bi = 0
+        while (bi < nBlocks) {
+          val n = in.readInt(); val first = in.readLong()
+          val last = in.readLong(); val maxTf = in.readInt()
+          in.readDouble() // stale maxU, recomputed below
+          val blen = in.readInt()
+          val bytes = new Array[Byte](blen)
+          in.readFully(bytes)
+          read += 36L + blen
+          val ps = Codec.decodeBlock(Codec.Block(bytes, n, first, last, maxTf, 0.0))
+          var m = 0.0
+          var i = 0
+          while (i < ps.length) {
+            val u = graft.query.BM25.normPart(ps(i).tf, ps(i).dl, avgdl)
+            if (u > m) m = u
+            i += 1
+          }
+          out.writeInt(n); out.writeLong(first); out.writeLong(last)
+          out.writeInt(maxTf); out.writeDouble(m); out.writeInt(blen)
+          out.write(bytes)
+          bi += 1
+        }
+      }
+    } finally { in.close(); out.close() }
+    val fin = new Path(s"$outDir/$name")
+    if (fsOut.exists(fin)) fsOut.delete(fin, false)
+    fsOut.rename(tmp, fin)
+    val outLen = fsOut.getFileStatus(fin).getLen
+    require(outLen == len, s"compaction changed $name length: $len -> $outLen")
+  }
 }

@@ -62,12 +62,31 @@ object StreamIndexer {
         org.apache.hadoop.fs.Options.Rename.OVERWRITE)
   }
 
-  /** One epoch's work: build-if-absent, merge-if-absent, publish.
-    * Exposed (package-private) so replay idempotency is directly
-    * testable — this is exactly the foreachBatch body. */
+  /** One epoch's work: build-if-absent, merge-if-absent,
+    * compact-if-due, publish, GC superseded generations. Exposed
+    * (package-private) so replay idempotency is directly testable —
+    * this is exactly the foreachBatch body.
+    *
+    * Compaction (`compactEvery` > 0): every that-many epochs the
+    * published index is [[Merge.compact]]ed — true block maxes are
+    * recomputed so `bound_scale` (which composes per chained re-merge
+    * and decays WAND pruning toward exhaustive over a long stream)
+    * resets to 1. O(index bytes) streaming rewrite, amortized to
+    * O(bytes/compactEvery) per epoch; dict/stats pointers carry over.
+    *
+    * GC (`gc` = true): snapshot/merged/compact generations the
+    * published pointer can no longer reach are deleted after each
+    * publish. Hard-linked segments make the live dir self-contained, so
+    * only three dirs survive: the new target, the PREVIOUS target (one
+    * epoch of grace for a reader that loaded CURRENT just before the
+    * flip), and this epoch's snapshot (so a crash-replay of the epoch
+    * skips its rebuild). A replay whose snapshot was GC'd in a later
+    * epoch rebuilds it idempotently — wasted work, never wrong results. */
   private[streaming] def processBatch(batch: Dataset[StreamIngest.DocEvent],
                                       epochId: Long, root: String,
-                                      cfg: Build.Config): Unit = {
+                                      cfg: Build.Config,
+                                      compactEvery: Int = 0,
+                                      gc: Boolean = false): Unit = {
     if (batch.isEmpty) return
     val spark = batch.sparkSession
     val fs = SegmentStore.fs(root)
@@ -80,29 +99,64 @@ object StreamIndexer {
         snap, cfg)
       fs.create(done, true).close()
     }
-    val target = currentIndex(root) match {
+    val prev = currentIndex(root)
+    val merged = prev match {
       case None => snap
       case Some(cur) if cur == snap => snap // pure replay of epoch 0
       case Some(cur) if cur.endsWith(s"merged-$epochId") => cur // replay
+      case Some(cur) if cur.endsWith(s"compact-$epochId") => cur // replay
       case Some(cur) =>
-        val merged = s"$root/merged-$epochId"
-        if (!fs.exists(new Path(s"$merged/_DONE"))) {
-          Merge.disjoint(spark, Seq(cur, snap), merged)
-          fs.create(new Path(s"$merged/_DONE"), true).close()
+        val m = s"$root/merged-$epochId"
+        if (!fs.exists(new Path(s"$m/_DONE"))) {
+          Merge.disjoint(spark, Seq(cur, snap), m, spellIndex = cfg.spellIndex)
+          fs.create(new Path(s"$m/_DONE"), true).close()
         }
-        merged
+        m
     }
+    val target =
+      if (compactEvery > 0 && epochId > 0 && epochId % compactEvery == 0 &&
+          merged.startsWith(s"$root/merged-")) {
+        val c = s"$root/compact-$epochId"
+        if (!fs.exists(new Path(s"$c/_DONE"))) {
+          Merge.compact(spark, merged, c)
+          fs.create(new Path(s"$c/_DONE"), true).close()
+        }
+        c
+      } else merged
     publish(root, target)
+    if (gc) gcSuperseded(root, keepNames =
+      Set(target, merged, snap).map(new Path(_).getName) ++
+        prev.map(p => new Path(p).getName))
+  }
+
+  /** Delete snapshot/merged/compact generations whose dir NAME is not in
+    * `keepNames`. Names are unique across the three families (epoch-N /
+    * merged-N / compact-N), and name-comparison sidesteps the
+    * qualified-vs-plain URI mismatch of Path.toString. */
+  private def gcSuperseded(root: String, keepNames: Set[String]): Unit = {
+    val fs = SegmentStore.fs(root)
+    def dirs(p: Path): Seq[Path] =
+      if (!fs.exists(p)) Nil
+      else fs.listStatus(p).filter(_.isDirectory).map(_.getPath).toSeq
+    val candidates =
+      dirs(new Path(s"$root/snapshots")) ++
+        dirs(new Path(root)).filter { p =>
+          p.getName.startsWith("merged-") || p.getName.startsWith("compact-")
+        }
+    candidates.filterNot(p => keepNames.contains(p.getName))
+      .foreach(p => fs.delete(p, true))
   }
 
   /** Start the indexing sink on `docs`; returns the streaming query.
-    * `cfg` is the same Build.Config the batch path takes. */
+    * `cfg` is the same Build.Config the batch path takes; see
+    * [[processBatch]] for `compactEvery` / `gc`. */
   def start(docs: Dataset[StreamIngest.DocEvent], root: String,
-            cfg: Build.Config = Build.Config()): StreamingQuery = {
+            cfg: Build.Config = Build.Config(),
+            compactEvery: Int = 0, gc: Boolean = false): StreamingQuery = {
     docs.writeStream
       .option("checkpointLocation", s"$root/checkpoint")
       .foreachBatch { (batch: Dataset[StreamIngest.DocEvent], epochId: Long) =>
-        processBatch(batch, epochId, root, cfg)
+        processBatch(batch, epochId, root, cfg, compactEvery, gc)
       }
       .start()
   }

@@ -63,6 +63,82 @@ class StreamIndexerSpec extends SparkSpec {
     streamed.close(); oneShot.close()
   }
 
+  test("compaction + GC over 12 epochs: bound_scale resets to 1, dir count bounded, ranking unchanged, spell artifact served") {
+    import spark.implicits._
+    val root = tmpDir("graft-stream-compact")
+    val cfg = Build.Config(numPartitions = 2, spellIndex = true,
+      tokenizer = graft.analysis.Tokenizer.plainCfg)
+    val CompactEvery = 4
+    // varying doc lengths per epoch so avgdl drifts and bound_scale
+    // genuinely inflates between compactions
+    def docsFor(e: Int): Seq[StreamIngest.DocEvent] =
+      (0 until 4).map { j =>
+        val id = e * 10L + j
+        val pad = Seq.tabulate((e % 3) * 3)(p => s"pad${id}x$p").mkString(" ")
+        StreamIngest.DocEvent(id, s"shared term${id % 7} epoch$e $pad".trim,
+          ts(1000 + e * 10 + j))
+      }
+    val all = (0 until 12).flatMap(docsFor)
+    def scaleOf(dir: String): Double =
+      spark.read.parquet(s"$dir/corpus_stats").head()
+        .getAs[Double]("bound_scale")
+    (0 until 12).foreach { e =>
+      StreamIndexer.processBatch(docsFor(e).toDS(), e, root, cfg,
+        compactEvery = CompactEvery, gc = true)
+      val cur = StreamIndexer.currentIndex(root).get
+      if (e > 0 && e % CompactEvery == 0) {
+        assert(cur.endsWith(s"compact-$e"), s"epoch $e should publish a compaction")
+        assert(scaleOf(cur) == 1.0, s"compaction left bound_scale=${scaleOf(cur)}")
+      } else if (e == CompactEvery - 1) {
+        assert(scaleOf(cur) > 1.0,
+          "fixture should inflate bound_scale between compactions")
+      }
+      // live index always answers over exactly the docs so far, exactly
+      val eng = new Engine(spark, cur, graft.analysis.Tokenizer.plainCfg,
+        pruneSingletons = false, preload = true)
+      val hits = eng.searchWand("shared", 100).map(_._1).toSet
+      eng.close()
+      assert(hits == (0 to e).flatMap(docsFor).map(_.doc_id).toSet,
+        s"epoch $e coverage")
+    }
+    // GC bound: only the published target, the grace target, and the
+    // last epoch's snapshot survive across the whole root
+    val fs = graft.index.SegmentStore.fs(root)
+    def gens: Seq[String] = {
+      def ls(p: String) = {
+        val hp = new org.apache.hadoop.fs.Path(p)
+        if (fs.exists(hp)) fs.listStatus(hp).filter(_.isDirectory)
+          .map(_.getPath.getName).toSeq
+        else Nil
+      }
+      ls(s"$root/snapshots") ++
+        ls(root).filter(n => n.startsWith("merged-") || n.startsWith("compact-"))
+    }
+    assert(gens.size <= 3, s"GC left ${gens.size} generations: $gens")
+
+    // final ranking == one-shot batch build over all docs; WAND exact;
+    // spell queries on the stream-served index hit the ARTIFACT path
+    val cur = StreamIndexer.currentIndex(root).get
+    assert(graft.query.SpellStore.load(s"$cur/spell").isDefined,
+      "stream-served index missing the merged spell artifact")
+    val batchDir = tmpDir("graft-stream-compact-batch")
+    Build.run(spark, all.map(d => (d.doc_id, d.content, d.ts.getTime / 1000))
+      .toDF("doc_id", "content", "ingest_ts"), batchDir, cfg)
+    val streamed = new Engine(spark, cur, graft.analysis.Tokenizer.plainCfg,
+      pruneSingletons = false, preload = true)
+    val oneShot = new Engine(spark, batchDir, graft.analysis.Tokenizer.plainCfg,
+      pruneSingletons = false, preload = true)
+    Seq("shared", "term3", "epoch7 shared", "term1 term2 epoch11", "sharet")
+      .foreach { q =>
+        val a = streamed.searchWand(q, 25).toSeq
+        assert(a == streamed.searchExhaustive(q, 25).toSeq,
+          s"'$q': WAND != exhaustive on compacted stream index")
+        assert(a == oneShot.searchWand(q, 25).toSeq,
+          s"'$q': streamed != one-shot")
+      }
+    streamed.close(); oneShot.close()
+  }
+
   test("epoch replay is idempotent: rebuilds skipped, pointer converges") {
     import spark.implicits._
     val root = tmpDir("graft-stream-replay")
