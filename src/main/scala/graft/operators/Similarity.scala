@@ -54,11 +54,14 @@ final case class AnnConfig(
   *   (c) a partition-pruned scan of ONLY the probed buckets/lists
   *       (PartitionFilters on the layout read) with an exact-cosine
   *       re-rank inside the candidates.
-  * At 10^11 vectors the layout lives at a persistent caller-chosen path
-  * and probe IO is proportional to the probed fraction, exactly like
-  * partition pruning on a date column; in this sandbox the layout is
-  * built once per (table, config) into a JVM-cleaned temp dir. The
-  * reference analog is its segment-locality optimization
+  * At 10^11 vectors the layout lives at a persistent caller-chosen
+  * `root` (every ann* entry point takes one): the build commits an
+  * [[AnnStore]] manifest carrying the trained codebooks, and any later
+  * JVM serves from the artifact with no rebuild and no retraining —
+  * probe IO proportional to the probed fraction, exactly like partition
+  * pruning on a date column. With no root (the sandbox default) the
+  * layout is built once per (table, config) into a JVM-cleaned temp
+  * dir. The reference analog is its segment-locality optimization
   * (searcher.py:59-70): touch only the index regions a query needs.
   */
 object Similarity {
@@ -155,11 +158,60 @@ object Similarity {
   private def queryEmbedding(spark: SparkSession, dir: String): Array[Float] =
     queryFetch(spark, dir).head().getSeq[Float](0).toArray
 
-  /** Built layouts, cached per (kind, table, config) per JVM. At real
-    * scale the layout is the persisted vector index at a caller-chosen
-    * path (build once, query many); the temp-dir cache mirrors that
-    * lifecycle in local mode and is removed on JVM exit. */
-  private val layoutCache = TrieMap.empty[(String, String, AnnConfig), String]
+  /** Resolved layouts, memoized per (kind, table, config, root) per
+    * JVM. With `root = None` the layout lives in a JVM-cleaned temp dir
+    * (local-mode lifecycle, as before). With a caller-chosen persistent
+    * root the layout is a first-class index: built once under
+    * `root/<kind>-<configKey>`, committed by an [[AnnStore]] manifest
+    * carrying the trained codebooks, and any later JVM serves straight
+    * from the artifact — no rebuild, no retraining (the manifest IS the
+    * codebook source on the hit path). Mirrors the text index's
+    * build-once/serve-many manifest discipline. */
+  private val manifestCache =
+    TrieMap.empty[(String, String, AnnConfig, Option[String]),
+      (String, AnnStore.Manifest)]
+
+  /** Test instrumentation: physical layout builds / manifest hits. */
+  private[operators] val layoutBuilds = new java.util.concurrent.atomic.AtomicInteger
+  private[operators] val manifestHits = new java.util.concurrent.atomic.AtomicInteger
+
+  /** Drop every per-JVM memo (resolved layouts, trained codebooks) —
+    * simulates a fresh serving JVM in the cross-JVM artifact tests. */
+  private[operators] def clearJvmCaches(): Unit = {
+    manifestCache.clear(); ivfCache.clear(); pqCache.clear()
+  }
+
+  /** Resolve (layout dir, manifest) for (kind, cfg) under an optional
+    * persistent root. Manifest hit → serve with no rebuild and no
+    * retraining. Miss → `mk()` trains the codebooks, `build` writes the
+    * parquet layout, and the manifest is written LAST (commit marker:
+    * a crashed build leaves parquet without a manifest and rebuilds). */
+  private def resolve(dir: String, kind: String, cfg: AnnConfig,
+                      root: Option[String])
+                     (mk: () => AnnStore.Manifest,
+                      build: (String, AnnStore.Manifest) => Unit)
+      : (String, AnnStore.Manifest) =
+    manifestCache.getOrElseUpdate((kind, dir, cfg, root), root match {
+      case Some(r) =>
+        val out = AnnStore.layoutDir(r, kind, cfg)
+        AnnStore.read(out, kind, cfg) match {
+          case Some(m) =>
+            manifestHits.incrementAndGet()
+            (out, m)
+          case None =>
+            val m = mk()
+            build(out, m)
+            AnnStore.write(out, m)
+            layoutBuilds.incrementAndGet()
+            (out, m)
+        }
+      case None =>
+        val out = graft.TempDirs.create(s"graft-$kind-layout")
+        val m = mk()
+        build(out, m)
+        layoutBuilds.incrementAndGet()
+        (out, m)
+    })
 
   // ---- IVF ANN (coarse-quantizer scale path; not SQL-expressible) ---
 
@@ -275,34 +327,47 @@ object Similarity {
   /** One-pass IVF index build: every vector assigned to its nearest
     * trained coarse list (broadcast codebook) and the assigned table
     * written `partitionBy("list")` — the list IS a disk partition, so a
-    * probe is a partition-pruned read. Build once, query many. */
+    * probe is a partition-pruned read. Build once, query many; under a
+    * persistent `root` the codebook rides the [[AnnStore]] manifest so
+    * later JVMs never retrain. */
+  private[operators] def ivfResolved(spark: SparkSession, dir: String,
+                                     cfg: AnnConfig = DefaultAnn,
+                                     root: Option[String] = None)
+      : (String, AnnStore.Manifest) =
+    resolve(dir, "ivf", cfg, root)(
+      () => {
+        val c = trainIvf(spark, dir, cfg)
+        AnnStore.Manifest("ivf", cfg, c(0).length, Some(c), None)
+      },
+      (out, m) => {
+        import spark.implicits._
+        val centsBc = spark.sparkContext.broadcast(m.coarse.get)
+        spark.read.parquet(s"$dir/embeddings.parquet")
+          .select($"vec_id".cast("long"), $"embedding").as[(Long, Array[Float])]
+          .map { case (id, emb) =>
+            (id, emb, nearestCentroids(emb.map(_.toDouble), centsBc.value, 1).head)
+          }.toDF("vec_id", "embedding", "list")
+          .write.mode("overwrite").partitionBy("list").parquet(out)
+      })
+
   private[operators] def ivfLayout(spark: SparkSession, dir: String,
-                                   cfg: AnnConfig = DefaultAnn): String =
-    layoutCache.getOrElseUpdate(("ivf", dir, cfg), {
-      import spark.implicits._
-      val cents = trainIvf(spark, dir, cfg)
-      val centsBc = spark.sparkContext.broadcast(cents)
-      val out = graft.TempDirs.create("graft-ivf-layout")
-      spark.read.parquet(s"$dir/embeddings.parquet")
-        .select($"vec_id".cast("long"), $"embedding").as[(Long, Array[Float])]
-        .map { case (id, emb) =>
-          (id, emb, nearestCentroids(emb.map(_.toDouble), centsBc.value, 1).head)
-        }.toDF("vec_id", "embedding", "list")
-        .write.mode("overwrite").partitionBy("list").parquet(out)
-      out
-    })
+                                   cfg: AnnConfig = DefaultAnn,
+                                   root: Option[String] = None): String =
+    ivfResolved(spark, dir, cfg, root)._1
 
   /** q24: IVF ANN against the partitioned layout — pushdown point-read
     * of the query vector, driver-side probe selection from the codebook,
     * then exact-cosine re-rank inside ONLY the probed lists
     * (PartitionFilters prune everything else; PlanSpec gates it). */
   def annIvf(spark: SparkSession, dir: String,
-             cfg: AnnConfig = DefaultAnn): DataFrame = {
+             cfg: AnnConfig = DefaultAnn,
+             root: Option[String] = None): DataFrame = {
     import spark.implicits._
-    val cents = trainIvf(spark, dir, cfg)
+    val (layout, manifest) = ivfResolved(spark, dir, cfg, root)
+    val cents = manifest.coarse.get
     val qEmb = queryEmbedding(spark, dir)
     val probes = nearestCentroids(qEmb.map(_.toDouble), cents, cfg.ivfProbes)
-    spark.read.parquet(ivfLayout(spark, dir, cfg))
+    spark.read.parquet(layout)
       .filter($"list".isin(probes: _*) && $"vec_id" =!= QueryVecId)
       .withColumn("qe", typedLit(qEmb))
       .select($"vec_id", round(cosExpr, 4).as("cos"))
@@ -397,14 +462,21 @@ object Similarity {
     * of raw float32 embedding, the compression that makes 10^11-vector
     * serving disk-feasible. Raw embeddings are never read at query
     * time. */
-  private[operators] def pqLayout(spark: SparkSession, dir: String,
-                                  cfg: AnnConfig = DefaultAnn): String =
-    layoutCache.getOrElseUpdate(("ivfpq", dir, cfg), {
+  private[operators] def pqResolved(spark: SparkSession, dir: String,
+                                    cfg: AnnConfig = DefaultAnn,
+                                    root: Option[String] = None)
+      : (String, AnnStore.Manifest) =
+    resolve(dir, "ivfpq", cfg, root)(
+      () => {
+        val c = trainIvf(spark, dir, cfg)
+        AnnStore.Manifest("ivfpq", cfg, c(0).length, Some(c),
+          Some(trainPq(spark, dir, cfg)))
+      },
+      (out, m) => {
       import spark.implicits._
-      val coarse = spark.sparkContext.broadcast(trainIvf(spark, dir, cfg))
-      val cbs = spark.sparkContext.broadcast(trainPq(spark, dir, cfg))
+      val coarse = spark.sparkContext.broadcast(m.coarse.get)
+      val cbs = spark.sparkContext.broadcast(m.pq.get)
       val bits = pqBits(cfg)
-      val out = graft.TempDirs.create("graft-ivfpq-layout")
       spark.read.parquet(s"$dir/embeddings.parquet")
         .select($"vec_id".cast("long"), $"embedding").as[(Long, Array[Float])]
         .map { case (id, emb) =>
@@ -433,8 +505,12 @@ object Similarity {
           (id, code, math.sqrt(n2).toFloat, list)
         }.toDF("vec_id", "code", "norm", "list")
         .write.mode("overwrite").partitionBy("list").parquet(out)
-      out
-    })
+      })
+
+  private[operators] def pqLayout(spark: SparkSession, dir: String,
+                                  cfg: AnnConfig = DefaultAnn,
+                                  root: Option[String] = None): String =
+    pqResolved(spark, dir, cfg, root)._1
 
   /** q34: IVF-PQ ANN — partition-pruned probes over the COMPRESSED
     * layout, scored by asymmetric distance computation (ADC): the
@@ -447,10 +523,12 @@ object Similarity {
     * no raw embedding read: the serving scan touches (vec_id, code,
     * norm) in the probed partitions only. */
   def annIvfPq(spark: SparkSession, dir: String,
-               cfg: AnnConfig = DefaultAnn): DataFrame = {
+               cfg: AnnConfig = DefaultAnn,
+               root: Option[String] = None): DataFrame = {
     import spark.implicits._
-    val cents = trainIvf(spark, dir, cfg)
-    val cbs = trainPq(spark, dir, cfg)
+    val (layout, manifest) = pqResolved(spark, dir, cfg, root)
+    val cents = manifest.coarse.get
+    val cbs = manifest.pq.get
     val qv = queryEmbedding(spark, dir).map(_.toDouble)
     val probes = nearestCentroids(qv, cents, cfg.ivfProbes)
     val bits = pqBits(cfg)
@@ -470,7 +548,7 @@ object Similarity {
         shiftright($"code", bits * m).bitwiseAND(lit(mask)).cast("int")
           + lit(m * cfg.pqK + 1))
     }.reduce(_ + _)
-    spark.read.parquet(pqLayout(spark, dir, cfg))
+    spark.read.parquet(layout)
       .filter($"list".isin(probes: _*) && $"vec_id" =!= QueryVecId)
       .select($"vec_id", round(adc / ($"norm" * qNorm), 4).as("cos_pq"))
       .orderBy($"cos_pq".desc, $"vec_id")
@@ -521,33 +599,39 @@ object Similarity {
     * hyperplanes), written `partitionBy("bucket")` — bucket = disk
     * partition, probes prune physically. */
   private[operators] def lshLayout(spark: SparkSession, dir: String,
-                                   cfg: AnnConfig = DefaultAnn): String =
-    layoutCache.getOrElseUpdate(("lsh", dir, cfg), {
-      import spark.implicits._
-      val dim = queryEmbedding(spark, dir).length
-      val planes = Array.tabulate(cfg.nBits)(p => plane(p, dim))
-      val planesBc = spark.sparkContext.broadcast(planes)
-      val out = graft.TempDirs.create("graft-lsh-layout")
-      spark.read.parquet(s"$dir/embeddings.parquet")
-        .select($"vec_id".cast("long"), $"embedding").as[(Long, Array[Float])]
-        .map { case (id, emb) =>
-          (id, emb, signature(emb.map(_.toDouble), planesBc.value))
-        }.toDF("vec_id", "embedding", "bucket")
-        .write.mode("overwrite").partitionBy("bucket").parquet(out)
-      out
-    })
+                                   cfg: AnnConfig = DefaultAnn,
+                                   root: Option[String] = None): String =
+    resolve(dir, "lsh", cfg, root)(
+      () => {
+        // planes are pure functions of (config, dim) — the manifest
+        // stores only the config echo + dim, no trained state
+        val dim = queryEmbedding(spark, dir).length
+        AnnStore.Manifest("lsh", cfg, dim, None, None)
+      },
+      (out, m) => {
+        import spark.implicits._
+        val planes = Array.tabulate(cfg.nBits)(p => plane(p, m.dim))
+        val planesBc = spark.sparkContext.broadcast(planes)
+        spark.read.parquet(s"$dir/embeddings.parquet")
+          .select($"vec_id".cast("long"), $"embedding").as[(Long, Array[Float])]
+          .map { case (id, emb) =>
+            (id, emb, signature(emb.map(_.toDouble), planesBc.value))
+          }.toDF("vec_id", "embedding", "bucket")
+          .write.mode("overwrite").partitionBy("bucket").parquet(out)
+      })._1
 
   /** q16: LSH ANN against the partitioned layout — pushdown point-read
     * of the query vector, driver-side signature + multi-probe set (pure
     * functions of qEmb and the deterministic planes), exact-cosine
     * re-rank inside ONLY the probed buckets (partition-pruned read). */
   def annLsh(spark: SparkSession, dir: String,
-             cfg: AnnConfig = DefaultAnn): DataFrame = {
+             cfg: AnnConfig = DefaultAnn,
+             root: Option[String] = None): DataFrame = {
     import spark.implicits._
     val qEmb = queryEmbedding(spark, dir)
     val planes = Array.tabulate(cfg.nBits)(p => plane(p, qEmb.length))
     val probes = probeSet(signature(qEmb.map(_.toDouble), planes), cfg)
-    spark.read.parquet(lshLayout(spark, dir, cfg))
+    spark.read.parquet(lshLayout(spark, dir, cfg, root))
       .filter($"bucket".isin(probes: _*) && $"vec_id" =!= QueryVecId)
       .withColumn("qe", typedLit(qEmb))
       .select($"vec_id", round(cosExpr, 4).as("cos"))

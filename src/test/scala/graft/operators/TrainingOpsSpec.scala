@@ -200,6 +200,43 @@ class TrainingOpsSpec extends SparkSpec {
       }
   }
 
+  test("ANN layouts persist as first-class indexes: build in JVM A, serve in JVM B from the manifest with no rebuild") {
+    val root = tmpDir("graft-annroot")
+    def runAll(): Seq[Seq[String]] = Seq(
+      Similarity.annLsh(spark, clusteredDir, root = Some(root)),
+      Similarity.annIvf(spark, clusteredDir, root = Some(root)),
+      Similarity.annIvfPq(spark, clusteredDir, root = Some(root)))
+      .map(_.collect().map(_.toString).toSeq)
+    // "JVM A": build all three layouts under the persistent root
+    val a = runAll()
+    a.foreach(r => assert(r.nonEmpty))
+    val builds = Similarity.layoutBuilds.get()
+    val hits = Similarity.manifestHits.get()
+    // "JVM B": every in-memory memo (resolved layouts, trained
+    // codebooks) dropped; only the on-disk artifact remains
+    Similarity.clearJvmCaches()
+    val b = runAll()
+    assert(b == a, "artifact-served results differ from build-JVM results")
+    assert(Similarity.layoutBuilds.get() == builds,
+      "serving JVM rebuilt a layout despite the manifest")
+    assert(Similarity.manifestHits.get() >= hits + 3,
+      "expected a manifest hit per layout kind")
+    // config echo: a manifest never serves a different geometry
+    val ivfDir = AnnStore.layoutDir(root, "ivf", Similarity.DefaultAnn)
+    assert(AnnStore.read(ivfDir, "ivf", Similarity.DefaultAnn).isDefined)
+    assert(AnnStore.read(ivfDir, "ivf", AnnConfig(ivfLists = 8)).isEmpty)
+    assert(AnnStore.read(ivfDir, "lsh", Similarity.DefaultAnn).isEmpty)
+    // a corrupt manifest reads as a miss and the layout rebuilds —
+    // degraded to a rebuild, never a query failure
+    val mf = new java.io.File(ivfDir, "_graft_ann.bin")
+    java.nio.file.Files.write(mf.toPath, Array[Byte](1, 2, 3))
+    Similarity.clearJvmCaches()
+    val c = Similarity.annIvf(spark, clusteredDir, root = Some(root))
+      .collect().map(_.toString).toSeq
+    assert(c == a(1), "rebuild after corrupt manifest changed results")
+    assert(Similarity.layoutBuilds.get() == builds + 1)
+  }
+
   test("q14 blocking factor derives from corpus size and never changes results") {
     // derivation: smallest block count whose block-pairs fit the
     // per-task vector budget, floored at 8 for test-scale parallelism
