@@ -276,7 +276,11 @@ final class EngineCore(
       val entries = dict.filter(_.term == t)
       if (entries.isEmpty) None
       else {
-        val blocks = entries.flatMap(e => reader.record(e)._2)
+        // hot records come from the executor-local SegmentCache (Zipf
+        // workloads re-fetch the same few terms constantly); a miss
+        // falls through to this thread's byte-addressed reader
+        val blocks = entries.flatMap(e =>
+            graft.index.SegmentCache.record(segmentsDir, e)(reader.record(e))._2)
           .sortBy(_.firstDocId)
         Some(TermPostings(t, qtf, stats(t), blocks))
       }

@@ -312,6 +312,40 @@ class QuerySurfaceSpec extends SparkSpec {
     assert(math.abs(cos1 - 1.0 / math.sqrt(2)) < 1e-12)
   }
 
+  test("executor-local SegmentCache: cache-on ≡ cache-off rank identity, hits on re-fetch, resident bytes bounded") {
+    import spark.implicits._
+    import graft.index.SegmentCache
+    val docs = (0L until 300L).map(i =>
+      (i, s"spark shuffle t${i % 37} join w${i % 11} alpha"))
+      .toDF("doc_id", "content")
+    val idx = tmpDir("graft-segcache-index")
+    Build.run(spark, docs, idx, Build.Config(numPartitions = 4,
+      verifySha = false, tokenizer = Tokenizer.plainCfg))
+    val queries = Seq("spark", "alpha join", "t3 w4", "shuffle spark alpha")
+    def runAll(): Seq[Seq[(Long, Double)]] = {
+      val eng = new Engine(spark, idx, Tokenizer.plainCfg,
+        pruneSingletons = false, preload = true)
+      try queries.map(q => eng.searchWand(q, 50).toSeq) finally eng.close()
+    }
+    val saved = SegmentCache.capacityBytes
+    try {
+      SegmentCache.capacityBytes = 0L; SegmentCache.clear()
+      val off = runAll()
+      SegmentCache.capacityBytes = 1L << 20; SegmentCache.clear()
+      val on = runAll()
+      val h0 = SegmentCache.hits.get()
+      val on2 = runAll() // same records again: must come from the cache
+      assert(on == off, "cache-on results differ from cache-off")
+      assert(on2 == off, "cache-hit results differ from cache-off")
+      assert(SegmentCache.hits.get() > h0, "re-fetch produced no cache hits")
+      // eviction keeps residency within an adversarially tiny budget
+      SegmentCache.capacityBytes = 4096L; SegmentCache.clear()
+      assert(runAll() == off)
+      assert(SegmentCache.residentBytes <= 4096L,
+        s"resident ${SegmentCache.residentBytes} exceeds capacity")
+    } finally { SegmentCache.capacityBytes = saved; SegmentCache.clear() }
+  }
+
   test("distributed runner == driver engine on every query (broadcast core, multi-partition)") {
     import spark.implicits._
     // include exact-score ties (identical docs), a misspelled term (the
