@@ -66,6 +66,8 @@ object SparkEntry {
     "q33_trigram_novelty" -> ((s, d) => LmScore.trigramNovelty(s, d)),
     // IVF-PQ: compressed-code ANN serving (no oracle — approximate)
     "q34_ann_ivfpq" -> ((s, d) => Similarity.annIvfPq(s, d)),
+    // Exact-substring duplicated-span coverage (Lee et al. 2022 shape)
+    "q35_dup_spans" -> ((s, d) => Dedup.dupSpans(s, d)),
   )
 
   /** DuckDB equivalents, same column names + total ORDER BY. */
@@ -100,5 +102,6 @@ object SparkEntry {
     "q31_pack_sequences" -> Assembly.packSequencesSql,
     "q32_dup_clusters" -> DupClusters.clustersSql,
     "q33_trigram_novelty" -> LmScore.trigramNoveltySql,
+    "q35_dup_spans" -> Dedup.dupSpansSql,
   )
 }

@@ -458,4 +458,101 @@ object Dedup {
        |WHERE doc_id % $DecontamBenchMod <> 0
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // --- q35: exact-substring duplicated-span coverage -----------------
+
+  /** Window (in word tokens) of the positional gram index. 8 keeps the
+    * sandbox corpus meaningful; production substring dedup uses ~50
+    * tokens (Lee et al. 2022, "Deduplicating Training Data Makes
+    * Language Models Better" — their suffix-array ExactSubstr
+    * threshold), a one-constant change. */
+  val SpanW = 8
+
+  /** q35: per-doc duplicated-SPAN coverage — the exact-substring dedup
+    * measurement (Lee et al. 2022): a token position is "duplicated" if
+    * it sits inside any [[SpanW]]-token window whose text occurs more
+    * than once in the corpus (across docs OR repeated within one doc).
+    * Reports per-doc duplicated-token count and fraction — the signal
+    * substring-level dedup filters/trims on, where q10-q13 only judge
+    * whole documents.
+    *
+    * Spark shape (the suffix-array of the paper replaced by what a
+    * cluster does well):
+    *  1. positional W-grams via builtin HOFs (transform/slice/
+    *     array_join + posexplode) — fully codegen'd, text never
+    *     shuffles past this projection;
+    *  2. duplicated-gram set = groupBy(gram).count > 1 — map-side
+    *     partial agg absorbs hot grams (boilerplate spans combine
+    *     before the shuffle), membership only, so no df cap is needed;
+    *  3. LEFT SEMI join of the positional stream against the dup set —
+    *     output is at most the gram stream, never a pair blowup;
+    *  4. interval union per doc (gaps-and-islands: running max(e) over
+    *     a doc-PARTITIONED window — bounded by one doc's token count,
+    *     never corpus-sized) → summed island lengths.
+    * At 100 TB the grouping key becomes xxhash64(gram) (collision odds
+    * ~1e-9 at 10^12 grams; documented knob, exact strings here so the
+    * DuckDB oracle matches bit-for-bit) and W rises to 50. */
+  def dupSpans(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val toks = spark.read.parquet(s"$dir/documents.parquet")
+      .select($"doc_id".cast("long").as("doc_id"),
+        filter(split(lower($"text"), "\\s+"), t => t =!= "").as("arr"))
+    val grams = toks.filter(size($"arr") >= SpanW)
+      .select($"doc_id", posexplode(transform(
+        sequence(lit(0), size($"arr") - SpanW),
+        i => array_join(slice($"arr", i + 1, lit(SpanW)), " "))).as(Seq("pos", "g")))
+    val dup = grams.groupBy($"g")
+      .agg(count(lit(1)).as("c")).filter($"c" > 1).select($"g")
+    val iv = grams.join(dup, Seq("g"), "left_semi")
+      .select($"doc_id", $"pos".cast("long").as("s"),
+        ($"pos" + SpanW - 1).cast("long").as("e"))
+    val w = Window.partitionBy($"doc_id").orderBy($"s", $"e")
+    val marked = iv
+      .withColumn("pmax",
+        max($"e").over(w.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("ni",
+        when($"s" > coalesce($"pmax", lit(-1L)), 1L).otherwise(0L))
+    val cov = marked.withColumn("island", sum($"ni").over(w))
+      .groupBy($"doc_id", $"island")
+      .agg((max($"e") - min($"s") + 1L).as("len"))
+      .groupBy($"doc_id").agg(sum($"len").as("dup_tokens"))
+    toks.select($"doc_id", size($"arr").cast("long").as("n_tokens"))
+      .join(cov, Seq("doc_id"), "left")
+      .select($"doc_id", $"n_tokens",
+        coalesce($"dup_tokens", lit(0L)).as("dup_tokens"),
+        round(coalesce($"dup_tokens", lit(0L)) / $"n_tokens", 4).as("dup_frac"))
+      .orderBy($"doc_id")
+  }
+
+  val dupSpansSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t <> '') AS arr
+       |  FROM documents),
+       |grams AS (
+       |  SELECT doc_id,
+       |    unnest(range(1, len(arr) - ${SpanW} + 2)) AS pos,
+       |    unnest(list_transform(range(1, len(arr) - ${SpanW} + 2),
+       |      i -> array_to_string(list_slice(arr, i, i + ${SpanW} - 1), ' '))) AS g
+       |  FROM toks WHERE len(arr) >= $SpanW),
+       |dup AS (SELECT g FROM grams GROUP BY g HAVING count(*) > 1),
+       |iv AS (SELECT doc_id, pos AS s, pos + ${SpanW} - 1 AS e
+       |       FROM grams JOIN dup USING (g)),
+       |marked AS (
+       |  SELECT doc_id, s, e,
+       |    CASE WHEN s > coalesce(max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) THEN 1 ELSE 0 END AS ni
+       |  FROM iv),
+       |cov AS (
+       |  SELECT doc_id, sum(len) AS dup_tokens FROM (
+       |    SELECT doc_id, island, max(e) - min(s) + 1 AS len FROM (
+       |      SELECT doc_id, s, e,
+       |        sum(ni) OVER (PARTITION BY doc_id ORDER BY s, e) AS island
+       |      FROM marked)
+       |    GROUP BY doc_id, island)
+       |  GROUP BY doc_id)
+       |SELECT t.doc_id AS doc_id, len(arr) AS n_tokens,
+       |  CAST(coalesce(dup_tokens, 0) AS BIGINT) AS dup_tokens,
+       |  round(CAST(coalesce(dup_tokens, 0) AS BIGINT) / len(arr), 4) AS dup_frac
+       |FROM toks t LEFT JOIN cov USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
 }

@@ -229,6 +229,21 @@ class PlanSpec extends SparkSpec {
       "scan must prune to (doc_id, text)")
   }
 
+  test("q35 span coverage: doc-partitioned windows only, partial-agg dup set, pruned scan") {
+    val p = plan(Dedup.dupSpans(spark, dir))
+    // the island merge must window BY DOC (bounded by one doc's token
+    // count) — an unpartitioned window funnels the corpus into one task
+    assert(p.contains("windowspecdefinition(doc_id#"),
+      s"island window lost its doc_id partitioning:\n${p.take(1200)}")
+    assert(!p.contains("Exchange SinglePartition"),
+      s"q35 must have no single-partition exchange:\n${p.take(1200)}")
+    // duplicated-gram membership partial-aggregates map-side (hot
+    // boilerplate grams combine before the shuffle)
+    assert(p.contains("partial_count"), "dup-gram count lost map-side combine")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      "scan must prune to (doc_id, text)")
+  }
+
   test("q31 packing: partitioned window over docs, single-partition only on the bucket ledger") {
     val df = Assembly.packSequences(spark, dir)
     val p = plan(df)

@@ -365,6 +365,37 @@ class TrainingOpsSpec extends SparkSpec {
     (1L until n.toLong).foreach(id => assert(lab(id) == 0L))
   }
 
+  test("q35 duplicated-span coverage: shared spans, self-repeats and boundaries measured exactly") {
+    import spark.implicits._
+    val d = tmpDir("graft-spans")
+    // docs 0+1 share a 12-token span (cross-doc duplication); doc 2
+    // repeats its own 10-token phrase (intra-doc duplication counts —
+    // the span occurs twice in the corpus); doc 3 is unique; doc 4 is
+    // shorter than the 8-token window (no grams at all)
+    val shared = (0 until 12).map(i => s"s$i").mkString(" ")
+    val selfrep = (0 until 10).map(i => s"r$i").mkString(" ")
+    Seq(
+      (0L, s"a0 a1 a2 $shared a3 a4"),
+      (1L, s"b0 $shared b1 b2 b3"),
+      (2L, s"$selfrep c0 c1 $selfrep"),
+      (3L, (0 until 30).map(i => s"u$i").mkString(" ")),
+      (4L, "x y z"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val m = Dedup.dupSpans(spark, d).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    // interval union recovers EXACTLY the shared 12 tokens (grams that
+    // straddle the span boundary are unique to one doc and contribute
+    // nothing)
+    assert(m(0L) == ((17L, 12L, 0.7059)), s"doc0: ${m(0L)}")
+    assert(m(1L) == ((16L, 12L, 0.75)), s"doc1: ${m(1L)}")
+    // both copies of the self-repeated phrase count: two 10-token islands
+    assert(m(2L) == ((22L, 20L, 0.9091)), s"doc2: ${m(2L)}")
+    assert(m(3L) == ((30L, 0L, 0.0)), s"doc3: ${m(3L)}")
+    assert(m(4L) == ((3L, 0L, 0.0)), s"doc4: ${m(4L)}")
+  }
+
   test("q25 PII redaction scrubs planted emails/phones/IPs and counts them") {
     import spark.implicits._
     val d = tmpDir("graft-pii")
