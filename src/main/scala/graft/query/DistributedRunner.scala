@@ -71,7 +71,9 @@ object DistributedRunner {
         // the executor's lifetime (round-2 advice). Within the task the
         // handle cache still amortizes across the query slice.
         Option(org.apache.spark.TaskContext.get()).foreach(
-          _.addTaskCompletionListener[Unit](_ => eng.closeThreadReader()))
+          _.addTaskCompletionListener[Unit] { _ =>
+            eng.closeThreadReader(); eng.releaseTsHandles()
+          })
         it.flatMap { case (qn, q) =>
           eng.searchWand(q, kc).iterator.zipWithIndex.map {
             case ((id, s), i) => (qn, id, i + 1, s)

@@ -164,6 +164,17 @@ final class EngineCore(
     }
   }
 
+  /** Release the ts lookup's file handles (executor task-completion
+    * hook, beside closeThreadReader): a broadcast core would otherwise
+    * pin one ts-reader handle set per executor JVM until broadcast GC.
+    * Safe under concurrency — StoreTsSource lookups reopen lazily on
+    * the next exact-score tie, and ties are rare by construction, so
+    * the churn is off the hot loop. */
+  def releaseTsHandles(): Unit = {
+    val l = tsOpened
+    if (l != null) { try l.close() catch { case _: Exception => () } }
+  }
+
   // materialized-or-not tracked separately so close() only touches a
   // lookup that actually opened (a lazy val can't be probed)
   @transient @volatile private var tsOpened: TsLookup = null
