@@ -124,8 +124,11 @@ object BuildBench {
         graft.query.DistributedRunner.run(spark, idxDir, qdf, k = 250).count()
         val cSec = (System.nanoTime() - c0) / 1e9
         println(f"BENCH_DIST_QPS_NOCACHE=${nq / cSec}%.1f")
-        // restore the default config for the latency section below
-        graft.index.SegmentCache.capacityBytes = 64L << 20
+        // restore the CONFIGURED capacity for the latency section below
+        // (hardcoding 64 MiB here would silently override an operator's
+        // -Dgraft.segcache.mb, including an explicit =0 disable)
+        graft.index.SegmentCache.capacityBytes =
+          java.lang.Long.getLong("graft.segcache.mb", 64L) << 20
       }
       qdf.unpersist()
     }

@@ -47,7 +47,9 @@ object SegmentStore {
     * scale and the writer streams — nothing partition-sized in memory. */
   val SegmentPostingBudget = 2000000L
 
-  private def mapper = {
+  // shared with TsStore's manifest (one serialization config to keep
+  // consistent, not one copy per artifact store)
+  private[index] def mapper = {
     val m = new ObjectMapper()
     m.registerModule(DefaultScalaModule)
     m.configure(DeserializationFeature.FAIL_ON_UNKNOWN_PROPERTIES, false)
@@ -242,6 +244,11 @@ final class SegmentReader(dir: String) {
   private val f = SegmentStore.fs(dir)
   private val streams =
     scala.collection.mutable.HashMap.empty[String, org.apache.hadoop.fs.FSDataInputStream]
+  // set by close(); lets a sharing owner (EngineCore's per-thread cache)
+  // detect a reader another thread closed in O(1) instead of scanning
+  // its tracking structure on every record fetch
+  @volatile private var closedFlag = false
+  def isClosed: Boolean = closedFlag
 
   def record(e: SegmentStore.DictEntry): (Int, Array[Codec.Block]) = {
     val in = streams.getOrElseUpdate(e.file, f.open(new Path(s"$dir/${e.file}")))
@@ -260,5 +267,8 @@ final class SegmentReader(dir: String) {
     (df, blocks)
   }
 
-  def close(): Unit = { streams.values.foreach(_.close()); streams.clear() }
+  def close(): Unit = {
+    closedFlag = true
+    streams.values.foreach(_.close()); streams.clear()
+  }
 }

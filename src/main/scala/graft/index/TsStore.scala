@@ -3,8 +3,6 @@ package graft.index
 import org.apache.hadoop.fs.Path
 import org.apache.spark.TaskContext
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import com.fasterxml.jackson.databind.{DeserializationFeature, ObjectMapper}
-import com.fasterxml.jackson.module.scala.DefaultScalaModule
 
 /** Keyed point-read store for the recency-tiebreak timestamps: the
   * scale-safe replacement of `Engine.loadTs`'s doc-count collect (and
@@ -33,12 +31,7 @@ object TsStore {
   final case class TsFile(name: String, firstId: Long, lastId: Long,
                           count: Long)
 
-  private def mapper = {
-    val m = new ObjectMapper()
-    m.registerModule(DefaultScalaModule)
-    m.configure(DeserializationFeature.FAIL_ON_UNKNOWN_PROPERTIES, false)
-    m
-  }
+  private def mapper = SegmentStore.mapper
 
   def manifestPath(tsDir: String): Path = new Path(s"$tsDir/manifest.json")
 

@@ -138,11 +138,12 @@ final class EngineCore(
     new ThreadLocal[graft.index.SegmentReader]()
   private def reader: graft.index.SegmentReader = {
     var r = readerTL.get()
-    // membership check (O(#threads), tiny): close() drains allReaders but
-    // can only clear the CALLING thread's ThreadLocal slot — another
-    // thread's cached reader would otherwise come back closed
-    // (use-after-close) instead of being recreated
-    if (r == null || !allReaders.contains(r)) {
+    // O(1) closed check: close() drains allReaders but can only clear
+    // the CALLING thread's ThreadLocal slot — another thread's cached
+    // reader would otherwise come back closed (use-after-close) instead
+    // of being recreated. (A membership scan of allReaders did the same
+    // job at O(#threads) per record fetch on the query hot path.)
+    if (r == null || r.isClosed) {
       r = new graft.index.SegmentReader(segmentsDir)
       allReaders.add(r)
       readerTL.set(r)

@@ -37,9 +37,18 @@ import graft.index.{Build, Merge, SegmentStore}
 object StreamIndexer {
 
   /** The live index directory, if any batch has been published. */
-  def currentIndex(root: String): Option[String] = {
+  def currentIndex(root: String): Option[String] = readPointer(root, "CURRENT")
+
+  /** The generation CURRENT pointed at before the last flip — the GC
+    * grace dir. Persisted (not derived from in-memory state) so a
+    * crash-replay of an epoch, where `prev == target`, still knows
+    * which generation a pre-crash reader may have loaded. */
+  private[streaming] def previousIndex(root: String): Option[String] =
+    readPointer(root, "PREVIOUS")
+
+  private def readPointer(root: String, name: String): Option[String] = {
     val fs = SegmentStore.fs(root)
-    val p = new Path(s"$root/CURRENT")
+    val p = new Path(s"$root/$name")
     if (!fs.exists(p)) None
     else {
       val buf = new Array[Byte](fs.getFileStatus(p).getLen.toInt)
@@ -49,17 +58,29 @@ object StreamIndexer {
     }
   }
 
-  private def publish(root: String, target: String): Unit = {
+  private def writePointer(root: String, name: String, target: String): Unit = {
     val fs = SegmentStore.fs(root)
-    val tmp = new Path(s"$root/CURRENT.tmp")
+    val tmp = new Path(s"$root/$name.tmp")
     val out = fs.create(tmp, true)
     try out.write(target.getBytes("UTF-8")) finally out.close()
     // FileContext rename with OVERWRITE: one atomic replace — a plain
     // delete+rename pair would leave a window where a reader finds no
-    // CURRENT at all, breaking the never-torn claim
+    // pointer at all, breaking the never-torn claim
     org.apache.hadoop.fs.FileContext.getFileContext(fs.getUri, fs.getConf)
-      .rename(tmp, new Path(s"$root/CURRENT"),
+      .rename(tmp, new Path(s"$root/$name"),
         org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+  }
+
+  private def publish(root: String, target: String): Unit = {
+    // record the generation being superseded BEFORE flipping: on a
+    // crash-replay of this epoch `currentIndex == target`, so deriving
+    // the grace dir from in-memory prev would name the target itself
+    // and GC would delete the one generation a pre-crash reader may
+    // still hold (review finding) — the persisted pointer survives
+    // the replay with the true previous value
+    currentIndex(root).filter(_ != target)
+      .foreach(old => writePointer(root, "PREVIOUS", old))
+    writePointer(root, "CURRENT", target)
   }
 
   /** One epoch's work: build-if-absent, merge-if-absent,
@@ -124,9 +145,14 @@ object StreamIndexer {
         c
       } else merged
     publish(root, target)
+    // keep: the new target, its merge inputs (merged/snap), and the
+    // persisted PREVIOUS generation — one epoch of grace for a reader
+    // that loaded CURRENT just before the flip. PREVIOUS (not the
+    // in-memory `prev`) is what survives a crash-replay, where
+    // prev == target and the grace dir would otherwise be deleted.
     if (gc) gcSuperseded(root, keepNames =
-      Set(target, merged, snap).map(new Path(_).getName) ++
-        prev.map(p => new Path(p).getName))
+      (Set(target, merged, snap) ++ prev ++ previousIndex(root))
+        .map(p => new Path(p).getName))
   }
 
   /** Delete snapshot/merged/compact generations whose dir NAME is not in

@@ -139,6 +139,38 @@ class StreamIndexerSpec extends SparkSpec {
     streamed.close(); oneShot.close()
   }
 
+  test("replay with GC keeps the grace generation a pre-crash reader may hold") {
+    import spark.implicits._
+    val root = tmpDir("graft-stream-replaygc")
+    val cfg = Build.Config(numPartitions = 4, spellIndex = false)
+    def run(epoch: Long, docs: Seq[StreamIngest.DocEvent]): Unit =
+      StreamIndexer.processBatch(docs.toDS(), epoch, root, cfg, gc = true)
+    val fs = graft.index.SegmentStore.fs(root)
+    def exists(p: String) = fs.exists(new org.apache.hadoop.fs.Path(p))
+
+    run(0, batches(0))
+    val gen0 = StreamIndexer.currentIndex(root).get // epoch-0 snapshot
+    run(1, batches(1))
+    val gen1 = StreamIndexer.currentIndex(root).get // merged-1
+    assert(exists(gen0), "grace generation deleted at publish")
+    // crash-after-publish replay of epoch 1: the in-memory prev now
+    // EQUALS the target, so only the persisted PREVIOUS pointer knows
+    // which generation a reader that loaded CURRENT just before the
+    // pre-crash flip may still hold — GC must not delete it
+    run(1, batches(1))
+    assert(StreamIndexer.currentIndex(root).contains(gen1))
+    assert(exists(gen0),
+      "replay GC deleted the grace generation (review finding)")
+    // the grace dir is still a fully servable index
+    val eng = new Engine(spark, gen0, preload = true)
+    assert(eng.searchWand("engine", 10).map(_._1).toSet == Set(0L, 1L))
+    eng.close()
+    // and it IS collected one epoch later — bounded grace, not a leak
+    run(2, batches(2))
+    assert(!exists(gen0), "grace generation never collected")
+    assert(exists(gen1), "new grace generation missing after epoch 2")
+  }
+
   test("epoch replay is idempotent: rebuilds skipped, pointer converges") {
     import spark.implicits._
     val root = tmpDir("graft-stream-replay")
