@@ -237,15 +237,22 @@ object Bench {
             .foldLeft(0.0)(math.max)
         val (qpsLow, qpsN, qps4N) =
           (qps(low), qps(rounds.map(_._2)), qps(rounds.map(_._3)))
-        // SegmentCache A/B (32c forks only): cache-off QPS + hit evidence
+        // SegmentCache A/B: cache-off QPS at every rung — the serving-
+        // scaling protocol where the FS-read fraction is constant across
+        // rungs (see BuildBench); hit evidence from the 32c forks
+        def qpsNC(rs: Seq[Map[String, String]]) =
+          rs.flatMap(_.get("BENCH_DIST_QPS_NOCACHE")).map(_.toDouble)
+            .foldLeft(0.0)(math.max)
+        val (ncLow, ncN, nc4N) =
+          (qpsNC(low), qpsNC(rounds.map(_._2)), qpsNC(rounds.map(_._3)))
         def best32(key: String): Double =
           rounds.map(_._3).flatMap(_.get(key)).map(_.toDouble)
             .foldLeft(0.0)(math.max)
-        val qpsNoCache = best32("BENCH_DIST_QPS_NOCACHE")
         val scHits = best32("BENCH_SEGCACHE_HITS")
         val scMiss = best32("BENCH_SEGCACHE_MISSES")
         val qEffHead = if (qpsLow > 0) (qpsN / qpsLow) / (nCores.toDouble / nLow) else -1
         val qEffHigh = if (qpsN > 0) (qps4N / qpsN) / (cpus.toDouble / nCores) else -1
+        val qEffHeadNC = if (ncLow > 0) (ncN / ncLow) / (nCores.toDouble / nLow) else -1
         // low-rung fragments are omitted entirely when degenerate —
         // emitting them would duplicate the "${nCores}c" keys and make
         // the JSON parser-dependent (strict parsers reject dup keys)
@@ -269,10 +276,14 @@ object Bench {
         lowFrag(s""""${nLow}c":${f"$qpsLow%.1f"},""") +
         s""""${nCores}c":${f"$qpsN%.1f"},""" +
         s""""${cpus}c":${f"$qps4N%.1f"}},""" +
-        s""""dist_qps_${cpus}c_nocache":${f"$qpsNoCache%.1f"},""" +
+        s""""dist_qps_nocache":{""" +
+        lowFrag(s""""${nLow}c":${f"$ncLow%.1f"},""") +
+        s""""${nCores}c":${f"$ncN%.1f"},""" +
+        s""""${cpus}c":${f"$nc4N%.1f"}},""" +
         s""""segcache_hits":${scHits.toLong},""" +
         s""""segcache_misses":${scMiss.toLong},""" +
         s""""query_scaling_efficiency":${f"$qEffHead%.3f"},""" +
+        s""""query_scaling_efficiency_nocache":${f"$qEffHeadNC%.3f"},""" +
         s""""query_scaling_efficiency_${nCores}_$cpus":${f"$qEffHigh%.3f"},""" +
         s""""query_p50_ms":${latMin("BENCH_P50_MS")},""" +
         s""""query_p95_ms":${latMin("BENCH_P95_MS")},"""

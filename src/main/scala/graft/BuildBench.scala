@@ -108,28 +108,31 @@ object BuildBench {
       graft.query.DistributedRunner.run(spark, idxDir, qdf, k = 250).count()
       val qSec = (System.nanoTime() - q0) / 1e9
       println(f"BENCH_DIST_QPS=${nq / qSec}%.1f")
+      // A/B for the executor-local SegmentCache (round-3 review #8):
+      // identical batch, cache disabled — at EVERY ladder level, because
+      // the serving-scaling RATIO needs a protocol where the FS-read
+      // fraction is constant across rungs: the cache removes the most
+      // serial work at the lowest rung (its hot set is re-read the most
+      // times per core there), which deflates the cache-on 2→8 ratio
+      // even while absolute QPS rises at every rung. Cache-hit counts
+      // ride along so a null QPS delta on this box (everything is one
+      // warm page cache locally) still shows the FS-read fraction a
+      // real cluster would save.
       if (withLatency) {
-        // A/B for the executor-local SegmentCache (round-3 review #8):
-        // identical batch, cache disabled — measured only in the 32c
-        // forks to bound added bench time; the cache-on number above is
-        // the canonical one at every ladder level. Cache-hit evidence
-        // rides along so a null QPS delta on this box (everything is
-        // one warm page cache locally) still shows the FS-read fraction
-        // a real cluster would save.
         println(s"BENCH_SEGCACHE_HITS=${graft.index.SegmentCache.hits.get()}")
         println(s"BENCH_SEGCACHE_MISSES=${graft.index.SegmentCache.misses.get()}")
-        graft.index.SegmentCache.capacityBytes = 0L
-        graft.index.SegmentCache.clear()
-        val c0 = System.nanoTime()
-        graft.query.DistributedRunner.run(spark, idxDir, qdf, k = 250).count()
-        val cSec = (System.nanoTime() - c0) / 1e9
-        println(f"BENCH_DIST_QPS_NOCACHE=${nq / cSec}%.1f")
-        // restore the CONFIGURED capacity for the latency section below
-        // (hardcoding 64 MiB here would silently override an operator's
-        // -Dgraft.segcache.mb, including an explicit =0 disable)
-        graft.index.SegmentCache.capacityBytes =
-          java.lang.Long.getLong("graft.segcache.mb", 64L) << 20
       }
+      graft.index.SegmentCache.capacityBytes = 0L
+      graft.index.SegmentCache.clear()
+      val c0 = System.nanoTime()
+      graft.query.DistributedRunner.run(spark, idxDir, qdf, k = 250).count()
+      val cSec = (System.nanoTime() - c0) / 1e9
+      println(f"BENCH_DIST_QPS_NOCACHE=${nq / cSec}%.1f")
+      // restore the CONFIGURED capacity for the latency section below
+      // (hardcoding 64 MiB here would silently override an operator's
+      // -Dgraft.segcache.mb, including an explicit =0 disable)
+      graft.index.SegmentCache.capacityBytes =
+        java.lang.Long.getLong("graft.segcache.mb", 64L) << 20
       qdf.unpersist()
     }
 
