@@ -245,11 +245,17 @@ object Bench {
             .foldLeft(0.0)(math.max)
         val (ncLow, ncN, nc4N) =
           (qpsNC(low), qpsNC(rounds.map(_._2)), qpsNC(rounds.map(_._3)))
-        def best32(key: String): Double =
-          rounds.map(_._3).flatMap(_.get(key)).map(_.toDouble)
-            .foldLeft(0.0)(math.max)
-        val scHits = best32("BENCH_SEGCACHE_HITS")
-        val scMiss = best32("BENCH_SEGCACHE_MISSES")
+        // hits/misses reported as a PAIR from the single 32c round with
+        // the best cache-on QPS — maxing each independently across
+        // rounds would report a hit/miss ratio that occurred in no run
+        val bestRound = rounds.map(_._3)
+          .filter(_.contains("BENCH_SEGCACHE_HITS"))
+          .sortBy(m => -m.get("BENCH_DIST_QPS").fold(0.0)(_.toDouble))
+          .headOption
+        def fromBest(key: String): Double =
+          bestRound.flatMap(_.get(key)).fold(0.0)(_.toDouble)
+        val scHits = fromBest("BENCH_SEGCACHE_HITS")
+        val scMiss = fromBest("BENCH_SEGCACHE_MISSES")
         val qEffHead = if (qpsLow > 0) (qpsN / qpsLow) / (nCores.toDouble / nLow) else -1
         val qEffHigh = if (qpsN > 0) (qps4N / qpsN) / (cpus.toDouble / nCores) else -1
         val qEffHeadNC = if (ncLow > 0) (ncN / ncLow) / (nCores.toDouble / nLow) else -1

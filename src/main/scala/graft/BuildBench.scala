@@ -122,17 +122,18 @@ object BuildBench {
         println(s"BENCH_SEGCACHE_HITS=${graft.index.SegmentCache.hits.get()}")
         println(s"BENCH_SEGCACHE_MISSES=${graft.index.SegmentCache.misses.get()}")
       }
+      // save/restore the live capacity rather than re-deriving it from
+      // the system property (a second copy of SegmentCache's init logic
+      // would clobber a programmatically-set capacity and drift if the
+      // default ever changes)
+      val savedCap = graft.index.SegmentCache.capacityBytes
       graft.index.SegmentCache.capacityBytes = 0L
       graft.index.SegmentCache.clear()
       val c0 = System.nanoTime()
       graft.query.DistributedRunner.run(spark, idxDir, qdf, k = 250).count()
       val cSec = (System.nanoTime() - c0) / 1e9
       println(f"BENCH_DIST_QPS_NOCACHE=${nq / cSec}%.1f")
-      // restore the CONFIGURED capacity for the latency section below
-      // (hardcoding 64 MiB here would silently override an operator's
-      // -Dgraft.segcache.mb, including an explicit =0 disable)
-      graft.index.SegmentCache.capacityBytes =
-        java.lang.Long.getLong("graft.segcache.mb", 64L) << 20
+      graft.index.SegmentCache.capacityBytes = savedCap
       qdf.unpersist()
     }
 

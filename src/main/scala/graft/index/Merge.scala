@@ -89,7 +89,16 @@ object Merge {
         (name, nn)
       }
       spark.read.parquet(s"$p/dict")
-        .join(broadcast(renames.toSeq.toDF("file", "new_file")), "file")
+        .join(broadcast(renames.toSeq.toDF("file", "new_file")),
+          Seq("file"), "left")
+        // loud-failure invariant: a dict row pointing at a file absent
+        // from the segments listing (partially-deleted or corrupt part)
+        // must ABORT the merge — an inner join silently discarded the
+        // row, and the merged index would serve with that term's
+        // postings missing and no error anywhere (round-4 review)
+        .withColumn("new_file", coalesce($"new_file", raise_error(concat(
+          lit(s"dict of $p references a segment file missing from " +
+            s"$p/segments: "), $"file"))))
         .drop("file").withColumnRenamed("new_file", "file")
     }
     // allowMissingColumns everywhere below: a part built by an earlier
@@ -191,7 +200,20 @@ object Merge {
     // bounded path, never fails the merge). Without this, an index
     // served off a merge (every StreamIndexer epoch) re-derived the
     // delete index per serving JVM — the exact cost the artifact
-    // removes. ---------------------------------------------------------
+    // removes.
+    //
+    // Per-epoch cost on a streaming merge is a DELIBERATE trade, and
+    // bounded: trySpellArtifact self-disables above 2M vocab terms and
+    // its delete index is budget-capped (EngineCore
+    // .MaxSpellIndexEntries), so the worst case is a capped-vocab
+    // collect + bounded index build — seconds, never O(accumulated
+    // index). Regenerating each epoch amortizes across EVERY serving
+    // JVM of that generation (a streaming deployment has many); the
+    // alternative — artifact only on compaction epochs — would push a
+    // lazy delete-index build into every serving JVM of every
+    // in-between generation. Callers that want micro-batch latency
+    // over serving warm-up set spellIndex=false (plumbed through
+    // StreamIndexer's Build.Config). -----------------------------------
     if (spellIndex) Build.trySpellArtifact(spark, outDir)
   }
 

@@ -109,10 +109,21 @@ object TsStore {
 
   /** Point reader. NOT thread-safe — callers wrap in their own
     * synchronization/memo (EngineCore does). Missing ids return 0L, the
-    * engine's "oldest" default for docs without a recency signal. */
+    * engine's "oldest" default for docs without a recency signal.
+    *
+    * Construction FAILS if the manifest can't be read: a Reader is only
+    * built after [[exists]] confirmed the store, so an unreadable
+    * manifest here is corruption or a transient FS error — degrading to
+    * an empty file list would silently rank every tie by docId instead
+    * of ingest_ts (results diverging from the driver engine and across
+    * task retries with no log anywhere; the array-path predecessor
+    * failed loudly, and so does this). */
   final class Reader(tsDir: String) {
     private val files: Array[TsFile] =
-      readManifest(tsDir).getOrElse(Seq.empty).sortBy(_.firstId).toArray
+      readManifest(tsDir).getOrElse(throw new java.io.IOException(
+        s"ts store at $tsDir: manifest missing or unreadable " +
+          "(existed at engine construction — corrupt store or transient FS failure)"))
+        .sortBy(_.firstId).toArray
     private val firstIds: Array[Long] = files.map(_.firstId)
     private val fs = SegmentStore.fs(tsDir)
     private val handles = scala.collection.mutable.HashMap

@@ -34,23 +34,33 @@ import graft.index.SegmentStore
 object AnnStore {
 
   private val Magic = 0x4741_4E4E // "GANN"
-  private val Version = 1
+  private val Version = 2 // v2 adds the source-table echo
 
-  final case class Manifest(kind: String, cfg: AnnConfig, dim: Int,
+  /** `source` is the embedding table the layout was built FROM (the
+    * caller's `dir`): it keys the layout path and is validated on read,
+    * so two different tables sharing one root can never serve each
+    * other's vectors (a kind+config-only key aliased them — silent
+    * wrong vec_ids, found in round-4 review). Content-level staleness
+    * stays the caller's contract, as with any secondary index: rebuild
+    * under a fresh root (or delete the layout) when the table changes. */
+  final case class Manifest(kind: String, cfg: AnnConfig, source: String,
+                            dim: Int,
                             coarse: Option[Array[Array[Double]]],
                             pq: Option[Array[Array[Array[Double]]]])
 
-  /** Stable directory key for a config: geometry fields only, in a
-    * fixed order — two runs with the same knobs share one layout. */
-  def configKey(cfg: AnnConfig): String = {
-    val s = s"${cfg.nBits}-${cfg.multiProbe}-${cfg.ivfLists}-" +
-      s"${cfg.ivfProbes}-${cfg.ivfIters}-${cfg.pqM}-${cfg.pqK}"
+  private def hex(s: String): String =
     java.lang.Long.toHexString(graft.corpus.Synth.mix(
       s.foldLeft(1125899906842597L)((h, c) => 31 * h + c)))
-  }
 
-  def layoutDir(root: String, kind: String, cfg: AnnConfig): String =
-    s"$root/$kind-${configKey(cfg)}"
+  /** Stable directory key for a config: geometry fields only, in a
+    * fixed order — two runs with the same knobs share one layout. */
+  def configKey(cfg: AnnConfig): String =
+    hex(s"${cfg.nBits}-${cfg.multiProbe}-${cfg.ivfLists}-" +
+      s"${cfg.ivfProbes}-${cfg.ivfIters}-${cfg.pqM}-${cfg.pqK}")
+
+  def layoutDir(root: String, kind: String, cfg: AnnConfig,
+                source: String): String =
+    s"$root/$kind-${configKey(cfg)}-${hex(source)}"
 
   private def manifestPath(dir: String) = new Path(s"$dir/_graft_ann.bin")
 
@@ -75,6 +85,7 @@ object AnnStore {
     try {
       out.writeInt(Magic); out.writeInt(Version)
       out.writeUTF(m.kind)
+      out.writeUTF(m.source)
       out.writeInt(m.cfg.nBits); out.writeInt(m.cfg.multiProbe)
       out.writeInt(m.cfg.ivfLists); out.writeInt(m.cfg.ivfProbes)
       out.writeInt(m.cfg.ivfIters); out.writeInt(m.cfg.pqM)
@@ -92,9 +103,11 @@ object AnnStore {
     fs.rename(tmp, p)
   }
 
-  /** None when absent, corrupt, a different kind, or a different config
-    * than the caller's — all of which mean "rebuild", never "fail". */
-  def read(dir: String, kind: String, cfg: AnnConfig): Option[Manifest] =
+  /** None when absent, corrupt, a different kind, source table, or
+    * config than the caller's — all of which mean "rebuild", never
+    * "fail". */
+  def read(dir: String, kind: String, cfg: AnnConfig,
+           source: String): Option[Manifest] =
     try {
       val fs = SegmentStore.fs(dir)
       val p = manifestPath(dir)
@@ -106,14 +119,15 @@ object AnnStore {
           if (in.readInt() != Magic || in.readInt() != Version) None
           else {
             val k = in.readUTF()
+            val src = in.readUTF()
             val c = AnnConfig(in.readInt(), in.readInt(), in.readInt(),
               in.readInt(), in.readInt(), in.readInt(), in.readInt())
             val dim = in.readInt()
             val coarse = if (in.readBoolean()) Some(readMatrix(in)) else None
             val pq = if (in.readBoolean())
               Some(Array.fill(in.readInt())(readMatrix(in))) else None
-            if (k != kind || c != cfg) None
-            else Some(Manifest(k, c, dim, coarse, pq))
+            if (k != kind || c != cfg || src != source) None
+            else Some(Manifest(k, c, src, dim, coarse, pq))
           }
         } finally in.close()
       }

@@ -520,7 +520,13 @@ object Dedup {
       .join(cov, Seq("doc_id"), "left")
       .select($"doc_id", $"n_tokens",
         coalesce($"dup_tokens", lit(0L)).as("dup_tokens"),
-        round(coalesce($"dup_tokens", lit(0L)) / $"n_tokens", 4).as("dup_frac"))
+        // zero-token guard: an empty/all-whitespace doc would divide
+        // 0/0 (ANSI abort in Spark 4, NULL in DuckDB — either way the
+        // bit-exact oracle compare breaks); such a doc has no spans,
+        // so its duplicated fraction is 0 by definition
+        when($"n_tokens" > 0,
+          round(coalesce($"dup_tokens", lit(0L)) / $"n_tokens", 4))
+          .otherwise(lit(0.0)).as("dup_frac"))
       .orderBy($"doc_id")
   }
 
@@ -552,7 +558,9 @@ object Dedup {
        |  GROUP BY doc_id)
        |SELECT t.doc_id AS doc_id, len(arr) AS n_tokens,
        |  CAST(coalesce(dup_tokens, 0) AS BIGINT) AS dup_tokens,
-       |  round(CAST(coalesce(dup_tokens, 0) AS BIGINT) / len(arr), 4) AS dup_frac
+       |  CASE WHEN len(arr) > 0
+       |    THEN round(CAST(coalesce(dup_tokens, 0) AS BIGINT) / len(arr), 4)
+       |    ELSE 0.0 END AS dup_frac
        |FROM toks t LEFT JOIN cov USING (doc_id)
        |ORDER BY doc_id""".stripMargin
 }

@@ -193,8 +193,8 @@ object Similarity {
       : (String, AnnStore.Manifest) =
     manifestCache.getOrElseUpdate((kind, dir, cfg, root), root match {
       case Some(r) =>
-        val out = AnnStore.layoutDir(r, kind, cfg)
-        AnnStore.read(out, kind, cfg) match {
+        val out = AnnStore.layoutDir(r, kind, cfg, dir)
+        AnnStore.read(out, kind, cfg, dir) match {
           case Some(m) =>
             manifestHits.incrementAndGet()
             (out, m)
@@ -337,7 +337,7 @@ object Similarity {
     resolve(dir, "ivf", cfg, root)(
       () => {
         val c = trainIvf(spark, dir, cfg)
-        AnnStore.Manifest("ivf", cfg, c(0).length, Some(c), None)
+        AnnStore.Manifest("ivf", cfg, dir, c(0).length, Some(c), None)
       },
       (out, m) => {
         import spark.implicits._
@@ -469,7 +469,7 @@ object Similarity {
     resolve(dir, "ivfpq", cfg, root)(
       () => {
         val c = trainIvf(spark, dir, cfg)
-        AnnStore.Manifest("ivfpq", cfg, c(0).length, Some(c),
+        AnnStore.Manifest("ivfpq", cfg, dir, c(0).length, Some(c),
           Some(trainPq(spark, dir, cfg)))
       },
       (out, m) => {
@@ -606,7 +606,7 @@ object Similarity {
         // planes are pure functions of (config, dim) — the manifest
         // stores only the config echo + dim, no trained state
         val dim = queryEmbedding(spark, dir).length
-        AnnStore.Manifest("lsh", cfg, dim, None, None)
+        AnnStore.Manifest("lsh", cfg, dir, dim, None, None)
       },
       (out, m) => {
         import spark.implicits._

@@ -222,10 +222,21 @@ class TrainingOpsSpec extends SparkSpec {
     assert(Similarity.manifestHits.get() >= hits + 3,
       "expected a manifest hit per layout kind")
     // config echo: a manifest never serves a different geometry
-    val ivfDir = AnnStore.layoutDir(root, "ivf", Similarity.DefaultAnn)
-    assert(AnnStore.read(ivfDir, "ivf", Similarity.DefaultAnn).isDefined)
-    assert(AnnStore.read(ivfDir, "ivf", AnnConfig(ivfLists = 8)).isEmpty)
-    assert(AnnStore.read(ivfDir, "lsh", Similarity.DefaultAnn).isEmpty)
+    val ivfDir = AnnStore.layoutDir(root, "ivf", Similarity.DefaultAnn,
+      clusteredDir)
+    assert(AnnStore.read(ivfDir, "ivf", Similarity.DefaultAnn,
+      clusteredDir).isDefined)
+    assert(AnnStore.read(ivfDir, "ivf", AnnConfig(ivfLists = 8),
+      clusteredDir).isEmpty)
+    assert(AnnStore.read(ivfDir, "lsh", Similarity.DefaultAnn,
+      clusteredDir).isEmpty)
+    // source echo: a manifest never serves a DIFFERENT table's vectors
+    // (a kind+config-only key aliased two tables under one root)
+    assert(AnnStore.read(ivfDir, "ivf", Similarity.DefaultAnn,
+      clusteredDir + "-other").isEmpty)
+    assert(AnnStore.layoutDir(root, "ivf", Similarity.DefaultAnn,
+      clusteredDir + "-other") != ivfDir,
+      "two source tables must get distinct layout dirs under one root")
     // a corrupt manifest reads as a miss and the layout rebuilds —
     // degraded to a rebuild, never a query failure
     val mf = new java.io.File(ivfDir, "_graft_ann.bin")
