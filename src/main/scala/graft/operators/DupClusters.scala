@@ -112,8 +112,15 @@ object DupClusters {
     // small edge counts the loop cost is fixed job overhead, not data).
     // Superseded rounds' checkpoint blocks become unreachable and are
     // freed by the ContextCleaner; live state is ≤ 2 edge-sized sets.
-    var cur = edges0.filter($"a" =!= $"b")
-      .select(greatest($"a", $"b").as("a"), least($"a", $"b").as("b"))
+    //
+    // localContract first: each partition's edges are rewritten into
+    // the star forest of its LOCAL components before anything shuffles
+    // — a dense dup clique (the common shape in a near-dup graph)
+    // collapses from O(k²) pair edges to k−1 star edges inside the map
+    // task that holds it, so the distinct(), every round's shuffle, and
+    // the round COUNT all start from the contracted size.
+    var cur = localContract(edges0.filter($"a" =!= $"b")
+        .select(greatest($"a", $"b").as("a"), least($"a", $"b").as("b")))
       .distinct().localCheckpoint(false)
     var curSig = sig(cur)
     var rounds = 0
@@ -128,6 +135,59 @@ object DupClusters {
       curSig = nextSig
     }
     cur.select($"a".as("doc_id"), $"b".as("cluster_id"))
+  }
+
+  /** Partition-local contraction: rewrite each partition's edge set as
+    * the star forest of its LOCAL connected components (union-find with
+    * path halving; the root is the local-min node, so emitted edges
+    * keep the a > b orientation the star rounds expect).
+    *
+    * Connectivity is preserved exactly: an edge (a, b) inside a
+    * partition connects a—root—b through that partition's star, and a
+    * node split across partitions chains its per-partition roots
+    * through itself (rootP1—n—rootP2), so global components — and
+    * their min ids, the cluster labels — are unchanged; the
+    * DupClustersSpec union-find pins and the q32 oracle hold verbatim.
+    * What changes is SIZE: a partition with m edges over k nodes in c
+    * local components emits k − c ≤ m edges, and the dense cliques a
+    * near-dup graph is made of collapse from O(k²) to k − 1 BEFORE the
+    * first shuffle — this is the map-side-combine analog for connected
+    * components. Per-task state is one long→long map over the
+    * partition's distinct nodes (≤ 2× its edge count), the same memory
+    * class as the shuffle sort buffers. */
+  private[operators] def localContract(edges: DataFrame): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    edges.as[(Long, Long)].mapPartitions { it =>
+      val parent = new java.util.HashMap[Long, Long]()
+      def find(x0: Long): Long = {
+        var x = x0
+        var p = parent.getOrDefault(x, x)
+        while (p != x) { // path halving
+          val g = parent.getOrDefault(p, p)
+          parent.put(x, g)
+          x = g
+          p = parent.getOrDefault(x, x)
+        }
+        x
+      }
+      while (it.hasNext) {
+        val (a, b) = it.next()
+        val ra = find(a); val rb = find(b)
+        // union by min id — the root IS the local min. A node is a map
+        // KEY iff it is a non-root (find treats absent keys as roots),
+        // so the emit loop below covers exactly the non-root nodes.
+        if (ra != rb) {
+          if (ra < rb) parent.put(rb, ra) else parent.put(ra, rb)
+        }
+      }
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+      parent.forEach { (n, _) =>
+        val r = find(n)
+        if (n != r) out += ((n, r))
+      }
+      out.iterator
+    }.toDF("a", "b")
   }
 
   val clustersSql: String =

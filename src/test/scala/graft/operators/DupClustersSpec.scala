@@ -65,6 +65,41 @@ class DupClustersSpec extends SparkSpec {
     }
   }
 
+  test("localContract preserves components exactly and collapses cliques to stars") {
+    import spark.implicits._
+    // connectivity: contracted graph has the SAME union-find labeling
+    // as the raw graph, on every adversarial shape incl. a node whose
+    // edges are split across partitions (chained through itself)
+    val r = new scala.util.Random(7)
+    val random = Seq.fill(300)((r.nextInt(80).toLong, r.nextInt(80).toLong))
+      .filter(e => e._1 != e._2)
+      .map(e => (math.max(e._1, e._2), math.min(e._1, e._2)))
+    val clique = for (i <- 1L to 30L; j <- (i + 1) to 30L) yield (j, i)
+    for ((edges, parts) <- Seq((random, 7), (clique.toSeq, 5), (random, 1))) {
+      val df = edges.toDF("a", "b").repartition(parts)
+      val contracted = DupClusters.localContract(df)
+        .as[(Long, Long)].collect().toSeq
+      assert(unionFind(contracted) == unionFind(edges),
+        s"contraction changed components (parts=$parts)")
+      contracted.foreach { case (a, b) =>
+        assert(a > b, s"star edge ($a,$b) lost the a>b orientation")
+      }
+      // per-partition bound: k_p distinct nodes in c_p components over
+      // m_p edge ROWS (dups included) emit k_p − c_p ≤ m_p star edges,
+      // so the total never exceeds the raw input rows (a node split
+      // across partitions is re-listed per partition, so the DISTINCT
+      // edge count is not the bound)
+      assert(contracted.size <= edges.size,
+        "contraction must never grow past the input edge rows")
+    }
+    // density: a clique resident in ONE partition collapses to its star
+    // forest (k-1 edges from k(k-1)/2) before anything shuffles
+    val one = DupClusters.localContract(clique.toDF("a", "b").coalesce(1))
+      .as[(Long, Long)].collect()
+    assert(one.length == 29, s"clique in one partition: ${one.length} edges, want 29")
+    assert(one.forall(_._2 == 1L), "clique star must center on the min id")
+  }
+
   test("empty edge set yields all-singleton clusters") {
     import spark.implicits._
     val got = DupClusters.starContract(Seq.empty[(Long, Long)].toDF("a", "b"))
