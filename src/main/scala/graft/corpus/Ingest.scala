@@ -24,9 +24,44 @@ object Ingest {
     StructField("lang", StringType, nullable = false),
     StructField("content", StringType, nullable = false)))
 
-  /** Read a snapshot dir; validate required columns exist. */
-  def read(spark: SparkSession, dir: String): DataFrame = {
-    val df = spark.read.parquet(dir)
+  /** Optional columns a snapshot MAY carry beyond the hint schema: a
+    * pre-assigned id, the sha256 ingest-invariant echo, and the recency
+    * timestamp. Enforced-schema reads (json/csv below) must name them
+    * or the scan would silently drop them. */
+  val optionalFields: Seq[StructField] = Seq(
+    StructField("doc_id", LongType, nullable = true),
+    StructField("content_sha256", StringType, nullable = true),
+    StructField("ingest_ts", LongType, nullable = true))
+
+  /** Read a snapshot dir; validate required columns exist.
+    *
+    * `format`: "parquet" (default — the Iceberg-snapshot seam above);
+    * "json" reads JSONL, the crawl-dump interchange format; "csv"
+    * expects a header row. Non-parquet formats get the hint schema
+    * (plus [[optionalFields]]) ENFORCED at the scan — schema inference
+    * would be a full extra pass over the corpus, and a 100 TB JSONL
+    * drop with one malformed shard must fail loudly per row
+    * (PERMISSIVE nulls on required columns are rejected by the
+    * null-content filter downstream) rather than re-type a column.
+    * Everything downstream sees only the DataFrame, so formats are
+    * interchangeable per snapshot. */
+  def read(spark: SparkSession, dir: String,
+           format: String = "parquet"): DataFrame = {
+    val df = format match {
+      case "parquet" => spark.read.parquet(dir)
+      case "json" =>
+        spark.read.schema(StructType(schema ++ optionalFields)).json(dir)
+      case "csv" =>
+        // multiLine: source-code content embeds newlines, which arrive
+        // quoted — without it every such row shears apart. The price is
+        // per-FILE parallelism (a multiLine csv file is unsplittable),
+        // so csv is the compat path, not the scale path.
+        spark.read.option("header", "true").option("multiLine", "true")
+          .schema(StructType(schema ++ optionalFields)).csv(dir)
+      case other =>
+        throw new IllegalArgumentException(
+          s"unsupported corpus format: $other (parquet | json | csv)")
+    }
     val missing = schema.fieldNames.filterNot(df.columns.contains)
     require(missing.isEmpty, s"corpus at $dir missing columns: ${missing.mkString(",")}")
     df

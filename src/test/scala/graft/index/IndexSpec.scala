@@ -342,6 +342,37 @@ class IndexSpec extends SparkSpec {
       graft.corpus.Ingest.read(spark, bad))
   }
 
+  test("ingest reads JSONL and CSV snapshots interchangeably with parquet (enforced schema, invariant columns kept)") {
+    val cols = Seq("repo", "path", "commit", "lang", "content",
+      "doc_id", "content_sha256", "ingest_ts")
+    val src = spark.read.parquet(corpusDir).select(cols.head, cols.tail: _*)
+    val jd = tmpDir("graft-corpus-jsonl")
+    val cd = tmpDir("graft-corpus-csv")
+    src.write.mode("overwrite").json(jd)
+    // lossless csv producer config: Spark's csv WRITER trims leading/
+    // trailing field whitespace by default (ignore*WhiteSpace default
+    // true for writing only), which mangles code content — the sha
+    // invariant below is what catches such a lossy producer in prod
+    src.write.mode("overwrite").option("header", "true")
+      .option("ignoreLeadingWhiteSpace", "false")
+      .option("ignoreTrailingWhiteSpace", "false").csv(cd)
+    for ((dir, fmt) <- Seq((jd, "json"), (cd, "csv"))) {
+      val back = graft.corpus.Ingest.read(spark, dir, fmt)
+      assert(back.columns.toSet == cols.toSet, s"$fmt column drift")
+      // content survives byte-exact (sha invariant transfers to any
+      // format) and nothing was dropped or duplicated
+      assert(graft.corpus.Ingest.shaViolations(back).count() == 0, fmt)
+      assert(back.count() == src.count(), fmt)
+      val a = src.select("doc_id", "content").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      back.select("doc_id", "content").collect().foreach { r =>
+        assert(a(r.getLong(0)) == r.getString(1), s"$fmt content drift")
+      }
+    }
+    assertThrows[IllegalArgumentException](
+      graft.corpus.Ingest.read(spark, jd, "avro"))
+  }
+
   test("resume: killed partitions rebuild; completed partitions are skipped byte-identically (SURVEY §5 item 6)") {
     val (idx, res) = built
     val segDir = s"$idx/segments"
