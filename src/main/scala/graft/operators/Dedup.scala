@@ -269,8 +269,49 @@ object Dedup {
       .orderBy($"doc_id")
   }
 
-  /** SimHash near-dup pairs via the 4x16-bit pigeonhole chunk join: any
-    * pair at hamming distance <= 3 must agree on >= 1 chunk. */
+  /** 64-bit simhash split for the pair join: 6 chunks (4×11 + 2×10
+    * bits) and all C(6,3)=20 three-chunk combinations as join keys. */
+  private[operators] val SimChunkOffsets = Array(0, 11, 22, 33, 44, 54)
+  private[operators] val SimChunkBits = Array(11, 11, 11, 11, 10, 10)
+  private val SimCombos: Array[(Int, Int, Int)] =
+    (for { i <- 0 until 6; j <- i + 1 until 6; k <- j + 1 until 6 }
+      yield (i, j, k)).toArray
+
+  /** The 20 packed combo keys of one fingerprint (shared by the join
+    * and the scheme's property test). */
+  private[operators] def simKeys(fp: Long): Array[Long] = {
+    val c = Array.tabulate(6)(i =>
+      (fp >>> SimChunkOffsets(i)) & ((1L << SimChunkBits(i)) - 1))
+    Array.tabulate(SimCombos.length) { t =>
+      val (i, j, k) = SimCombos(t)
+      // pack into uniform 11-bit slots under the 5-bit table id
+      ((t * 2048L + c(i)) * 2048L + c(j)) * 2048L + c(k)
+    }
+  }
+
+  /** SimHash near-dup pairs via Manku-style multi-table keys (Manku,
+    * Jain, Das Sarma, "Detecting Near-Duplicates for Web Crawling",
+    * WWW'07 §3): hamming <= 3 flips bits in at most 3 of the 6 chunks,
+    * so at least one of the 20 three-chunk combinations is intact in
+    * BOTH fingerprints — candidates equi-join on the packed
+    * (combo, chunk_i, chunk_j, chunk_k) key, then verify exact hamming.
+    *
+    * Why not the simpler 4×16-bit single-chunk pigeonhole (the previous
+    * form): its per-key population is corpus/2^16 — at 10^12 docs a hot
+    * 16-bit chunk value (e.g. the all-zeros chunk of short docs) holds
+    * millions of members and the self-join enumerates its pairs
+    * quadratically, the exact q12-class skew hazard. A chunk-value cap
+    * is NOT available here: unlike q12's full-band collisions, one
+    * matching chunk is no evidence of near-duplication, so capped
+    * members couldn't be star-linked without wrecking precision, and
+    * dropping them wrecks the recall GUARANTEE. Longer keys dissolve
+    * the problem instead: ~37-bit keys put corpus/2^33 docs in a
+    * bucket (~hundreds at 10^12), at the price of 20 key rows per doc
+    * vs 4 — linear replication traded for the removal of a quadratic
+    * tail. The hamming <= 3 guarantee is exactly the 6-choose-3 design;
+    * a larger radius needs more chunks (C(h+3, 3) tables), which is why
+    * `maxHamming` beyond 3 only FILTERS more loosely without extending
+    * the recall guarantee. */
   def simhashPairs(spark: SparkSession, dir: String,
                    maxHamming: Int = 3): DataFrame = {
     import spark.implicits._
@@ -278,11 +319,11 @@ object Dedup {
       .select($"doc_id".cast("long"), $"text").as[(Long, String)]
       .map { case (id, text) => (id, Fingerprints.simhash(text)) }
       .toDF("doc_id", "fp")
-    val chunks = fps.as[(Long, Long)].flatMap { case (id, fp) =>
-      (0 until 4).map(c => (c.toLong << 16 | ((fp >>> (c * 16)) & 0xFFFFL), id, fp))
-    }.toDF("chunk", "doc_id", "fp")
-    chunks.as("a").join(chunks.as("b"),
-        $"a.chunk" === $"b.chunk" && $"a.doc_id" < $"b.doc_id")
+    val keys = fps.as[(Long, Long)].flatMap { case (id, fp) =>
+      simKeys(fp).iterator.map(k => (k, id, fp))
+    }.toDF("k", "doc_id", "fp")
+    keys.as("a").join(keys.as("b"),
+        $"a.k" === $"b.k" && $"a.doc_id" < $"b.doc_id")
       .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"),
         $"a.fp".as("fa"), $"b.fp".as("fb"))
       .distinct()

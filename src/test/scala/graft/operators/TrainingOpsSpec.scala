@@ -68,6 +68,30 @@ class TrainingOpsSpec extends SparkSpec {
     assert(truth.nonEmpty, "planted dups should land within hamming 3")
   }
 
+  test("simhash 6-choose-3 key scheme: chunks tile 64 bits; collision GUARANTEED at hamming<=3") {
+    // the chunk split must cover [0,64) exactly once — a gap or overlap
+    // silently voids the pigeonhole guarantee
+    val covered = Dedup.SimChunkOffsets.zip(Dedup.SimChunkBits)
+      .flatMap { case (o, w) => o until (o + w) }.sorted.toSeq
+    assert(covered == (0 until 64), "chunk split must tile the 64 bits")
+    // property: ANY <=3 bit flips leave >=1 of the 20 combo keys equal
+    val r = new scala.util.Random(123)
+    (1 to 2000).foreach { _ =>
+      val fp = r.nextLong()
+      val flips = r.nextInt(4) // 0..3
+      val fp2 = (1 to flips).foldLeft(fp)((f, _) => f ^ (1L << r.nextInt(64)))
+      val shared = Dedup.simKeys(fp).toSet intersect Dedup.simKeys(fp2).toSet
+      assert(shared.nonEmpty,
+        f"no shared key at hamming<=3: fp=$fp%016x fp2=$fp2%016x")
+    }
+    // adversarial worst case: exactly 3 flips in 3 DIFFERENT chunks —
+    // only the one untouched-triple combo survives
+    val fp = 0x0123456789abcdefL
+    val fp3 = fp ^ (1L << 0) ^ (1L << 11) ^ (1L << 22) // chunks 0,1,2
+    val shared = Dedup.simKeys(fp).toSet intersect Dedup.simKeys(fp3).toSet
+    assert(shared.size == 1, s"want exactly the (3,4,5) combo, got $shared")
+  }
+
   test("q16 LSH ANN re-ranks candidates with exact cosine and overlaps brute force") {
     val dir = "/root/testdata/sf0.001"
     val brute = Similarity.annBruteForce(spark, dir).collect()
