@@ -68,6 +68,10 @@ object SparkEntry {
     "q34_ann_ivfpq" -> ((s, d) => Similarity.annIvfPq(s, d)),
     // Exact-substring duplicated-span coverage (Lee et al. 2022 shape)
     "q35_dup_spans" -> ((s, d) => Dedup.dupSpans(s, d)),
+    // Nearest-centroid assignment (bulk labeling / IVF coarse step)
+    "q36_centroid_assign" -> ((s, d) => Similarity.centroidAssign(s, d)),
+    // CCNet head/middle/tail tercile selection over the q33 scores
+    "q37_ccnet_select" -> ((s, d) => LmScore.noveltySelect(s, d)),
   )
 
   /** DuckDB equivalents, same column names + total ORDER BY. */
@@ -103,5 +107,7 @@ object SparkEntry {
     "q32_dup_clusters" -> DupClusters.clustersSql,
     "q33_trigram_novelty" -> LmScore.trigramNoveltySql,
     "q35_dup_spans" -> Dedup.dupSpansSql,
+    "q36_centroid_assign" -> Similarity.centroidAssignSql,
+    "q37_ccnet_select" -> LmScore.noveltySelectSql,
   )
 }

@@ -70,6 +70,100 @@ object LmScore {
       .orderBy($"doc_id")
   }
 
+  /** q37: CCNet-style head/middle/tail selection — bucket the corpus by
+    * its reference-model score terciles, then keep each bucket at its
+    * own deterministic rate (head 1.0 / middle 0.5 / tail 0.25 — the
+    * CCNet recipe keeps the reference-like head and progressively
+    * drops the unfamiliar tail; the MECHANISM is the point, as with
+    * q30's mixing rates).
+    *
+    * Scale shape — the published CCNet pipeline GLOBALLY SORTS the
+    * corpus by perplexity to find tercile boundaries; this never sorts
+    * the corpus. The q33 scores are already rounded to 4 decimals, so
+    * a `groupBy(score)` HISTOGRAM has <= 10^4 rows at ANY corpus size
+    * (partial-agg, one tiny shuffle); the tercile thresholds fall out
+    * of the driver-side cumulative scan of that histogram (vocab-bound
+    * collect, same discipline as the IVF codebook) and the final
+    * bucket+keep decision is a pure map-only function of the row —
+    * q30's md5 predicate, so the selection is reproducible across
+    * engines, runs, and cluster sizes. Thresholds use ceil(k*n/3)
+    * integer arithmetic: exact in both engines, no float percentile.
+    *
+    * Bucket rule (coverage = fraction of trigrams the reference model
+    * knows): tail = lowest tercile (coverage <= t1), middle =
+    * (t1, t2], head = rest; t_k = smallest score whose cumulative doc
+    * count reaches ceil(k*n/3). Rounded-score ties all land in one
+    * histogram row, so bucket membership is exact and deterministic. */
+  def noveltySelect(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val scores = trigramNovelty(spark, dir).select($"doc_id", $"coverage")
+    val hist = scores.groupBy($"coverage")
+      .agg(count(lit(1)).as("nc"))
+      .orderBy($"coverage")
+      .collect().map(r => (r.getDouble(0), r.getLong(1)))
+    val n = hist.map(_._2).sum
+    val (c1, c2) = ((n + 2) / 3, (2 * n + 2) / 3)
+    var cum = 0L
+    var t1 = Double.NaN; var t2 = Double.NaN
+    hist.foreach { case (cov, nc) =>
+      cum += nc
+      if (t1.isNaN && cum >= c1) t1 = cov
+      if (t2.isNaN && cum >= c2) t2 = cov
+    }
+    val bucket = when($"coverage" <= t1, "tail")
+      .when($"coverage" <= t2, "middle")
+      .otherwise("head")
+    val u = substring(
+      md5(concat(lit("graft-ccnet-"), $"doc_id".cast("string"))), 1, 8)
+    scores
+      .select($"doc_id", $"coverage", bucket.as("bucket"), u.as("u_hex"))
+      .filter($"bucket" === "head" ||
+        ($"bucket" === "middle" && $"u_hex" < "80000000") ||
+        ($"bucket" === "tail" && $"u_hex" < "40000000"))
+      .orderBy($"doc_id")
+  }
+
+  /** Oracle mirror of [[noveltySelect]]: same trigram scores (the q33
+    * CTE), thresholds from the same integer-exact cumulative histogram
+    * (window sum over the tiny score-group table — fine in SQL at
+    * oracle scale), same md5 keep predicate. */
+  val noveltySelectSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t <> '') AS arr
+       |  FROM documents),
+       |stream AS (
+       |  SELECT doc_id,
+       |    unnest(list_transform(range(1, len(arr) - 1),
+       |      i -> arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2])) AS tg
+       |  FROM toks WHERE len(arr) >= 3),
+       |model AS (
+       |  SELECT tg, count(*) AS mc FROM stream WHERE doc_id % $RefMod = 0 GROUP BY tg),
+       |scores AS (
+       |  SELECT s.doc_id AS doc_id,
+       |    round(sum(CASE WHEN m.mc IS NOT NULL THEN 1 ELSE 0 END) / count(*), 4) AS coverage
+       |  FROM stream s LEFT JOIN model m ON s.tg = m.tg
+       |  GROUP BY s.doc_id),
+       |hist AS (SELECT coverage, count(*) AS nc FROM scores GROUP BY coverage),
+       |cum AS (
+       |  SELECT coverage, sum(nc) OVER (ORDER BY coverage) AS cm FROM hist),
+       |tot AS (SELECT count(*) AS n FROM scores),
+       |thr AS (
+       |  SELECT
+       |    (SELECT min(coverage) FROM cum, tot WHERE cm >= (n + 2) // 3) AS t1,
+       |    (SELECT min(coverage) FROM cum, tot WHERE cm >= (2 * n + 2) // 3) AS t2),
+       |sel AS (
+       |  SELECT s.doc_id, s.coverage,
+       |    CASE WHEN s.coverage <= thr.t1 THEN 'tail'
+       |         WHEN s.coverage <= thr.t2 THEN 'middle'
+       |         ELSE 'head' END AS bucket,
+       |    substr(md5('graft-ccnet-' || CAST(s.doc_id AS VARCHAR)), 1, 8) AS u_hex
+       |  FROM scores s, thr)
+       |SELECT doc_id, coverage, bucket, u_hex FROM sel
+       |WHERE bucket = 'head'
+       |   OR (bucket = 'middle' AND u_hex < '80000000')
+       |   OR (bucket = 'tail' AND u_hex < '40000000')
+       |ORDER BY doc_id""".stripMargin
+
   val trigramNoveltySql: String =
     s"""WITH toks AS (
        |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t <> '') AS arr

@@ -638,4 +638,77 @@ object Similarity {
       .orderBy($"cos".desc, $"vec_id")
       .limit(K)
   }
+
+  /** q36: nearest-centroid assignment — classify every vector to its
+    * closest label centroid (cosine), the bulk-labeling / topic-routing
+    * step a training pipeline runs after clustering (and exactly the
+    * IVF coarse-assignment reused as a USER-facing operator: q23
+    * computes the centroids, this assigns the corpus to them).
+    *
+    * Scale shape: the centroid matrix is labels x dim — vocab-bound
+    * (collected like the IVF codebook, trivially broadcastable at any
+    * corpus size), so scoring is MAP-ONLY: the per-label cosines are a
+    * static unroll of the native codegen'd [[graft.functions.CosineSimilarity]]
+    * against literal arrays, and the argmax is one `greatest` over
+    * (cos, -label) structs — no explode, no per-label row replication,
+    * no shuffle (a naive crossJoin+groupBy ships n*labels rows through
+    * an exchange; this ships zero). Centroids are float-quantized
+    * before scoring so the DuckDB oracle (double avg -> FLOAT[] cast)
+    * sees bit-identical inputs; ties break to the smallest label via
+    * the negated-label struct field. */
+  def centroidAssign(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+    // labels x dim doubles — tiny by construction (label cardinality),
+    // same driver-resident-codebook pattern as trainIvf
+    val centRows = e
+      .select($"label", posexplode($"embedding").as(Seq("pos", "v")))
+      .groupBy($"label", $"pos").agg(avg($"v".cast("double")).as("c"))
+      .collect()
+    val cents: Array[(Int, Array[Float])] = centRows
+      .groupBy(_.getInt(0)).toArray
+      .map { case (l, rs) =>
+        l -> rs.sortBy(_.getInt(1)).map(_.getDouble(2).toFloat)
+      }.sortBy(_._1)
+    val scored = cents.map { case (l, c) =>
+      struct(
+        round(graft.functions.CosineSimilarity.cosine(
+          $"embedding", typedLit(c)), 4).as("cos"),
+        lit(-l).as("neg"))
+    }
+    val best = if (scored.length == 1) scored.head else greatest(scored: _*)
+    e.select($"vec_id", best.as("b"))
+      .select($"vec_id", (-$"b.neg").as("assigned_label"), $"b.cos".as("cos"))
+      .orderBy($"vec_id")
+  }
+
+  /** Oracle mirror of [[centroidAssign]]: double-avg centroids are
+    * FLOAT-quantized (matching the Spark side's literal float arrays)
+    * then widened back to DOUBLE[] for DuckDB's list_cosine_similarity
+    * (float32 on FLOAT lists, double on DOUBLE lists — q15's proven
+    * parity recipe); argmax = row_number over (cos DESC, label). */
+  val centroidAssignSql: String =
+    """WITH comp AS (
+      |  SELECT label, unnest(range(1, len(embedding)+1)) AS pos,
+      |         unnest(embedding) AS v
+      |  FROM embeddings),
+      |cent AS (
+      |  SELECT label, pos, avg(CAST(v AS DOUBLE)) AS c
+      |  FROM comp GROUP BY label, pos),
+      |cvec AS (
+      |  SELECT label,
+      |         CAST(CAST(list(c ORDER BY pos) AS FLOAT[]) AS DOUBLE[]) AS cv
+      |  FROM cent GROUP BY label),
+      |scored AS (
+      |  SELECT e.vec_id AS vec_id, cv.label AS label,
+      |         round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), cv.cv), 4) AS cos
+      |  FROM embeddings e CROSS JOIN cvec cv),
+      |ranked AS (
+      |  SELECT vec_id, label, cos,
+      |         row_number() OVER (PARTITION BY vec_id
+      |                            ORDER BY cos DESC, label) AS rn
+      |  FROM scored)
+      |SELECT vec_id, label AS assigned_label, cos
+      |FROM ranked WHERE rn = 1
+      |ORDER BY vec_id""".stripMargin
 }

@@ -66,4 +66,45 @@ class LmScoreSpec extends SparkSpec {
     assert(out.exists { case (id, _, _, cov, _) => id % LmScore.RefMod != 0 && cov < 1.0 },
       "fixture gives no separation — every doc fully covered")
   }
+
+  test("q37 ccnet selection == independent sort-based terciles + md5 keep predicate") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val scores = LmScore.trigramNovelty(spark, dir)
+      .select($"doc_id", $"coverage").as[(Long, Double)].collect()
+    // independent threshold formulation: FULL SORT of the per-doc
+    // scores (the operator uses the histogram-cumulative form precisely
+    // to avoid this sort at scale; at test scale the sort IS the oracle)
+    val sorted = scores.map(_._2).sorted
+    val n = sorted.length
+    val t1 = sorted(((n + 2) / 3 - 1).toInt)
+    val t2 = sorted(((2 * n + 2) / 3 - 1).toInt)
+    assert(t1 <= t2)
+    def uHex(id: Long): String = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"graft-ccnet-$id".getBytes("UTF-8"))
+      d.take(4).map(b => f"${b & 0xff}%02x").mkString
+    }
+    val expected = scores.flatMap { case (id, cov) =>
+      val bucket =
+        if (cov <= t1) "tail" else if (cov <= t2) "middle" else "head"
+      val keep = bucket match {
+        case "head"   => true
+        case "middle" => uHex(id) < "80000000"
+        case "tail"   => uHex(id) < "40000000"
+      }
+      if (keep) Some(id -> bucket) else None
+    }.toMap
+    val got = LmScore.noveltySelect(spark, dir)
+      .select($"doc_id", $"bucket").as[(Long, String)].collect().toMap
+    assert(got == expected,
+      s"selection mismatch: extra=${got.toSet.diff(expected.toSet)} " +
+        s"missing=${expected.toSet.diff(got.toSet)}")
+    // all three buckets must be populated for the test to mean anything
+    assert(got.values.toSet == Set("head", "middle", "tail"),
+      s"fixture exercises ${got.values.toSet} only")
+    // tercile bound: the tail holds at least ceil(n/3) of the CORPUS
+    val tailAll = scores.count(_._2 <= t1)
+    assert(tailAll >= (n + 2) / 3)
+  }
 }

@@ -558,4 +558,47 @@ class TrainingOpsSpec extends SparkSpec {
     assert(rows.nonEmpty && cum > Assembly.PackCtx,
       "fixture too small to exercise multiple bins")
   }
+
+  test("q36 centroid assignment == brute force; scoring plan is join-free and agg-free") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val out = Similarity.centroidAssign(spark, dir)
+    // scale gate: the scoring stage must not replicate rows per label
+    // (no join) and must not re-aggregate (centroids are precollected) —
+    // the only exchange is the oracle ORDER BY
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"row-replicating join in scoring:\n$plan")
+    assert(!plan.contains("Aggregate"), s"aggregation in scoring:\n$plan")
+    val got = out.as[(Long, Int, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    // brute force: double-avg centroids, float-quantized (the operator's
+    // documented contract), cosine with float->double widening, argmax
+    // with smallest-label tiebreak
+    val vecs = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select($"vec_id".cast("long"), $"label", $"embedding")
+      .as[(Long, Int, Array[Float])].collect()
+    val cents: Map[Int, Array[Float]] = vecs.groupBy(_._2).map { case (l, vs) =>
+      val dim = vs.head._3.length
+      val m = new Array[Double](dim)
+      vs.foreach(v => (0 until dim).foreach(i => m(i) += v._3(i).toDouble))
+      l -> m.map(x => (x / vs.length).toFloat)
+    }
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      a.indices.foreach { i =>
+        val x = a(i).toDouble; val y = b(i).toDouble
+        d += x * y; na += x * x; nb += y * y
+      }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    vecs.foreach { case (id, _, emb) =>
+      val (bl, bc) = cents.toSeq
+        .map { case (l, c) => (l, cos(emb, c)) }
+        .minBy { case (l, c) => (-c, l) }
+      val (gl, gc) = got(id)
+      assert(gl == bl, s"vec $id: assigned $gl, brute force says $bl")
+      assert(math.abs(gc - bc) < 5e-5, s"vec $id: cos $gc vs $bc")
+    }
+    assert(got.size == vecs.length)
+  }
 }
