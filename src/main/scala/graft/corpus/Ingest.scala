@@ -33,31 +33,82 @@ object Ingest {
     StructField("content_sha256", StringType, nullable = true),
     StructField("ingest_ts", LongType, nullable = true))
 
+  /** First data line of the first non-hidden file under `dir` — the
+    * driver-side O(one record) peek that decides which OPTIONAL columns
+    * a json/csv snapshot actually carries (reading them untested would
+    * materialize all-null doc_id/ingest_ts columns that defeat every
+    * downstream presence check and crash the non-nullable decodes).
+    * Crawl dumps are column-homogeneous, so the first record decides
+    * for the snapshot (documented contract). */
+  private def firstLine(spark: SparkSession, dir: String): Option[String] = {
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(path)) return None
+    val it = fs.listFiles(path, true)
+    var first: Option[org.apache.hadoop.fs.Path] = None
+    while (it.hasNext && first.isEmpty) {
+      val st = it.next()
+      val n = st.getPath.getName
+      if (st.isFile && st.getLen > 0 && !n.startsWith("_") && !n.startsWith("."))
+        first = Some(st.getPath)
+    }
+    first.flatMap { p =>
+      val in = fs.open(p)
+      try {
+        val br = new java.io.BufferedReader(new java.io.InputStreamReader(
+          in, java.nio.charset.StandardCharsets.UTF_8))
+        Option(br.readLine())
+      } finally in.close()
+    }
+  }
+
   /** Read a snapshot dir; validate required columns exist.
     *
     * `format`: "parquet" (default — the Iceberg-snapshot seam above);
     * "json" reads JSONL, the crawl-dump interchange format; "csv"
     * expects a header row. Non-parquet formats get the hint schema
-    * (plus [[optionalFields]]) ENFORCED at the scan — schema inference
-    * would be a full extra pass over the corpus, and a 100 TB JSONL
-    * drop with one malformed shard must fail loudly per row
-    * (PERMISSIVE nulls on required columns are rejected by the
-    * null-content filter downstream) rather than re-type a column.
-    * Everything downstream sees only the DataFrame, so formats are
-    * interchangeable per snapshot. */
+    * ENFORCED at the scan — schema inference would be a full extra
+    * pass over the corpus — plus whichever [[optionalFields]] the
+    * snapshot's first record actually carries (a one-record driver
+    * peek; enforcing absent optionals would read back all-null columns
+    * that silently disable withDocId/ingest_ts derivation downstream).
+    * Reads run FAILFAST: one malformed line in a 100 TB drop aborts
+    * with the offending record named, instead of PERMISSIVE-nulling a
+    * row into the index. CSV headers are validated against the schema
+    * (enforceSchema=false + schema built in header order), so a
+    * reordered or unknown column fails loudly rather than mis-assigning
+    * fields positionally. Everything downstream sees only the
+    * DataFrame, so formats are interchangeable per snapshot. */
   def read(spark: SparkSession, dir: String,
            format: String = "parquet"): DataFrame = {
     val df = format match {
       case "parquet" => spark.read.parquet(dir)
       case "json" =>
-        spark.read.schema(StructType(schema ++ optionalFields)).json(dir)
+        val keys: Set[String] = firstLine(spark, dir).map { line =>
+          val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(line)
+          val it = node.fieldNames()
+          val b = Set.newBuilder[String]
+          while (it.hasNext) b += it.next()
+          b.result()
+        }.getOrElse(Set.empty)
+        val present = optionalFields.filter(f => keys.contains(f.name))
+        spark.read.option("mode", "FAILFAST")
+          .schema(StructType(schema ++ present)).json(dir)
       case "csv" =>
         // multiLine: source-code content embeds newlines, which arrive
         // quoted — without it every such row shears apart. The price is
         // per-FILE parallelism (a multiLine csv file is unsplittable),
         // so csv is the compat path, not the scale path.
+        val header = firstLine(spark, dir).getOrElse(
+          throw new IllegalArgumentException(s"csv corpus at $dir has no header"))
+        val names = header.split(",").map(_.trim.stripPrefix("\"").stripSuffix("\""))
+        val byName = (schema ++ optionalFields).map(f => f.name -> f).toMap
+        val unknown = names.filterNot(byName.contains)
+        require(unknown.isEmpty,
+          s"csv corpus at $dir has unknown columns: ${unknown.mkString(",")}")
         spark.read.option("header", "true").option("multiLine", "true")
-          .schema(StructType(schema ++ optionalFields)).csv(dir)
+          .option("enforceSchema", "false").option("mode", "FAILFAST")
+          .schema(StructType(names.map(byName).toSeq)).csv(dir)
       case other =>
         throw new IllegalArgumentException(
           s"unsupported corpus format: $other (parquet | json | csv)")

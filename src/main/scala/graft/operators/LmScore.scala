@@ -96,7 +96,14 @@ object LmScore {
     * histogram row, so bucket membership is exact and deterministic. */
   def noveltySelect(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val scores = trigramNovelty(spark, dir).select($"doc_id", $"coverage")
+    // localCheckpoint: the q33 scoring pipeline (model build + trigram
+    // join, itself two corpus tokenizations) runs ONCE — the histogram
+    // collect below and the returned selection both read the
+    // materialized (long, double) rows, doc-count-sized not
+    // corpus-text-sized, executor-lifecycle-managed (same pattern as
+    // DupClusters' round checkpoints)
+    val scores = trigramNovelty(spark, dir)
+      .select($"doc_id", $"coverage").localCheckpoint()
     val hist = scores.groupBy($"coverage")
       .agg(count(lit(1)).as("nc"))
       .orderBy($"coverage")

@@ -110,13 +110,20 @@ object Similarity {
   /** q23: per-label embedding centroids (the IVF coarse-quantizer step:
     * centroid per cluster, here per given label) — posexplode + two hash
     * aggs; component averages are the classic array-column aggregation. */
+  /** (label, pos, c): per-label component means — the centroid rows
+    * shared by q23 (norms) and q36 (assignment). */
+  private def labelCentroidRows(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    spark.read.parquet(s"$dir/embeddings.parquet")
+      .select($"label", posexplode($"embedding").as(Seq("pos", "v")))
+      .groupBy($"label", $"pos")
+      .agg(avg($"v".cast("double")).as("c"))
+  }
+
   def labelCentroids(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val e = spark.read.parquet(s"$dir/embeddings.parquet")
-    val comp = e.select($"label",
-      posexplode($"embedding").as(Seq("pos", "v")))
-    val cent = comp.groupBy($"label", $"pos")
-      .agg(avg($"v".cast("double")).as("c"))
+    val cent = labelCentroidRows(spark, dir)
     val norms = cent.groupBy($"label")
       .agg(round(sqrt(sum($"c" * $"c")), 4).as("centroid_norm"))
     val counts = e.groupBy($"label").agg(count(lit(1)).as("n_vecs"))
@@ -661,15 +668,17 @@ object Similarity {
     val e = spark.read.parquet(s"$dir/embeddings.parquet")
     // labels x dim doubles — tiny by construction (label cardinality),
     // same driver-resident-codebook pattern as trainIvf
-    val centRows = e
-      .select($"label", posexplode($"embedding").as(Seq("pos", "v")))
-      .groupBy($"label", $"pos").agg(avg($"v".cast("double")).as("c"))
+    val cents: Array[(Int, Array[Float])] = labelCentroidRows(spark, dir)
       .collect()
-    val cents: Array[(Int, Array[Float])] = centRows
       .groupBy(_.getInt(0)).toArray
       .map { case (l, rs) =>
         l -> rs.sortBy(_.getInt(1)).map(_.getDouble(2).toFloat)
       }.sortBy(_._1)
+    if (cents.isEmpty)
+      // empty table → empty assignment (the oracle's answer), not a
+      // zero-arg greatest() analysis error
+      return e.select($"vec_id", lit(0).as("assigned_label"),
+        lit(0.0).as("cos")).limit(0)
     val scored = cents.map { case (l, c) =>
       struct(
         round(graft.functions.CosineSimilarity.cosine(

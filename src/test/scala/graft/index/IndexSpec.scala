@@ -373,6 +373,53 @@ class IndexSpec extends SparkSpec {
       graft.corpus.Ingest.read(spark, jd, "avro"))
   }
 
+  test("ingest: absent optional columns stay absent; reordered csv headers bind by name; malformed JSONL fails loudly") {
+    val required = Seq("repo", "path", "commit", "lang", "content")
+    val src = spark.read.parquet(corpusDir)
+    // 1. JSONL carrying ONLY the hint columns must NOT read back
+    // all-null doc_id/sha/ts columns (they'd defeat withDocId's
+    // presence check and crash non-nullable decodes downstream)
+    val bare = tmpDir("graft-corpus-bare")
+    src.select(required.head, required.tail: _*)
+      .write.mode("overwrite").json(bare)
+    val back = graft.corpus.Ingest.read(spark, bare, "json")
+    assert(back.columns.toSet == required.toSet,
+      s"phantom optional columns: ${back.columns.mkString(",")}")
+    val withIds = graft.corpus.Ingest.withDocId(back)
+    assert(withIds.filter(withIds("doc_id").isNull).count() == 0,
+      "derived doc_id must be non-null")
+    // 2. csv with columns in a DIFFERENT order than the hint schema
+    // must bind by header name, not position
+    val reord = tmpDir("graft-corpus-reord")
+    val shuffled = Seq("content", "doc_id", "repo", "lang", "path",
+      "commit", "content_sha256", "ingest_ts")
+    src.select(shuffled.head, shuffled.tail: _*)
+      .write.mode("overwrite").option("header", "true")
+      .option("ignoreLeadingWhiteSpace", "false")
+      .option("ignoreTrailingWhiteSpace", "false").csv(reord)
+    val rback = graft.corpus.Ingest.read(spark, reord, "csv")
+    assert(graft.corpus.Ingest.shaViolations(rback).count() == 0,
+      "reordered csv mis-assigned columns")
+    assert(rback.count() == src.count())
+    // 3. a malformed JSONL line aborts the read (FAILFAST), instead of
+    // PERMISSIVE-nulling a row into the index
+    val badj = tmpDir("graft-corpus-badjson")
+    val p = java.nio.file.Paths.get(badj, "part-00000.json")
+    java.nio.file.Files.createDirectories(p.getParent)
+    java.nio.file.Files.write(p, java.util.Arrays.asList(
+      """{"repo":"r","path":"p","commit":"c","lang":"l","content":"x"}""",
+      """{"repo":"r","path":"p2","commit":"c","lang":"l","content": TRUNC"""),
+      java.nio.charset.StandardCharsets.UTF_8)
+    val ex = intercept[Exception] {
+      graft.corpus.Ingest.read(spark, badj, "json").count()
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(ex).exists(c =>
+      c.getMessage != null && (c.getMessage.contains("Malformed") ||
+        c.getMessage.contains("FAILFAST"))), s"wrong failure: $ex")
+  }
+
   test("resume: killed partitions rebuild; completed partitions are skipped byte-identically (SURVEY §5 item 6)") {
     val (idx, res) = built
     val segDir = s"$idx/segments"
