@@ -72,6 +72,8 @@ object SparkEntry {
     "q36_centroid_assign" -> ((s, d) => Similarity.centroidAssign(s, d)),
     // CCNet head/middle/tail tercile selection over the q33 scores
     "q37_ccnet_select" -> ((s, d) => LmScore.noveltySelect(s, d)),
+    // Token-budget selection: hash-ordered prefix-sum cut
+    "q38_token_budget" -> ((s, d) => Assembly.tokenBudget(s, d)),
   )
 
   /** DuckDB equivalents, same column names + total ORDER BY. */
@@ -109,5 +111,6 @@ object SparkEntry {
     "q35_dup_spans" -> Dedup.dupSpansSql,
     "q36_centroid_assign" -> Similarity.centroidAssignSql,
     "q37_ccnet_select" -> LmScore.noveltySelectSql,
+    "q38_token_budget" -> Assembly.tokenBudgetSql,
   )
 }

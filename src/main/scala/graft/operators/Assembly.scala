@@ -136,6 +136,75 @@ object Assembly {
       .orderBy($"doc_id")
   }
 
+  /** q38: token-budget corpus selection — "give me exactly B pieces,
+    * reproducibly": documents are ranked in a deterministic pseudo-random
+    * order (md5 of the row, like q30 — append-stable, engine/cluster
+    * independent) and kept while the running piece total stays under the
+    * budget (here ceil(total/4), integer-exact in both engines). The
+    * last kept doc may straddle the budget; the cut is on the running
+    * sum BEFORE the doc, the convention that never emits a partial doc.
+    *
+    * Scale shape — the naive form is a GLOBAL window over the hash
+    * order (single-partition funnel); this is q31's two-level scan
+    * transposed to hash order: the bucket key is a LEADING HEX PREFIX
+    * of the hash (prefix order == hash order, md5 uniformity keeps
+    * buckets balanced at ~sqrt(n) rows), per-bucket sums make a
+    * ~sqrt(n)-row ledger, the running sum runs over the ledger only,
+    * and within-bucket windows are bounded. Reads only
+    * (doc_id, n_chars) — `text` never scans. */
+  def tokenBudget(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val raw = spark.read.parquet(s"$dir/documents.parquet")
+    val n = math.max(1L, raw.count())
+    // hex-prefix length m: 16^m buckets ~ sqrt(n) (m>=1, <=8)
+    val m = math.min(8, math.max(1,
+      math.round(math.log(math.sqrt(n.toDouble)) / math.log(16.0)).toInt))
+    val docs = raw.select(
+      $"doc_id",
+      ceil($"n_chars" / 4.0).cast("long").as("n_pieces"),
+      substring(md5(concat(lit("graft-budget-"), $"doc_id".cast("string"))),
+        1, 8).as("u_hex"))
+      .withColumn("bucket", substring($"u_hex", 1, m))
+    val ledger = docs.groupBy($"bucket")
+      .agg(sum($"n_pieces").as("bucket_pieces"))
+    val wLedger = Window.orderBy($"bucket")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = ledger.select($"bucket",
+      coalesce(sum($"bucket_pieces").over(wLedger), lit(0L)).as("bucket_off"))
+    // budget from the LEDGER (16^m rows), not a second corpus pass
+    val total = ledger.agg(coalesce(sum($"bucket_pieces"), lit(0L)))
+      .head().getLong(0)
+    val budget = (total + 3) / 4
+    val wInBucket = Window.partitionBy($"bucket").orderBy($"u_hex", $"doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs
+      .join(broadcast(offsets), "bucket")
+      .select($"doc_id", $"n_pieces",
+        ($"bucket_off" +
+          coalesce(sum($"n_pieces").over(wInBucket), lit(0L))).as("cum_before"),
+        $"u_hex")
+      .filter($"cum_before" < budget)
+      .orderBy($"doc_id")
+  }
+
+  /** Oracle mirror of [[tokenBudget]]: the naive global window over the
+    * hash order (exact same math the two-level scan distributes). */
+  val tokenBudgetSql: String =
+    """WITH pieces AS (
+      |  SELECT doc_id, CAST(ceil(n_chars / 4.0) AS BIGINT) AS n_pieces,
+      |    substr(md5('graft-budget-' || CAST(doc_id AS VARCHAR)), 1, 8) AS u_hex
+      |  FROM documents),
+      |cum AS (
+      |  SELECT doc_id, n_pieces, u_hex,
+      |    CAST(COALESCE(sum(n_pieces) OVER (ORDER BY u_hex, doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+      |  FROM pieces),
+      |tot AS (SELECT (sum(n_pieces) + 3) // 4 AS budget FROM pieces)
+      |SELECT doc_id, n_pieces, cum_before, u_hex FROM cum, tot
+      |WHERE cum_before < budget
+      |ORDER BY doc_id""".stripMargin
+
   val packSequencesSql: String =
     s"""SELECT doc_id, n_pieces, start_off, CAST(floor(start_off / $PackCtx) AS BIGINT) AS bin_id
        |FROM (

@@ -260,4 +260,16 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("ReadSchema: struct<doc_id:bigint,n_chars:bigint>"),
       "scan must prune to (doc_id, n_chars) — text must not be read")
   }
+
+  test("q38 budget cut: hash-prefix-partitioned window, single-partition only on the ledger, pruned scan") {
+    val df = Assembly.tokenBudget(spark, dir)
+    val p = plan(df)
+    assert(p.contains("windowspecdefinition(bucket#"),
+      s"docs-side window lost its bucket partitioning:\n${p.take(1200)}")
+    assert("Exchange SinglePartition".r.findAllIn(p).size == 1,
+      s"unexpected single-partition exchanges:\n${p.take(1200)}")
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,n_chars:bigint>"),
+      "scan must prune to (doc_id, n_chars) — text must not be read")
+  }
 }

@@ -559,6 +559,37 @@ class TrainingOpsSpec extends SparkSpec {
       "fixture too small to exercise multiple bins")
   }
 
+  test("q38 token budget keeps exactly the hash-order prefix under ceil(total/4)") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val got = Assembly.tokenBudget(spark, dir)
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1)
+    // independent replay: naive driver-side sort by (u_hex, doc_id)
+    import org.apache.spark.sql.functions.{ceil, concat, lit, md5, substring}
+    val all = spark.read.parquet(s"$dir/documents.parquet")
+      .select($"doc_id", ceil($"n_chars" / 4.0).cast("long").as("np"),
+        substring(md5(concat(lit("graft-budget-"),
+          $"doc_id".cast("string"))), 1, 8).as("u"))
+      .as[(Long, Long, String)].collect()
+    val total = all.map(_._2).sum
+    val budget = (total + 3) / 4
+    var cum = 0L
+    val expected = all.sortBy(d => (d._3, d._1)).flatMap { case (id, np, u) =>
+      val keep = cum < budget
+      val before = cum
+      cum += np
+      if (keep) Some((id, np, before, u)) else None
+    }.sortBy(_._1)
+    assert(got.toSeq == expected.toSeq,
+      s"budget selection mismatch (got ${got.length}, want ${expected.length})")
+    // the cut is meaningful: strictly between none and all
+    assert(got.nonEmpty && got.length < all.length)
+    // the budget is reached (the straddling doc is included, so kept
+    // total >= budget; exact composition pinned by the replay above)
+    val kept = got.map(_._2).sum
+    assert(kept >= budget, s"kept $kept vs budget $budget")
+  }
+
   test("q36 centroid assignment == brute force; scoring plan is join-free and agg-free") {
     import spark.implicits._
     val dir = "/root/testdata/sf0.001"
