@@ -55,8 +55,16 @@ object Ingest {
     first.flatMap { p =>
       val in = fs.open(p)
       try {
+        // compressed snapshots (.gz/.bz2/... JSONL is common) must be
+        // decoded for the peek exactly as Spark's line reader will
+        // decode them — raw bytes would yield garbage keys and silently
+        // drop every optional column
+        val codec = new org.apache.hadoop.io.compress.CompressionCodecFactory(
+          spark.sparkContext.hadoopConfiguration).getCodec(p)
+        val stream: java.io.InputStream =
+          if (codec == null) in else codec.createInputStream(in)
         val br = new java.io.BufferedReader(new java.io.InputStreamReader(
-          in, java.nio.charset.StandardCharsets.UTF_8))
+          stream, java.nio.charset.StandardCharsets.UTF_8))
         Option(br.readLine())
       } finally in.close()
     }

@@ -401,6 +401,16 @@ class IndexSpec extends SparkSpec {
     assert(graft.corpus.Ingest.shaViolations(rback).count() == 0,
       "reordered csv mis-assigned columns")
     assert(rback.count() == src.count())
+    // 2b. the first-record peek decodes COMPRESSED snapshots the same
+    // way Spark's line reader will — raw gzip bytes would yield garbage
+    // keys and silently drop every optional column
+    val gz = tmpDir("graft-corpus-gz")
+    src.write.mode("overwrite").option("compression", "gzip").json(gz)
+    val gback = graft.corpus.Ingest.read(spark, gz, "json")
+    assert(gback.columns.toSet ==
+      (required ++ Seq("doc_id", "content_sha256", "ingest_ts")).toSet,
+      s"gz peek lost columns: ${gback.columns.mkString(",")}")
+    assert(graft.corpus.Ingest.shaViolations(gback).count() == 0, "gz")
     // 3. a malformed JSONL line aborts the read (FAILFAST), instead of
     // PERMISSIVE-nulling a row into the index
     val badj = tmpDir("graft-corpus-badjson")
