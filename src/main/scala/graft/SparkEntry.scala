@@ -74,6 +74,10 @@ object SparkEntry {
     "q37_ccnet_select" -> ((s, d) => LmScore.noveltySelect(s, d)),
     // Token-budget selection: hash-ordered prefix-sum cut
     "q38_token_budget" -> ((s, d) => Assembly.tokenBudget(s, d)),
+    // Temperature-scaled source mixing (integer-exact thresholds)
+    "q39_temp_mix" -> ((s, d) => Assembly.temperatureMix(s, d)),
+    // Leakage-safe split: train/val/test constant per dup cluster
+    "q40_leak_split" -> ((s, d) => DupClusters.leakSafeSplit(s, d)),
   )
 
   /** DuckDB equivalents, same column names + total ORDER BY. */
@@ -112,5 +116,7 @@ object SparkEntry {
     "q36_centroid_assign" -> Similarity.centroidAssignSql,
     "q37_ccnet_select" -> LmScore.noveltySelectSql,
     "q38_token_budget" -> Assembly.tokenBudgetSql,
+    "q39_temp_mix" -> Assembly.temperatureMixSql,
+    "q40_leak_split" -> DupClusters.leakSafeSplitSql,
   )
 }

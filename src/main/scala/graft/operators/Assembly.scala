@@ -188,6 +188,98 @@ object Assembly {
       .orderBy($"doc_id")
   }
 
+  /** 32-bit keep-hash space for [[temperatureMix]] thresholds. */
+  val TempHashSpace: BigInt = BigInt(1) << 32
+
+  /** Integer-exact per-source keep thresholds for [[temperatureMix]]:
+    * given the (source, total-pieces) ledger, source s's expected kept
+    * pieces are budget·q_s with q_s ∝ sqrt(w_s) (temperature T=2, the
+    * canonical multilingual-mixing α=1/T=0.5), so its per-row keep rate
+    * is min(1, budget·sqrt(w_s) / (Σ√·w_s)). All arithmetic after the
+    * one floor(sqrt(·)) is BigInt — the threshold is a pure integer
+    * function of the ledger, so Spark and the DuckDB oracle (HUGEINT)
+    * agree bit-for-bit with NO float rounding to diverge on.
+    * floor(sqrt) itself is safe cross-engine: IEEE-754 sqrt is
+    * correctly rounded (unlike pow, which is why α is 1/2 and not a
+    * knob here; a free-α variant needs a rational-exponent integer
+    * power to stay exact). Rates cap at 1 (keep-all sentinel
+    * "g0000000" sorts above every hex string, q30's trick):
+    * upsampling past 1 is an epoch-count concern, not a row filter. */
+  def temperatureThresholds(led: Seq[(String, Long)]): Seq[(String, String)] = {
+    if (led.isEmpty) return Seq.empty
+    val sqrts = led.map { case (_, w) =>
+      BigInt(math.sqrt(math.max(0L, w).toDouble).toLong)
+    }
+    val sTot = sqrts.sum
+    val budget = led.map { case (_, w) => BigInt(w) }.sum / 4
+    led.zip(sqrts).map { case ((src, w), ss) =>
+      val t =
+        if (sTot == 0 || w <= 0) BigInt(0)
+        else (TempHashSpace * ss * budget) / (sTot * BigInt(w))
+      val hex = if (t >= TempHashSpace) "g0000000" else f"${t.toLong}%08x"
+      (src, hex)
+    }
+  }
+
+  /** q39: temperature-scaled source mixing — the Pile/mC4-style
+    * re-balancing pass: sources are re-weighted q_s ∝ w_s^(1/T) (T=2)
+    * so small sources punch above their byte count, then rows are kept
+    * by q30's deterministic md5 predicate against a per-source
+    * threshold. Unlike q30's fixed demo rates, the rates here are
+    * COMPUTED from the corpus itself under a total piece budget
+    * (Σw/4), which is what a real mixing config is derived from.
+    *
+    * Scale shape: one partial-agg ledger over (source) — source-count
+    * rows, the same vocab-bound-collect class as q36's centroids —
+    * then a broadcast join of the tiny threshold table and a map-only
+    * filter. `text` never scans (ledger reads n_chars; output reads
+    * doc_id/source); the keep decision is a pure function of the row
+    * and the ledger, so it is reproducible across engines and cluster
+    * sizes and append-stable GIVEN a frozen ledger (re-deriving the
+    * ledger on an appended corpus legitimately re-weights — freeze the
+    * threshold table to pin decisions across corpus versions). */
+  def temperatureMix(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val led = docs.groupBy($"source")
+      .agg(sum(ceil($"n_chars" / 4.0).cast("long")).as("w"))
+      .as[(String, Long)].collect().toSeq.sortBy(_._1)
+    val thr = temperatureThresholds(led)
+    val u = substring(md5(concat(lit("graft-temp-"), $"doc_id".cast("string"))), 1, 8)
+    val base = docs.select($"doc_id", $"source", u.as("u_hex"))
+    if (thr.isEmpty)
+      return base.withColumn("t_hex", lit("")).filter(lit(false))
+        .select($"doc_id", $"source", $"t_hex", $"u_hex")
+    base.join(broadcast(thr.toDF("source", "t_hex")), "source")
+      .filter($"u_hex" < $"t_hex")
+      .select($"doc_id", $"source", $"t_hex", $"u_hex")
+      .orderBy($"doc_id")
+  }
+
+  /** Oracle mirror of [[temperatureMix]]: same ledger, same integer
+    * threshold arithmetic in HUGEINT (int128 — exact, like BigInt). */
+  val temperatureMixSql: String =
+    """WITH pieces AS (
+      |  SELECT doc_id, source, CAST(ceil(n_chars / 4.0) AS BIGINT) AS n_pieces
+      |  FROM documents),
+      |led AS (SELECT source, sum(n_pieces) AS w FROM pieces GROUP BY source),
+      |par AS (SELECT CAST(sum(w) AS HUGEINT) // 4 AS b,
+      |               sum(CAST(floor(sqrt(w)) AS HUGEINT)) AS s_tot FROM led),
+      |thr AS (
+      |  SELECT source,
+      |    CASE WHEN t >= 4294967296::HUGEINT THEN 'g0000000'
+      |         ELSE printf('%08x', CAST(t AS BIGINT)) END AS t_hex
+      |  FROM (SELECT source,
+      |          CASE WHEN s_tot = 0 OR w <= 0 THEN 0::HUGEINT
+      |               ELSE (4294967296::HUGEINT * CAST(floor(sqrt(w)) AS HUGEINT) * b)
+      |                      // (s_tot * CAST(w AS HUGEINT)) END AS t
+      |        FROM led, par) q)
+      |SELECT d.doc_id, d.source, t.t_hex,
+      |  substr(md5('graft-temp-' || CAST(d.doc_id AS VARCHAR)), 1, 8) AS u_hex
+      |FROM documents d JOIN thr t USING (source)
+      |WHERE substr(md5('graft-temp-' || CAST(d.doc_id AS VARCHAR)), 1, 8) < t.t_hex
+      |ORDER BY d.doc_id""".stripMargin
+
   /** Oracle mirror of [[tokenBudget]]: the naive global window over the
     * hash order (exact same math the two-level scan distributes). */
   val tokenBudgetSql: String =

@@ -44,14 +44,22 @@ object DupClusters {
     * bug, not a truncation, so it throws rather than returns. */
   val MaxRounds = 30
 
-  def clusters(spark: SparkSession, dir: String): DataFrame = {
+  /** The (doc_id, cluster_id) label table over EVERY document — the
+    * star-forest closure of the near-dup pair graph, singletons
+    * labeling themselves. Shared by [[clusters]] and [[leakSafeSplit]]. */
+  def labels(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val pairs = Dedup.jaccardPairsAll(spark, dir)
       .select($"doc_a".as("a"), $"doc_b".as("b"))
-    val labels = starContract(pairs)
+    val lab = starContract(pairs)
     val docs = spark.read.parquet(s"$dir/documents.parquet").select($"doc_id")
-    val lab = docs.join(labels, Seq("doc_id"), "left")
+    docs.join(lab, Seq("doc_id"), "left")
       .select($"doc_id", coalesce($"cluster_id", $"doc_id").as("cluster_id"))
+  }
+
+  def clusters(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val lab = labels(spark, dir)
     val sizes = lab.groupBy($"cluster_id").agg(count(lit(1)).as("cluster_size"))
     lab.join(sizes, "cluster_id")
       .select($"doc_id", $"cluster_id", $"cluster_size",
@@ -190,8 +198,11 @@ object DupClusters {
     }.toDF("a", "b")
   }
 
-  val clustersSql: String =
-    s"""WITH RECURSIVE ${Dedup.jaccardPairCtes},
+  /** Shared oracle CTE chain ending in `lab(doc_id, cluster_id)` — an
+    * independent fixpoint formulation (recursive min-label walk) of the
+    * same closure the star rounds compute. */
+  private[operators] val labelCtes: String =
+    s"""${Dedup.jaccardPairCtes},
        |edges AS (
        |  SELECT doc_a AS s, doc_b AS d FROM pairs
        |  UNION ALL SELECT doc_b, doc_a FROM pairs),
@@ -200,10 +211,57 @@ object DupClusters {
        |  UNION
        |  SELECT e.d, w.label FROM walk w JOIN edges e ON e.s = w.node
        |  WHERE w.label < e.d),
-       |lab AS (SELECT node AS doc_id, min(label) AS cluster_id FROM walk GROUP BY node),
+       |lab AS (SELECT node AS doc_id, min(label) AS cluster_id FROM walk GROUP BY node)""".stripMargin
+
+  val clustersSql: String =
+    s"""WITH RECURSIVE $labelCtes,
        |sz AS (SELECT cluster_id, count(*) AS cluster_size FROM lab GROUP BY cluster_id)
        |SELECT l.doc_id, l.cluster_id, s.cluster_size,
        |  CAST(l.doc_id = l.cluster_id AS INT) AS is_canonical
        |FROM lab l JOIN sz s USING (cluster_id)
        |ORDER BY l.doc_id""".stripMargin
+
+  /** Keep threshold: floor(0.90 · 2³²) and floor(0.95 · 2³²) as 8-hex —
+    * literal constants, so no float math exists to diverge on. */
+  val SplitTrainHex = "e6666666"
+  val SplitValHex = "f3333333"
+
+  /** q40: leakage-safe train/val/test split — the assignment step a
+    * training pipeline runs AFTER dedup clustering: hashing doc_id
+    * (the naive split) lets two near-duplicates straddle train and
+    * test, leaking the evaluation set into training through every
+    * not-quite-exact copy q11/q12/q13 exist to find. Hashing the
+    * CLUSTER label instead makes the split constant across each
+    * near-dup family by construction — the self-contamination analog
+    * of q27's benchmark decontamination.
+    *
+    * Split is md5("graft-split-" + cluster_id) against literal 90/5/5
+    * thresholds (q30's deterministic-keep trick): reproducible across
+    * engines and cluster sizes, no RNG state, and stable under corpus
+    * appends for every cluster whose membership didn't change. Scale
+    * shape: the cost IS q32's star contraction (edge-sized, O(log n)
+    * rounds); the split itself adds one map-only projection. */
+  def leakSafeSplit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val u = substring(
+      md5(concat(lit("graft-split-"), $"cluster_id".cast("string"))), 1, 8)
+    labels(spark, dir)
+      .select($"doc_id", $"cluster_id", u.as("u_hex"))
+      .select($"doc_id", $"cluster_id",
+        when($"u_hex" < SplitTrainHex, "train")
+          .when($"u_hex" < SplitValHex, "val")
+          .otherwise("test").as("split"))
+      .orderBy($"doc_id")
+  }
+
+  val leakSafeSplitSql: String =
+    s"""WITH RECURSIVE $labelCtes
+       |SELECT doc_id, cluster_id,
+       |  CASE WHEN u < '$SplitTrainHex' THEN 'train'
+       |       WHEN u < '$SplitValHex' THEN 'val'
+       |       ELSE 'test' END AS split
+       |FROM (SELECT doc_id, cluster_id,
+       |    substr(md5('graft-split-' || CAST(cluster_id AS VARCHAR)), 1, 8) AS u
+       |  FROM lab) q
+       |ORDER BY doc_id""".stripMargin
 }

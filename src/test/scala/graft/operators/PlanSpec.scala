@@ -220,6 +220,16 @@ class PlanSpec extends SparkSpec {
       "scan must prune to (doc_id, source)")
   }
 
+  test("q39 temperature mix: threshold table broadcast, no sort-merge join, text never scanned") {
+    val p = plan(Assembly.temperatureMix(spark, dir))
+    // the per-source threshold table is source-count rows: it must ride
+    // a broadcast, never a corpus-wide shuffle join
+    assert(p.contains("BroadcastHashJoin"), s"threshold join not broadcast:\n${p.take(800)}")
+    assert(!p.contains("SortMergeJoin"), s"corpus shuffled for a tiny dim:\n${p.take(800)}")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,source:string>"),
+      "keep-scan must prune to (doc_id, source) — text may never scan")
+  }
+
   test("q33 scoring: partial aggregation everywhere, no windows, pruned scan") {
     val p = plan(LmScore.trigramNovelty(spark, dir))
     // model counts and per-doc score aggs must both be map-side partial

@@ -590,6 +590,86 @@ class TrainingOpsSpec extends SparkSpec {
     assert(kept >= budget, s"kept $kept vs budget $budget")
   }
 
+  test("q39 temperature mix keeps EXACTLY the md5-cleared rows; thresholds are integer-exact and 1/sqrt(w)-monotone") {
+    val dir = "/root/testdata/sf0.001"
+    import spark.implicits._
+    def u8(docId: Long): String = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+      d.digest(s"graft-temp-$docId".getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString.substring(0, 8)
+    }
+    // independent ledger replay (plain Scala, no Spark expressions)
+    val all = spark.read.parquet(s"$dir/documents.parquet")
+      .select($"doc_id", $"source", $"n_chars").as[(Long, String, Long)].collect()
+    val led = all.groupBy(_._2).map { case (src, rows) =>
+      (src, rows.map(r => (r._3 + 3) / 4).sum)
+    }.toSeq.sortBy(_._1)
+    val thr = Assembly.temperatureThresholds(led).toMap
+    // threshold arithmetic replay: BigInt from first principles
+    val sTot = led.map(w => BigInt(math.sqrt(w._2.toDouble).toLong)).sum
+    val budget = led.map(w => BigInt(w._2)).sum / 4
+    led.foreach { case (src, w) =>
+      val t = (Assembly.TempHashSpace * BigInt(math.sqrt(w.toDouble).toLong) * budget) /
+        (sTot * BigInt(w))
+      val hex = if (t >= Assembly.TempHashSpace) "g0000000" else f"${t.toLong}%08x"
+      assert(thr(src) == hex, s"threshold mismatch for $src")
+    }
+    // rate is monotone in the exact rational isqrt(w)/w it floors (the
+    // temperature effect, t ∝ ~1/sqrt(w); NOT strictly monotone in w
+    // itself — isqrt steps at perfect squares): rank by s_a·w_b vs
+    // s_b·w_a cross products, thresholds must rank the same way
+    val rated = led.map { case (src, w) =>
+      (BigInt(math.sqrt(w.toDouble).toLong), BigInt(w), thr(src))
+    }.sortBy { case (s, w, _) => (s * led.map(_._2).max) / w }
+    assert(rated.zip(rated.tail).forall {
+      case ((sa, wa, ta), (sb, wb, tb)) =>
+        (sa * wb > sb * wa) || ta <= tb // rate_a <= rate_b => t_a <= t_b
+    }, s"thresholds disagree with the rational rate order: $rated")
+    val expected = all.filter { case (id, src, _) => u8(id) < thr(src) }
+      .map(_._1).sorted.toSeq
+    val got = Assembly.temperatureMix(spark, dir)
+      .select($"doc_id").as[Long].collect().toSeq
+    assert(got == expected, s"mix mismatch: got ${got.size}, expected ${expected.size}")
+    assert(got.nonEmpty && got.size < all.length, "cut must be strict")
+    // a tiny source under a huge budget caps at keep-all
+    assert(Assembly.temperatureThresholds(
+      Seq(("tiny", 4L), ("huge", 4000000L))).head._2 == "g0000000")
+    assert(Assembly.temperatureThresholds(Seq.empty).isEmpty)
+  }
+
+  test("q40 split is constant within every dup cluster and matches the md5 replay") {
+    import spark.implicits._
+    val rows = DupClusters.leakSafeSplit(spark, plantedDir)
+      .as[(Long, Long, String)].collect()
+    val docs = spark.read.parquet(s"$plantedDir/documents.parquet").count()
+    assert(rows.length == docs, "every doc gets a split")
+    assert(rows.map(_._3).toSet.subsetOf(Set("train", "val", "test")))
+    // THE leakage invariant: no cluster straddles two splits
+    rows.groupBy(_._2).foreach { case (cid, members) =>
+      assert(members.map(_._3).toSet.size == 1,
+        s"cluster $cid straddles splits: ${members.map(_._3).toSet}")
+    }
+    // the planted dups landed in real multi-member clusters, so the
+    // invariant is exercised, not vacuous
+    assert(rows.groupBy(_._2).exists(_._2.length > 1), "no multi-member cluster")
+    // split replay from the cluster hash
+    def u8(cid: Long): String = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+      d.digest(s"graft-split-$cid".getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString.substring(0, 8)
+    }
+    rows.foreach { case (id, cid, split) =>
+      val u = u8(cid)
+      val want = if (u < DupClusters.SplitTrainHex) "train"
+        else if (u < DupClusters.SplitValHex) "val" else "test"
+      assert(split == want, s"doc $id cluster $cid: $split != $want")
+    }
+    // labels agree with q32's cluster assignment
+    val q32 = DupClusters.clusters(spark, plantedDir)
+      .select($"doc_id", $"cluster_id").as[(Long, Long)].collect().toMap
+    rows.foreach { case (id, cid, _) => assert(q32(id) == cid) }
+  }
+
   test("q36 centroid assignment == brute force; scoring plan is join-free and agg-free") {
     import spark.implicits._
     val dir = "/root/testdata/sf0.001"
