@@ -78,6 +78,8 @@ object SparkEntry {
     "q39_temp_mix" -> ((s, d) => Assembly.temperatureMix(s, d)),
     // Leakage-safe split: train/val/test constant per dup cluster
     "q40_leak_split" -> ((s, d) => DupClusters.leakSafeSplit(s, d)),
+    // Paragraph-level dedup: first occurrence wins, docs reassembled
+    "q41_para_dedup" -> ((s, d) => Dedup.paraDedup(s, d)),
   )
 
   /** DuckDB equivalents, same column names + total ORDER BY. */
@@ -118,5 +120,6 @@ object SparkEntry {
     "q38_token_budget" -> Assembly.tokenBudgetSql,
     "q39_temp_mix" -> Assembly.temperatureMixSql,
     "q40_leak_split" -> DupClusters.leakSafeSplitSql,
+    "q41_para_dedup" -> Dedup.paraDedupSql,
   )
 }

@@ -604,4 +604,106 @@ object Dedup {
        |    ELSE 0.0 END AS dup_frac
        |FROM toks t LEFT JOIN cov USING (doc_id)
        |ORDER BY doc_id""".stripMargin
+
+  // --- q41: paragraph-level dedup (first occurrence wins) -----------
+
+  /** Dedup unit for [[paraDedup]] in word tokens. Real pipelines
+    * (Dolma's dedupe-paragraphs, CCNet's hashed-paragraph filter)
+    * split on newlines; the sandbox corpus is single-line, so the unit
+    * is a fixed 20-token block — the MECHANISM (global first-occurrence
+    * dedup of sub-document units + in-order reassembly) is the point,
+    * and the splitter is one expression to swap. */
+  val ParaTokens = 20
+
+  /** q41: paragraph-level exact dedup — remove every repeated PARAGRAPH
+    * from the corpus, keeping only its globally first occurrence
+    * (smallest (doc_id, idx)), then reassemble each document from its
+    * surviving paragraphs in original order. This is the Dolma/CCNet
+    * boilerplate killer that whole-document dedup (q10-q13) cannot
+    * express and q35 only measures: headers, license banners and nav
+    * chrome repeated across millions of pages disappear from every copy
+    * but one, while the unique prose around them survives.
+    *
+    * Spark shape:
+    *  1. blocks via builtin HOFs (transform/slice/concat_ws +
+    *     posexplode) — codegen'd, same projection family as q27/q35;
+    *  2. first occurrence per block text = groupBy(blk).min(struct(
+    *     doc_id, idx)) — a MAP-SIDE PARTIAL min, so a banner repeated
+    *     10^9 times combines to one row per map task before the
+    *     shuffle (the skew story q35 step 2 proved for counts);
+    *  3. equi-join the stream back on blk, keep the argmin row — the
+    *     hot-key side carries one argmin row per distinct block, AQE
+    *     skew-splits the stream side;
+    *  4. reassembly: per-doc sort_array(collect_list(struct(idx,blk)))
+    *     — bounded by ONE document's size, never corpus-scale state.
+    * The block TEXT rides two shuffles (decision + reassembly); the
+    * at-scale knob is the same as q35's: key steps 2-3 on
+    * xxhash64(blk) (8 B) and re-derive kept text from a map-side
+    * re-tokenize against the broadcast-small LOSER set instead —
+    * one-expression swaps, kept out of the oracle-checked default for
+    * exactness.
+    *
+    * Output: (doc_id, n_blocks, n_kept, text_dedup) for EVERY doc —
+    * docs whose every block was seen earlier come back empty rather
+    * than vanishing (the caller decides whether empty docs drop). */
+  def paraDedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select($"doc_id", $"text")
+    val blocks = docs
+      .select($"doc_id",
+        expr("filter(split(lower(text), '\\\\s+'), t -> t <> '')").as("a"))
+      .filter(size($"a") >= 1)
+      .select($"doc_id", posexplode(expr(
+        s"transform(sequence(0, (size(a)-1) div $ParaTokens), " +
+          s"k -> concat_ws(' ', slice(a, k*$ParaTokens+1, $ParaTokens)))")))
+      .withColumnRenamed("pos", "idx").withColumnRenamed("col", "blk")
+    val firsts = blocks.groupBy($"blk")
+      .agg(min(struct($"doc_id", $"idx")).as("first"))
+    val kept = blocks.join(firsts, "blk")
+      .filter($"doc_id" === $"first.doc_id" && $"idx" === $"first.idx")
+    val re = kept.groupBy($"doc_id").agg(
+      count(lit(1)).as("n_kept"),
+      concat_ws(" ", expr(
+        "transform(array_sort(collect_list(struct(idx, blk))), x -> x.blk)"))
+        .as("text_dedup"))
+    val nb = blocks.groupBy($"doc_id").agg(count(lit(1)).as("n_blocks"))
+    docs.select($"doc_id")
+      .join(nb, Seq("doc_id"), "left")
+      .join(re, Seq("doc_id"), "left")
+      .select($"doc_id",
+        coalesce($"n_blocks", lit(0L)).as("n_blocks"),
+        coalesce($"n_kept", lit(0L)).as("n_kept"),
+        coalesce($"text_dedup", lit("")).as("text_dedup"))
+      .orderBy($"doc_id")
+  }
+
+  /** Oracle mirror of [[paraDedup]]: same blocks, first occurrence via
+    * a window (fine at oracle scale), string_agg reassembly. */
+  val paraDedupSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t <> '') AS a
+       |  FROM documents),
+       |blocks AS (
+       |  SELECT doc_id,
+       |    unnest(range(0, ((len(a)-1) // $ParaTokens) + 1)) AS idx,
+       |    unnest(list_transform(range(0, ((len(a)-1) // $ParaTokens) + 1),
+       |       k -> array_to_string(a[k*$ParaTokens+1 : k*$ParaTokens+$ParaTokens], ' '))) AS blk
+       |  FROM toks WHERE len(a) >= 1),
+       |kept AS (
+       |  SELECT doc_id, idx, blk FROM (
+       |    SELECT doc_id, idx, blk,
+       |      row_number() OVER (PARTITION BY blk ORDER BY doc_id, idx) AS rn
+       |    FROM blocks) q WHERE rn = 1),
+       |re AS (
+       |  SELECT doc_id, count(*) AS n_kept,
+       |         string_agg(blk, ' ' ORDER BY idx) AS text_dedup
+       |  FROM kept GROUP BY doc_id),
+       |nb AS (SELECT doc_id, count(*) AS n_blocks FROM blocks GROUP BY doc_id)
+       |SELECT d.doc_id,
+       |  COALESCE(nb.n_blocks, 0) AS n_blocks,
+       |  COALESCE(re.n_kept, 0) AS n_kept,
+       |  COALESCE(re.text_dedup, '') AS text_dedup
+       |FROM documents d LEFT JOIN nb USING (doc_id) LEFT JOIN re USING (doc_id)
+       |ORDER BY d.doc_id""".stripMargin
 }
