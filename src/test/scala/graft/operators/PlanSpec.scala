@@ -230,6 +230,18 @@ class PlanSpec extends SparkSpec {
       "keep-scan must prune to (doc_id, source) — text may never scan")
   }
 
+  test("q41 paragraph dedup: first-occurrence min is map-side partial, no window, pruned scan") {
+    val p = plan(Dedup.paraDedup(spark, dir))
+    // the argmin over a hot block must combine BEFORE the shuffle — a
+    // banner repeated 10^9 times is one row per map task, not 10^9
+    assert(p.contains("partial_min"), s"first-occurrence agg lost map-side combine:\n${p.take(800)}")
+    // the oracle uses a window rank; the plan must NOT (a per-block
+    // window funnels every copy of a hot block through one task)
+    assert(!p.contains("Window"), "first-occurrence selection regressed to a window")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      "scan must prune to (doc_id, text)")
+  }
+
   test("q33 scoring: partial aggregation everywhere, no windows, pruned scan") {
     val p = plan(LmScore.trigramNovelty(spark, dir))
     // model counts and per-doc score aggs must both be map-side partial

@@ -637,6 +637,33 @@ class TrainingOpsSpec extends SparkSpec {
     assert(Assembly.temperatureThresholds(Seq.empty).isEmpty)
   }
 
+  test("q39 threshold arithmetic: expected kept pieces never exceed the budget (200 random ledgers)") {
+    val r = new scala.util.Random(4242)
+    (1 to 200).foreach { trial =>
+      val nSrc = 1 + r.nextInt(20)
+      val led = (0 until nSrc).map { i =>
+        // sizes spanning 10 orders of magnitude, with occasional zeros
+        val w = if (r.nextInt(10) == 0) 0L
+                else math.abs(r.nextLong()) % (1L << (4 + r.nextInt(36)))
+        (s"s$i", w)
+      }
+      val thr = Assembly.temperatureThresholds(led)
+      val budget = led.map(x => BigInt(x._2)).sum / 4
+      // E[kept pieces from s] = w_s * t_s / 2^32 exactly (md5 uniform).
+      // Uncapped the rates sum to the budget by construction; the
+      // keep-all cap and the floor in each threshold only ever
+      // UNDER-allocate, so the total expectation must never exceed it.
+      val expKept = led.zip(thr).map { case ((_, w), (src2, hex)) =>
+        val t = if (hex == "g0000000") Assembly.TempHashSpace
+                else BigInt(java.lang.Long.parseLong(hex, 16))
+        assert(t >= 0 && t <= Assembly.TempHashSpace, s"trial $trial $src2: t=$t")
+        BigInt(w) * t / Assembly.TempHashSpace
+      }.sum
+      assert(expKept <= budget,
+        s"trial $trial over-allocates: E[kept]=$expKept > budget=$budget ($led)")
+    }
+  }
+
   test("q40 split is constant within every dup cluster and matches the md5 replay") {
     import spark.implicits._
     val rows = DupClusters.leakSafeSplit(spark, plantedDir)
