@@ -16,6 +16,11 @@ run / fork := true
 // and sbt's default logger prefix broke its strict parser three rounds
 // running (BENCH_r0{1,2,3}.json all carried `parsed: null`).
 run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+// ...and keep the JSON line LAST: without this, sbt appends
+// "[success] Total time: ..." after the forked run's output, so a
+// parser that reads the final stdout line still sees a non-JSON line.
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -80,6 +80,10 @@ object SparkEntry {
     "q40_leak_split" -> ((s, d) => DupClusters.leakSafeSplit(s, d)),
     // Paragraph-level dedup: first occurrence wins, docs reassembled
     "q41_para_dedup" -> ((s, d) => Dedup.paraDedup(s, d)),
+    // Canonical selection by quality: keep the best doc per dup cluster
+    "q42_canonical_quality" -> ((s, d) => DupClusters.canonicalByQuality(s, d)),
+    // Exact kNN self-join: top-k cosine neighbors for every vector
+    "q43_knn_join" -> ((s, d) => Similarity.knnJoin(s, d)),
   )
 
   /** DuckDB equivalents, same column names + total ORDER BY. */
@@ -121,5 +125,7 @@ object SparkEntry {
     "q39_temp_mix" -> Assembly.temperatureMixSql,
     "q40_leak_split" -> DupClusters.leakSafeSplitSql,
     "q41_para_dedup" -> Dedup.paraDedupSql,
+    "q42_canonical_quality" -> DupClusters.canonicalByQualitySql,
+    "q43_knn_join" -> Similarity.knnJoinSql,
   )
 }

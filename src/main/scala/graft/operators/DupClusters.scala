@@ -264,4 +264,65 @@ object DupClusters {
        |    substr(md5('graft-split-' || CAST(cluster_id AS VARCHAR)), 1, 8) AS u
        |  FROM lab) q
        |ORDER BY doc_id""".stripMargin
+
+  /** q42: canonical selection BY QUALITY — the keep-decision a real
+    * pipeline runs after clustering: q32's `is_canonical = (doc_id ==
+    * cluster_id)` keeps whichever near-dup happened to carry the
+    * smallest id, but curation pipelines (Dolma's dedupe keep-longest,
+    * CCNet's keep-best-perplexity-bucket) keep the BEST member of each
+    * family. Here best = argmax of (q18 quality score, then n_chars,
+    * then smallest doc_id) — a total order, so exactly one canonical
+    * per cluster with no RNG or partition-order dependence.
+    *
+    * Spark shape: the per-cluster argmax is ONE `max(struct(...))`
+    * hash aggregate — partial (map-side) combine means a 10⁶-member
+    * boilerplate cluster contributes one row per map task to the
+    * shuffle, the same skew story as q41's first-occurrence min. The
+    * re-join to tag members is equi-keyed on cluster_id (cluster count
+    * ~ doc count: NOT broadcastable, and doesn't need to be). Quality
+    * rides as one double per doc; text is read once for the score and
+    * never shuffles. */
+  def canonicalByQuality(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val scored = labels(spark, dir).join(
+      spark.read.parquet(s"$dir/documents.parquet")
+        .select($"doc_id", TextAnalysis.qualityScore($"text").as("quality"),
+          length($"text").cast("long").as("n_chars")),
+      "doc_id")
+    val best = scored.groupBy($"cluster_id")
+      .agg(max(struct($"quality", $"n_chars", (-$"doc_id").as("neg_id")))
+        .as("best"))
+    scored.join(best, "cluster_id")
+      .select($"doc_id", $"cluster_id", $"quality",
+        ($"doc_id" === -$"best.neg_id").cast("int").as("is_canonical"))
+      .orderBy($"doc_id")
+  }
+
+  /** Oracle mirror of [[canonicalByQuality]]: same label closure, the
+    * argmax as a window rank (fine at oracle scale). The quality
+    * expression is q18's, verbatim. */
+  val canonicalByQualitySql: String = {
+    val stopList = Seq("the", "a", "and", "of", "is", "to", "in")
+      .map("'" + _ + "'").mkString(",")
+    s"""WITH RECURSIVE $labelCtes,
+       |qt AS (
+       |  SELECT doc_id, length(text) AS n_chars,
+       |    list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t <> '') AS tk
+       |  FROM documents),
+       |qm AS (
+       |  SELECT doc_id, n_chars,
+       |    round(least(1.0, len(tk) / 100.0)
+       |      * round(len(list_filter(tk, t -> regexp_matches(t, '^[a-z]+$$'))) / CAST(len(tk) AS DOUBLE), 4)
+       |      * (1.0 - round(len(list_filter(tk, t -> t IN ($stopList))) / CAST(len(tk) AS DOUBLE), 4) * 0.5),
+       |      4) AS quality
+       |  FROM qt),
+       |s AS (
+       |  SELECT l.doc_id, l.cluster_id, q.quality, q.n_chars,
+       |    row_number() OVER (PARTITION BY l.cluster_id
+       |      ORDER BY q.quality DESC, q.n_chars DESC, l.doc_id) AS rn
+       |  FROM lab l JOIN qm q USING (doc_id))
+       |SELECT doc_id, cluster_id, quality,
+       |  CAST(rn = 1 AS INT) AS is_canonical
+       |FROM s ORDER BY doc_id""".stripMargin
+  }
 }

@@ -696,6 +696,151 @@ object Similarity {
     * then widened back to DOUBLE[] for DuckDB's list_cosine_similarity
     * (float32 on FLOAT lists, double on DOUBLE lists — q15's proven
     * parity recipe); argmax = row_number over (cos DESC, label). */
+  // ---- q43: exact kNN self-join (batch top-k per vector) ------------
+
+  /** Neighbors kept per vector in [[knnJoin]]. */
+  val KnnK = 3
+
+  /** Spark-round-compatible 4-decimal rounding (HALF_UP, matching
+    * `functions.round(col, 4)` and DuckDB's `round(x, 4)`): applied
+    * inside the kernel so the per-task top-k PRUNES by exactly the
+    * value the global rank orders by — pruning by raw cosine and
+    * rounding later could drop a row that ties at rank k after
+    * rounding with a smaller id. */
+  private[operators] def r4(x: Double): Double =
+    if (x >= 0) math.floor(x * 1e4 + 0.5) / 1e4
+    else math.ceil(x * 1e4 - 0.5) / 1e4
+
+  /** Bounded best-first buffer for the kNN kernel: sorted arrays of
+    * size k (k is small — single-digit), insertion by linear shift on
+    * the (cos DESC, id ASC) total order the global window rank uses. */
+  private final class TopKBuf(k: Int) {
+    private val cs = new Array[Double](k)
+    private val ids = new Array[Long](k)
+    private var n = 0
+    @inline private def beats(c: Double, id: Long, i: Int): Boolean =
+      c > cs(i) || (c == cs(i) && id < ids(i))
+    def offer(c: Double, id: Long): Unit = {
+      if (n == k && !beats(c, id, n - 1)) return
+      var pos = if (n < k) n else k - 1
+      while (pos > 0 && beats(c, id, pos - 1)) {
+        cs(pos) = cs(pos - 1); ids(pos) = ids(pos - 1); pos -= 1
+      }
+      cs(pos) = c; ids(pos) = id
+      if (n < k) n += 1
+    }
+    def rows(src: Long): Iterator[(Long, Long, Double)] =
+      (0 until n).iterator.map(i => (src, ids(i), cs(i)))
+  }
+
+  /** q43: exact k-nearest-neighbor SELF-join over the embeddings table
+    * — every vector's top-k cosine neighbors in one batch pass, the
+    * all-rows shape behind semantic dedup (SemDeDup, Abbas et al. 2023:
+    * drop near-neighbors within a cluster) and kNN-graph construction,
+    * where q15 answers for ONE query row.
+    *
+    * Spark shape: q14's triangle blocking (each unordered BLOCK pair
+    * meets in exactly one cogroup task, vectors deserialized once per
+    * block pair, primitive-loop kernel) plus a per-task bounded
+    * [[TopKBuf]] for every vector on BOTH sides of the pair — the
+    * top-k analog of a map-side partial aggregate. Only each task's
+    * k best rows per vector enter the exchange, so the shuffle is
+    * n·blocks·k rows instead of the n² candidate pairs; the global
+    * exact rank is a row_number window over that bounded set, keyed
+    * by vec_id. Exact all-pairs kNN is inherently O(n²) compute —
+    * blocked to bounded-memory tasks exactly like q14, and the
+    * approximate scale path for 10⁹⁺ vectors is the persisted IVF/PQ
+    * layouts (q24/q34) probed per batch row instead.
+    *
+    * Zero-norm vectors are dropped on BOTH sides (cosine undefined;
+    * mirrored in the oracle's norm filter). Ties on the ROUNDED cosine
+    * break by ascending neighbor id in kernel, window and oracle
+    * alike, so ranks are deterministic across engines and cluster
+    * sizes. */
+  def knnJoin(spark: SparkSession, dir: String, k: Int = KnnK,
+              blocks: Int = 0): DataFrame = {
+    import spark.implicits._
+    val nb =
+      if (blocks > 0) blocks
+      else Dedup.cosBlocksFor(
+        spark.read.parquet(s"$dir/embeddings.parquet").count())
+    val vecs = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select($"vec_id".cast("long"), $"embedding")
+      .as[(Long, Array[Float])]
+      .map { case (id, e) =>
+        val v = e.map(_.toDouble)
+        var s = 0.0; var i = 0
+        while (i < v.length) { s += v(i) * v(i); i += 1 }
+        (id, v, math.sqrt(s))
+      }
+      .filter(_._3 > 0.0)
+    val left = vecs.flatMap { case (id, v, n) =>
+      val bi = (id % nb).toInt
+      (bi until nb).iterator.map(bj => (bi * nb + bj, id, v, n))
+    }
+    val right = vecs.flatMap { case (id, v, n) =>
+      val bj = (id % nb).toInt
+      (0 to bj).iterator.map(bi => (bi * nb + bj, id, v, n))
+    }
+    val kk = k
+    val cand = left.groupByKey(_._1).cogroup(right.groupByKey(_._1)) {
+      case (pk, as, bs) =>
+        val av = as.toArray
+        val bv = bs.toArray
+        val diag = (pk / nb) == (pk % nb)
+        val bufs = scala.collection.mutable.HashMap.empty[Long, TopKBuf]
+        @inline def buf(id: Long) = bufs.getOrElseUpdate(id, new TopKBuf(kk))
+        var i = 0
+        while (i < av.length) {
+          val (_, ida, va, na) = av(i)
+          val ba = buf(ida)
+          var j = 0
+          while (j < bv.length) {
+            val (_, idb, vb, nbn) = bv(j)
+            // diagonal block pairs hold the same vectors on both sides:
+            // enumerate each unordered pair once (ida < idb), update
+            // BOTH buffers — also skips self-pairs
+            if (!(diag && ida >= idb)) {
+              var dot = 0.0; var t = 0
+              while (t < va.length) { dot += va(t) * vb(t); t += 1 }
+              val c = r4(dot / (na * nbn))
+              ba.offer(c, idb)
+              buf(idb).offer(c, ida)
+            }
+            j += 1
+          }
+          i += 1
+        }
+        bufs.iterator.flatMap { case (id, b) => b.rows(id) }
+    }.toDF("vec_id", "nb_id", "cos")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"vec_id").orderBy($"cos".desc, $"nb_id")
+    cand.withColumn("rank", row_number().over(w))
+      .filter($"rank" <= kk)
+      .orderBy($"vec_id", $"rank")
+  }
+
+  /** Oracle mirror of [[knnJoin]]: the naive cross join + window rank
+    * (fine at oracle scale — the blocked kernel distributes exactly
+    * this math). */
+  val knnJoinSql: String =
+    s"""WITH v AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+       |  FROM embeddings
+       |  WHERE list_sum(list_transform(embedding,
+       |          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) > 0),
+       |p AS (
+       |  SELECT a.vec_id AS vec_id, b.vec_id AS nb_id,
+       |    round(list_cosine_similarity(a.e, b.e), 4) AS cos
+       |  FROM v a JOIN v b ON a.vec_id <> b.vec_id),
+       |r AS (
+       |  SELECT vec_id, nb_id, cos,
+       |    row_number() OVER (PARTITION BY vec_id
+       |                       ORDER BY cos DESC, nb_id) AS rank
+       |  FROM p)
+       |SELECT vec_id, nb_id, cos, rank FROM r WHERE rank <= $KnnK
+       |ORDER BY vec_id, rank""".stripMargin
+
   val centroidAssignSql: String =
     """WITH comp AS (
       |  SELECT label, unnest(range(1, len(embedding)+1)) AS pos,

@@ -785,4 +785,74 @@ class TrainingOpsSpec extends SparkSpec {
     }
     assert(got.size == vecs.length)
   }
+
+  test("q42 canonical-by-quality: exactly one canonical per cluster, and it is the (quality, n_chars, -id) argmax") {
+    import spark.implicits._
+    val rows = DupClusters.canonicalByQuality(spark, plantedDir)
+      .as[(Long, Long, Double, Int)].collect()
+    val nDocs = spark.read.parquet(s"$plantedDir/documents.parquet").count()
+    assert(rows.length == nDocs, "every doc gets a row")
+    // cluster labels agree with q32's assignment
+    val q32 = DupClusters.clusters(spark, plantedDir)
+      .select($"doc_id", $"cluster_id").as[(Long, Long)].collect().toMap
+    rows.foreach { case (id, cid, _, _) => assert(q32(id) == cid) }
+    // quality values agree with q18's oracle-checked scorer
+    val q18 = graft.operators.TextAnalysis.quality(spark, plantedDir)
+      .select($"doc_id", $"quality", $"n_chars")
+      .as[(Long, Double, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    rows.foreach { case (id, _, q, _) =>
+      assert(q == q18(id)._1, s"doc $id quality $q != q18 ${q18(id)._1}")
+    }
+    // THE invariant: one canonical per cluster, and it's the argmax on
+    // (quality DESC, n_chars DESC, doc_id ASC)
+    rows.groupBy(_._2).foreach { case (cid, members) =>
+      val canon = members.filter(_._4 == 1)
+      assert(canon.length == 1, s"cluster $cid has ${canon.length} canonicals")
+      val want = members.map(_._1)
+        .minBy(id => (-q18(id)._1, -q18(id)._2, id))
+      assert(canon.head._1 == want,
+        s"cluster $cid canonical ${canon.head._1}, argmax says $want")
+    }
+    // exercised, not vacuous: a multi-member cluster exists
+    assert(rows.groupBy(_._2).exists(_._2.length > 1))
+  }
+
+  test("q43 kNN join == driver-side brute force, invariant to the blocking factor and k") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val vecs = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select($"vec_id".cast("long"), $"embedding")
+      .as[(Long, Array[Float])].collect()
+      .map { case (id, e) => (id, e.map(_.toDouble)) }
+      .filter { case (_, v) => v.map(x => x * x).sum > 0 }
+    def cosR(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+      }
+      Similarity.r4(dot / (math.sqrt(na) * math.sqrt(nb)))
+    }
+    def brute(k: Int): Seq[(Long, Long, Double, Int)] =
+      vecs.flatMap { case (id, v) =>
+        vecs.filter(_._1 != id)
+          .map { case (nbId, w) => (nbId, cosR(v, w)) }
+          .sortBy { case (nbId, c) => (-c, nbId) }
+          .take(k).zipWithIndex
+          .map { case ((nbId, c), i) => (id, nbId, c, i + 1) }
+      }.sortBy(r => (r._1, r._4)).toSeq
+    val got = Similarity.knnJoin(spark, dir)
+      .as[(Long, Long, Double, Int)].collect().toSeq
+    assert(got == brute(Similarity.KnnK),
+      s"kNN mismatch: got ${got.size} rows, brute ${brute(Similarity.KnnK).size}")
+    // block-count invariance: the partial top-k merge is exact for any
+    // blocking, including one that splits every former co-resident pair
+    val alt = Similarity.knnJoin(spark, dir, blocks = 5)
+      .as[(Long, Long, Double, Int)].collect().toSeq
+    assert(alt == got, "blocking factor changed the result")
+    // non-default k
+    val k1 = Similarity.knnJoin(spark, dir, k = 1)
+      .as[(Long, Long, Double, Int)].collect().toSeq
+    assert(k1 == brute(1), "k=1 mismatch")
+  }
 }
