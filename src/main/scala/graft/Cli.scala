@@ -1,0 +1,101 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** `spark-submit` entry point — the user-facing surface of the engine,
+  * the analog of running the reference's scripts (SearchEngine's
+  * main.py builds from a corpus dir; search_engine.py answers a
+  * numbered queries file into a ranked CSV):
+  *
+  * {{{
+  * spark-submit --class graft.Cli graft.jar \
+  *   build <corpusDir> <indexDir> [--format parquet|json|csv]
+  *         [--partitions N] [--no-sha-verify]
+  *   query <indexDir> <queriesFile> <outCsvDir> [--k N] [--driver]
+  *   merge <indexOut> <indexPart> <indexPart> [...]
+  * }}}
+  *
+  * Cluster-model notes:
+  *  - the session comes from `SparkSession.builder().getOrCreate()`
+  *    with NO master/size overrides — spark-submit's `--master`,
+  *    `--num-executors`, `--conf` own the cluster shape (the north
+  *    rule's N vs 4N runs are two submits of this same class);
+  *  - `--partitions` sets BOTH the build's posting-shuffle width and
+  *    `spark.sql.shuffle.partitions`; when absent, the build defaults
+  *    to the session's current shuffle parallelism rather than a
+  *    hard-coded constant;
+  *  - `query` fans the queries out over executors through
+  *    [[query.DistributedRunner]] (broadcast-core, rank-identical to
+  *    the driver engine — gated in QuerySurfaceSpec); `--driver`
+  *    forces the single-process replay path, the exact reference
+  *    behavior, useful on a laptop against a small index.
+  */
+object Cli {
+
+  private def usage(): Nothing = {
+    System.err.println(
+      """usage:
+        |  build <corpusDir> <indexDir> [--format parquet|json|csv] [--partitions N] [--no-sha-verify]
+        |  query <indexDir> <queriesFile> <outCsvDir> [--k N] [--driver]
+        |  merge <indexOut> <indexPart> <indexPart> [...]""".stripMargin)
+    sys.exit(2)
+  }
+
+  /** (flag value | default) from a `--flag value` tail; flags may come
+    * in any order after the positional args. */
+  private def opt(rest: List[String], flag: String): Option[String] =
+    rest.dropWhile(_ != flag) match {
+      case `flag` :: v :: _ => Some(v)
+      case _                => None
+    }
+
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().appName("graft").getOrCreate()
+    try run(spark, args)
+    finally spark.stop()
+  }
+
+  /** The command dispatch, session-agnostic (tests drive it on the
+    * shared local session; main owns the session lifecycle). */
+  def run(spark: SparkSession, args: Array[String]): Unit =
+    args.toList match {
+      case "build" :: corpusDir :: indexDir :: rest =>
+        val fmt = opt(rest, "--format").getOrElse("parquet")
+        val parts = opt(rest, "--partitions").map(_.toInt).getOrElse {
+          spark.conf.get("spark.sql.shuffle.partitions").toInt
+        }
+        spark.conf.set("spark.sql.shuffle.partitions", parts)
+        val docs = corpus.Ingest.read(spark, corpusDir, fmt)
+        val res = index.Build.run(spark, docs, indexDir,
+          index.Build.Config(numPartitions = parts,
+            verifySha = !rest.contains("--no-sha-verify")))
+        println(s"BUILD_OK docs=${res.nDocs} avgdl=${res.avgdl} " +
+          s"postings=${res.totalPostings} shaViolations=${res.shaViolations}")
+        if (res.shaViolations != 0) throw new IllegalStateException(
+          s"ingest invariant violated on ${res.shaViolations} rows")
+
+      case "query" :: indexDir :: queriesFile :: outDir :: rest =>
+        val k = opt(rest, "--k").map(_.toInt).getOrElse(250)
+        val queries = query.QueryRunner.readQueriesFile(queriesFile)
+        if (rest.contains("--driver")) {
+          val engine = new query.Engine(spark, indexDir)
+          try {
+            val rows = query.QueryRunner.run(engine, queries, k)
+            query.QueryRunner.writeCsv(spark, rows, outDir)
+          } finally engine.close()
+        } else {
+          import spark.implicits._
+          val qdf = queries.toDF("query_num", "query")
+          query.DistributedRunner.run(spark, indexDir, qdf, k)
+            .coalesce(1).write.mode("overwrite")
+            .option("header", "true").csv(outDir)
+        }
+        println(s"QUERY_OK queries=${queries.size} out=$outDir")
+
+      case "merge" :: outDir :: parts if parts.size >= 2 =>
+        index.Merge.disjoint(spark, parts, outDir)
+        println(s"MERGE_OK parts=${parts.size} out=$outDir")
+
+      case _ => usage()
+    }
+}

@@ -84,6 +84,8 @@ object SparkEntry {
     "q42_canonical_quality" -> ((s, d) => DupClusters.canonicalByQuality(s, d)),
     // Exact kNN self-join: top-k cosine neighbors for every vector
     "q43_knn_join" -> ((s, d) => Similarity.knnJoin(s, d)),
+    // Incremental Bloom dedup: feed vs already-ingested corpus
+    "q44_bloom_dedup" -> ((s, d) => Dedup.bloomDedup(s, d)),
   )
 
   /** DuckDB equivalents, same column names + total ORDER BY. */
@@ -127,5 +129,6 @@ object SparkEntry {
     "q41_para_dedup" -> Dedup.paraDedupSql,
     "q42_canonical_quality" -> DupClusters.canonicalByQualitySql,
     "q43_knn_join" -> Similarity.knnJoinSql,
+    "q44_bloom_dedup" -> Dedup.bloomDedupSql,
   )
 }

@@ -283,6 +283,23 @@ class PlanSpec extends SparkSpec {
       "scan must prune to (doc_id, n_chars) — text must not be read")
   }
 
+  test("q44 bloom dedup: scans prune to (doc_id, text); confirm + tag joins both broadcast; no sort-merge join") {
+    val df = Dedup.bloomDedup(spark, dir)
+    df.collect() // AQE finalizes the join strategies
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      "scan reads more than doc_id+text")
+    // the exact-confirm semi join streams the corpus against the
+    // broadcast candidate digests; the seen-tag join broadcasts the
+    // matched digests against the feed — neither shuffles a big side
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      s"expected 2 broadcast joins (confirm semi + seen tag):\n${p.take(1500)}")
+    assert(!p.contains("SortMergeJoin"),
+      "a sort-merge join appeared: a big side is being shuffled")
+    // the bloom membership prefilter survives into the physical plan
+    assert(p.contains("might_contain"), "bloom prefilter missing from plan")
+  }
+
   test("q38 budget cut: hash-prefix-partitioned window, single-partition only on the ledger, pruned scan") {
     val df = Assembly.tokenBudget(spark, dir)
     val p = plan(df)

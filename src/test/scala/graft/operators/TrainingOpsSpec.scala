@@ -855,4 +855,59 @@ class TrainingOpsSpec extends SparkSpec {
       .as[(Long, Long, Double, Int)].collect().toSeq
     assert(k1 == brute(1), "k=1 mismatch")
   }
+
+  test("q44 bloom dedup == exact replay; fpp-independent; bloom actually prunes; planted exact dups detected") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    // exact replay: seen iff the digest exists on the corpus side
+    val hs = spark.read.parquet(s"$dir/documents.parquet")
+      .select($"doc_id", org.apache.spark.sql.functions.md5($"text").as("h"))
+      .as[(Long, String)].collect()
+    val corpusH = hs.filter(_._1 % 10 >= 2).map(_._2).toSet
+    val want = hs.map { case (id, h) =>
+      (id, h, if (corpusH(h)) 1 else 0)
+    }.sortBy(_._1).toSeq
+    val got = Dedup.bloomDedup(spark, dir)
+      .as[(Long, String, Int)].collect().toSeq
+    assert(got == want)
+    assert(got.count(_._3 == 1) == hs.count(_._1 % 10 >= 2),
+      "every corpus-side feed row re-offers an ingested digest")
+    assert(got.exists(_._3 == 0), "novel rows exist")
+    // fpp independence: a 64-bit everything-collides filter routes ALL
+    // rows through the exact confirm join — byte-identical result
+    val tiny = Dedup.bloomDedup(spark, dir, numBits = 64L)
+      .as[(Long, String, Int)].collect().toSeq
+    assert(tiny == got, "result depends on bloom fpp")
+    // the prefilter earns its keep at default sizing: novel digests
+    // (100 here) pass only at the fpp rate (~0.8% at 10 bits/key), so
+    // nearly all are cut before the confirm join (deterministic: data,
+    // xxhash64 and the bloom are all fixed)
+    val corpus = spark.read.parquet(s"$dir/documents.parquet")
+      .select($"doc_id", org.apache.spark.sql.functions.md5($"text").as("h")).filter($"doc_id" % 10 >= 2)
+    val bloom = Dedup.corpusBloom(corpus, corpusH.size.toLong,
+      corpusH.size.toLong * 10L)
+    val pass = spark.read.parquet(s"$dir/documents.parquet")
+      .select(org.apache.spark.sql.functions.md5($"text").as("h"))
+      .filter(Dedup.bloomMightContain(bloom, $"h")).count()
+    val nCorpusRows = hs.count(_._1 % 10 >= 2)
+    assert(pass >= nCorpusRows, "no false negatives")
+    assert(pass < nCorpusRows + 20,
+      s"bloom passed $pass rows; expected ~$nCorpusRows + a few fp")
+    // planted corpus with exact dups straddling the split: feed copies
+    // of ingested docs are seen even though doc ids differ
+    val d = tmpDir("graft-bloom")
+    val base = (0L until 30L).map(i => (i * 10L + 5L, s"ingested doc $i"))
+    val copies = (0L until 10L).map(i => (i * 10L, s"ingested doc $i"))
+    val novel = (0L until 10L).map(i => (i * 10L + 1L, s"novel doc $i"))
+    (base ++ copies ++ novel).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val planted = Dedup.bloomDedup(spark, d)
+      .as[(Long, String, Int)].collect()
+    copies.foreach { case (id, _) =>
+      assert(planted.find(_._1 == id).get._3 == 1, s"copy $id not seen")
+    }
+    novel.foreach { case (id, _) =>
+      assert(planted.find(_._1 == id).get._3 == 0, s"novel $id seen")
+    }
+  }
 }
