@@ -32,27 +32,37 @@ import org.apache.spark.sql.SparkSession
   */
 object Cli {
 
-  private def usage(): Nothing = {
-    System.err.println(
-      """usage:
-        |  build <corpusDir> <indexDir> [--format parquet|json|csv] [--partitions N] [--no-sha-verify]
-        |  query <indexDir> <queriesFile> <outCsvDir> [--k N] [--driver]
-        |  merge <indexOut> <indexPart> <indexPart> [...]""".stripMargin)
-    sys.exit(2)
-  }
+  private val usageText =
+    """usage:
+      |  build <corpusDir> <indexDir> [--format parquet|json|csv] [--partitions N] [--no-sha-verify]
+      |  query <indexDir> <queriesFile> <outCsvDir> [--k N] [--driver]
+      |  merge <indexOut> <indexPart> <indexPart> [...]""".stripMargin
+
+  /** Bad invocation → exception, not sys.exit: run() is test-drivable
+    * on a shared session, and main's `finally spark.stop()` must still
+    * execute on the usage path. main translates this to exit code 2. */
+  private def usage(): Nothing = throw new IllegalArgumentException(usageText)
 
   /** (flag value | default) from a `--flag value` tail; flags may come
-    * in any order after the positional args. */
+    * in any order after the positional args. A flag present WITHOUT a
+    * value (end of args) is a usage error, never a silent default. */
   private def opt(rest: List[String], flag: String): Option[String] =
     rest.dropWhile(_ != flag) match {
       case `flag` :: v :: _ => Some(v)
+      case `flag` :: Nil    => usage()
       case _                => None
     }
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().appName("graft").getOrCreate()
-    try run(spark, args)
-    finally spark.stop()
+    val badUsage =
+      try { run(spark, args); false }
+      catch {
+        case e: IllegalArgumentException =>
+          System.err.println(e.getMessage); true
+      }
+      finally spark.stop()
+    if (badUsage) sys.exit(2)
   }
 
   /** The command dispatch, session-agnostic (tests drive it on the
@@ -61,18 +71,24 @@ object Cli {
     args.toList match {
       case "build" :: corpusDir :: indexDir :: rest =>
         val fmt = opt(rest, "--format").getOrElse("parquet")
-        val parts = opt(rest, "--partitions").map(_.toInt).getOrElse {
-          spark.conf.get("spark.sql.shuffle.partitions").toInt
-        }
+        val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+        val parts = opt(rest, "--partitions").map(_.toInt)
+          .getOrElse(prevShuffle.toInt)
         spark.conf.set("spark.sql.shuffle.partitions", parts)
-        val docs = corpus.Ingest.read(spark, corpusDir, fmt)
-        val res = index.Build.run(spark, docs, indexDir,
-          index.Build.Config(numPartitions = parts,
-            verifySha = !rest.contains("--no-sha-verify")))
+        // Scope the override to the build: on spark-submit the session
+        // dies with main anyway, but run() is also test-driven on a
+        // shared session where a leaked conf would poison later suites.
+        val res =
+          try {
+            val docs = corpus.Ingest.read(spark, corpusDir, fmt)
+            index.Build.run(spark, docs, indexDir,
+              index.Build.Config(numPartitions = parts,
+                verifySha = !rest.contains("--no-sha-verify")))
+          } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+        // Build.run itself enforces shaViolations == 0; printed here as
+        // evidence of the gate, not as a second enforcement point.
         println(s"BUILD_OK docs=${res.nDocs} avgdl=${res.avgdl} " +
           s"postings=${res.totalPostings} shaViolations=${res.shaViolations}")
-        if (res.shaViolations != 0) throw new IllegalStateException(
-          s"ingest invariant violated on ${res.shaViolations} rows")
 
       case "query" :: indexDir :: queriesFile :: outDir :: rest =>
         val k = opt(rest, "--k").map(_.toInt).getOrElse(250)

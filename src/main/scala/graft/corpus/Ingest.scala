@@ -65,7 +65,11 @@ object Ingest {
           if (codec == null) in else codec.createInputStream(in)
         val br = new java.io.BufferedReader(new java.io.InputStreamReader(
           stream, java.nio.charset.StandardCharsets.UTF_8))
-        Option(br.readLine())
+        // closing br closes the codec stream too, which returns the
+        // pooled Decompressor (native zlib state) to Hadoop's
+        // CodecPool — closing only `in` would leak one per peek
+        try Option(br.readLine())
+        finally br.close()
       } finally in.close()
     }
   }

@@ -405,12 +405,14 @@ object Dedup {
     // deserialized once per block-pair, not once per pair — the
     // per-pair work stays a primitive double loop over in-memory
     // arrays.
+    // floorMod, not %: a negative vec_id under % yields a negative
+    // block index no right-side row carries — pairs silently vanish
     val left = vecs.flatMap { case (id, v, n) =>
-      val bi = (id % nb).toInt
+      val bi = java.lang.Math.floorMod(id, nb.toLong).toInt
       (bi until nb).iterator.map(bj => (bi * nb + bj, id, v, n))
     }
     val right = vecs.flatMap { case (id, v, n) =>
-      val bj = (id % nb).toInt
+      val bj = java.lang.Math.floorMod(id, nb.toLong).toInt
       (0 to bj).iterator.map(bi => (bi * nb + bj, id, v, n))
     }
     val thresh = CosMin
@@ -779,14 +781,20 @@ object Dedup {
   def bloomDedup(spark: SparkSession, dir: String,
                  numBits: Long = 0L): DataFrame = {
     import spark.implicits._
-    val docs = spark.read.parquet(s"$dir/documents.parquet")
-      .select($"doc_id", md5($"text").as("h"))
+    val raw = spark.read.parquet(s"$dir/documents.parquet")
+    // Sizing uses the UNFILTERED table count — a true parquet-footer
+    // read (no filter, no projection → answered from row-group
+    // metadata). It upper-bounds the ingested-slice cardinality, which
+    // over-sizes the bloom by ≤ the slice fraction — harmless — where
+    // counting the filtered slice itself would cost a full extra pass
+    // over the doc_id column before the real bloom-building pass.
+    val nUpper = raw.count()
+    val docs = raw.select($"doc_id", md5($"text").as("h"))
     val corpus = docs.filter($"doc_id" % 10 >= 2)
-    val nCorpus = corpus.count() // parquet-metadata-cheap sizing pass
     val bits =
       if (numBits > 0L) numBits
-      else math.min(math.max(nCorpus * 10L, 64L), BloomMaxBits)
-    val bloom = corpusBloom(corpus, nCorpus, bits)
+      else math.min(math.max(nUpper * 10L, 64L), BloomMaxBits)
+    val bloom = corpusBloom(corpus, nUpper, bits)
     val candH = // digests that MIGHT be ingested (never misses a dup)
       if (bloom == null) docs.select($"h").limit(0)
       else docs.filter(bloomMightContain(bloom, $"h")).select($"h").distinct()

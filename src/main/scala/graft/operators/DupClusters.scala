@@ -302,8 +302,7 @@ object DupClusters {
     * argmax as a window rank (fine at oracle scale). The quality
     * expression is q18's, verbatim. */
   val canonicalByQualitySql: String = {
-    val stopList = Seq("the", "a", "and", "of", "is", "to", "in")
-      .map("'" + _ + "'").mkString(",")
+    val stopList = TextAnalysis.QualityStopwordsSql
     s"""WITH RECURSIVE $labelCtes,
        |qt AS (
        |  SELECT doc_id, length(text) AS n_chars,

@@ -774,12 +774,15 @@ object Similarity {
         (id, v, math.sqrt(s))
       }
       .filter(_._3 > 0.0)
+    // floorMod, not %: a negative vec_id under % yields a negative
+    // block index that no right-side row carries, silently dropping
+    // every pair involving that vector
     val left = vecs.flatMap { case (id, v, n) =>
-      val bi = (id % nb).toInt
+      val bi = java.lang.Math.floorMod(id, nb.toLong).toInt
       (bi until nb).iterator.map(bj => (bi * nb + bj, id, v, n))
     }
     val right = vecs.flatMap { case (id, v, n) =>
-      val bj = (id % nb).toInt
+      val bj = java.lang.Math.floorMod(id, nb.toLong).toInt
       (0 to bj).iterator.map(bi => (bi * nb + bj, id, v, n))
     }
     val kk = k

@@ -80,6 +80,12 @@ object TextAnalysis {
   private[graft] val QualityStopwords =
     Seq("the", "a", "and", "of", "is", "to", "in")
 
+  /** The same list as a SQL IN-list literal, so every oracle that
+    * mirrors [[qualityScore]] stays in lock-step with the Spark side
+    * if the list ever changes. */
+  private[graft] val QualityStopwordsSql =
+    QualityStopwords.map("'" + _ + "'").mkString(",")
+
   /** The q18 composite quality score as a pure Column over a text
     * column — usable identically from the batch oracle query and the
     * streaming clean path (stateless, codegen'd). Ratios are rounded
@@ -121,8 +127,7 @@ object TextAnalysis {
   }
 
   def qualitySql: String = {
-    val stopList = Seq("the", "a", "and", "of", "is", "to", "in")
-      .map("'" + _ + "'").mkString(",")
+    val stopList = QualityStopwordsSql
     s"""WITH d AS (
        |  SELECT doc_id,
        |    list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t <> '') AS toks,

@@ -30,6 +30,30 @@ class CliSpec extends SparkSpec {
       .sortBy(r => (r._1, r._3))
   }
 
+  test("cli bad invocations throw (no sys.exit) and never leak session conf") {
+    // unknown subcommand and flag-without-value both raise
+    // IllegalArgumentException — run() must be safe to drive from a
+    // shared test JVM, so it never calls sys.exit itself
+    intercept[IllegalArgumentException] {
+      Cli.run(spark, Array("frobnicate", "a", "b"))
+    }
+    intercept[IllegalArgumentException] {
+      Cli.run(spark, Array("build", "a", "b", "--partitions"))
+    }
+    intercept[IllegalArgumentException] {
+      Cli.run(spark, Array("query", "a", "b", "c", "--k"))
+    }
+    // --partitions must not permanently mutate the shared session's
+    // shuffle parallelism (later suites assert plan shapes against it)
+    val before = spark.conf.get("spark.sql.shuffle.partitions")
+    val corpusDir = tmpDir("cli-conf-corpus")
+    Synth.write(spark, 40, corpusDir)
+    Cli.run(spark, Array("build", s"$corpusDir/snapshot-0",
+      tmpDir("cli-conf-idx"), "--partitions", "3"))
+    assert(spark.conf.get("spark.sql.shuffle.partitions") == before,
+      "cli build leaked spark.sql.shuffle.partitions into the session")
+  }
+
   test("cli build + query (distributed and --driver) are rank-identical to the direct engine") {
     val corpusDir = tmpDir("cli-corpus")
     Synth.write(spark, 150, corpusDir)

@@ -296,6 +296,30 @@ class TrainingOpsSpec extends SparkSpec {
     assert(!ids.contains(3L), s"zero-norm vector leaked into pairs: $ids")
   }
 
+  test("q14/q43 triangle blocking handles negative vec_ids (floorMod, not %)") {
+    // regression: `id % nb` is negative for negative ids in Scala, so
+    // the right-side emission range is empty and every pair involving
+    // that vector silently vanished from both operators
+    import spark.implicits._
+    val d = tmpDir("graft-negid")
+    Seq(
+      (-7L, Array(1f, 0f, 0f)), (-2L, Array(1f, 0.01f, 0f)),
+      (3L, Array(0.99f, 0.02f, 0f)), (11L, Array(0f, 1f, 0f)))
+      .toDF("vec_id", "embedding")
+      .write.mode("overwrite").parquet(s"$d/embeddings.parquet")
+    // q14: all three near-parallel vectors pair up, including both
+    // negative ids; pairs are (min, max) ordered
+    val pairs = Dedup.embeddingCosine(spark, d, blocks = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((-7L, -2L), (-7L, 3L), (-2L, 3L)),
+      s"negative-id pairs missing: $pairs")
+    // q43: every vector (negative ids included) gets k=1 neighbor rows
+    val knnIds = Similarity.knnJoin(spark, d, k = 1, blocks = 3)
+      .collect().map(_.getLong(0)).toSet
+    assert(knnIds == Set(-7L, -2L, 3L, 11L),
+      s"negative-id vectors missing from kNN output: $knnIds")
+  }
+
   test("q21 multimodal features are deterministic with a valid feature schema") {
     val a = Multimodal.features(spark, "/root/testdata/sf0.001").collect()
     val b = Multimodal.features(spark, "/root/testdata/sf0.001").collect()
