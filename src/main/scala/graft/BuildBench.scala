@@ -11,7 +11,20 @@ import graft.query.Engine
   * Spawned by graft.Bench; prints parseable KEY=VALUE lines. */
 object BuildBench {
   def main(args: Array[String]): Unit = {
-    val cores = args(0).toInt
+    // spec: "N" = local[N] (one JVM, N worker threads) or "WxC" =
+    // local-cluster[W,C,mem] (W REAL forked executor JVMs of C cores
+    // each — the standalone wire protocol, per-executor heaps, netty
+    // shuffle). The second form is the executor-faithful cluster-size
+    // simulation: scaling W holds the per-executor shape constant and
+    // adds whole machines, exactly what the N-vs-4N-cluster criterion
+    // means, where widening local[N] shares one heap/GC/memory system
+    // across all rungs.
+    val spec = args(0)
+    val lc = spec.contains("x")
+    val (nWorkers, coresPerWorker) =
+      if (lc) { val a = spec.split("x"); (a(0).toInt, a(1).toInt) }
+      else (1, spec.toInt)
+    val cores = nWorkers * coresPerWorker
     val corpusDir = args(1)
     val idxDir = args(2)
     val withLatency = args.length > 3 && args(3) == "latency"
@@ -22,14 +35,22 @@ object BuildBench {
     // (observed: 29/32 executor threads parked). At real corpus scale
     // the default is right; for the bench corpus, size splits so the
     // scan yields >= 2 tasks per core.
-    val spark = SparkSession.builder()
-      .master(s"local[$cores]")
+    val builder = SparkSession.builder()
+      .master(if (lc) s"local-cluster[$nWorkers,$coresPerWorker,6144]"
+              else s"local[$cores]")
       .config("spark.sql.shuffle.partitions", cores)
       .config("spark.sql.files.maxPartitionBytes", s"${4 * 1024 * 1024}")
       .config("spark.sql.files.openCostInBytes", s"${256 * 1024}")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    if (lc) builder
+      .config("spark.executor.memory", "6g")
+      // forked executor JVMs get Spark's jars from SPARK_HOME but not
+      // the application classes — ship the driver's full classpath
+      .config("spark.executor.extraClassPath", sys.props("java.class.path"))
+      // same fixed pre-touched heap discipline as the driver forks
+      .config("spark.executor.extraJavaOptions", "-Xms6g -XX:+AlwaysPreTouch")
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
     val docsDf = spark.read.parquet(corpusDir)
@@ -101,9 +122,13 @@ object BuildBench {
       val qdf = (0 until nq).map(i => (i, distinctQ(i % distinctQ.length)))
         .toDF("query_num", "query").repartition(cores * 2).cache()
       qdf.count()
-      // warm on a small prefix: broadcast + codegen untimed
+      // warm on a small prefix: broadcast + codegen untimed. Warmup is
+      // per-JVM state, so in local-cluster mode it scales with the
+      // worker count — a fixed 500 would give each of 4 executors a
+      // quarter of the JIT warmup the single-executor rung gets,
+      // biasing the scaling ratio against the bigger cluster
       graft.query.DistributedRunner.run(spark, idxDir,
-        qdf.limit(500), k = 250).count()
+        qdf.limit(500 * (if (lc) nWorkers else 1)), k = 250).count()
       val q0 = System.nanoTime()
       graft.query.DistributedRunner.run(spark, idxDir, qdf, k = 250).count()
       val qSec = (System.nanoTime() - q0) / 1e9
@@ -118,22 +143,28 @@ object BuildBench {
       // ride along so a null QPS delta on this box (everything is one
       // warm page cache locally) still shows the FS-read fraction a
       // real cluster would save.
-      if (withLatency) {
+      if (withLatency && !lc) {
         println(s"BENCH_SEGCACHE_HITS=${graft.index.SegmentCache.hits.get()}")
         println(s"BENCH_SEGCACHE_MISSES=${graft.index.SegmentCache.misses.get()}")
       }
-      // save/restore the live capacity rather than re-deriving it from
-      // the system property (a second copy of SegmentCache's init logic
-      // would clobber a programmatically-set capacity and drift if the
-      // default ever changes)
-      val savedCap = graft.index.SegmentCache.capacityBytes
-      graft.index.SegmentCache.capacityBytes = 0L
-      graft.index.SegmentCache.clear()
-      val c0 = System.nanoTime()
-      graft.query.DistributedRunner.run(spark, idxDir, qdf, k = 250).count()
-      val cSec = (System.nanoTime() - c0) / 1e9
-      println(f"BENCH_DIST_QPS_NOCACHE=${nq / cSec}%.1f")
-      graft.index.SegmentCache.capacityBytes = savedCap
+      // cache-off A/B only in single-JVM mode: the toggle mutates the
+      // driver's SegmentCache object, which in local-cluster mode is a
+      // DIFFERENT instance from each executor's — flipping it there
+      // would silently measure cache-on twice and label one "nocache"
+      if (!lc) {
+        // save/restore the live capacity rather than re-deriving it from
+        // the system property (a second copy of SegmentCache's init logic
+        // would clobber a programmatically-set capacity and drift if the
+        // default ever changes)
+        val savedCap = graft.index.SegmentCache.capacityBytes
+        graft.index.SegmentCache.capacityBytes = 0L
+        graft.index.SegmentCache.clear()
+        val c0 = System.nanoTime()
+        graft.query.DistributedRunner.run(spark, idxDir, qdf, k = 250).count()
+        val cSec = (System.nanoTime() - c0) / 1e9
+        println(f"BENCH_DIST_QPS_NOCACHE=${nq / cSec}%.1f")
+        graft.index.SegmentCache.capacityBytes = savedCap
+      }
       qdf.unpersist()
     }
 
