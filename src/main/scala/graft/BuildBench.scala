@@ -45,6 +45,14 @@ object BuildBench {
       .config("spark.ui.enabled", "false")
     if (lc) builder
       .config("spark.executor.memory", "6g")
+      // experiment knob only — A/B'd 2026-08-19 and left at Spark's
+      // default: locality.wait=0 and finer/coarser query partitioning
+      // both moved single-shot QPS readings by less than this box's
+      // run-to-run spread (4x2 readings 2 703-4 385 q/s across
+      // identical configs), so no protocol change is defensible from
+      // that evidence
+      .config("spark.locality.wait",
+        sys.env.getOrElse("GRAFT_LOCALITY_WAIT", "3s"))
       // forked executor JVMs get Spark's jars from SPARK_HOME but not
       // the application classes — ship the driver's full classpath
       .config("spark.executor.extraClassPath", sys.props("java.class.path"))
@@ -120,7 +128,9 @@ object BuildBench {
       val distinctQ = mixedQueries(2000, seed = 7, coldBase = 10, coldStep = 31, nCold = 60)
       val nq = distinctQ.length * 20
       val qdf = (0 until nq).map(i => (i, distinctQ(i % distinctQ.length)))
-        .toDF("query_num", "query").repartition(cores * 2).cache()
+        .toDF("query_num", "query")
+        .repartition(cores * sys.env.getOrElse("GRAFT_QPARTS_PER_CORE", "2").toInt)
+        .cache()
       qdf.count()
       // warm on a small prefix: broadcast + codegen untimed. Warmup is
       // per-JVM state, so in local-cluster mode it scales with the
