@@ -86,6 +86,8 @@ object SparkEntry {
     "q43_knn_join" -> ((s, d) => Similarity.knnJoin(s, d)),
     // Incremental Bloom dedup: feed vs already-ingested corpus
     "q44_bloom_dedup" -> ((s, d) => Dedup.bloomDedup(s, d)),
+    // Group-level curation: drop bottom-quartile sources by mean quality
+    "q45_source_filter" -> ((s, d) => Assembly.sourceQualityFilter(s, d)),
   )
 
   /** DuckDB equivalents, same column names + total ORDER BY. */
@@ -130,5 +132,6 @@ object SparkEntry {
     "q42_canonical_quality" -> DupClusters.canonicalByQualitySql,
     "q43_knn_join" -> Similarity.knnJoinSql,
     "q44_bloom_dedup" -> Dedup.bloomDedupSql,
+    "q45_source_filter" -> Assembly.sourceQualityFilterSql,
   )
 }

@@ -307,4 +307,80 @@ object Assembly {
        |    SELECT doc_id, CAST(ceil(n_chars / 4.0) AS BIGINT) AS n_pieces
        |    FROM documents))
        |ORDER BY doc_id""".stripMargin
+
+  /** q45: GROUP-level quality curation — drop every document from the
+    * bottom-quartile SOURCES by mean quality (the C4/RefinedWeb-style
+    * "remove low-quality domains wholesale" pass; the doc-level
+    * analog is q37's tercile selection). The decision unit is the
+    * source, not the document: a mediocre doc from a good source
+    * survives, a good doc from a bad source does not — that is the
+    * point of domain curation, and no per-doc operator expresses it.
+    *
+    * Determinism across engines/cluster sizes: per-doc quality is
+    * q18's exact rounded column, lifted to integer 1e-4 units
+    * (`round(q*10000)` — the q33 integer-exact aggregation pattern),
+    * so the per-source sum is a plain long; the mean takes ONE rounded
+    * division; sources rank by (mean, source) — a total order — and
+    * the bottom floor(nSources/4) are dropped.
+    *
+    * Scale shape: two column-pruned scans (quality pass reads
+    * (source, text); the join pass reads (doc_id, source) — q33's
+    * documented two-pass trade vs caching a corpus-sized
+    * intermediate). The groupBy(source) partial-aggregates, so the
+    * shuffle carries source-count rows PER TASK; ranking runs on the
+    * sources-sized ledger only (the q31/q38 single-partition-ledger
+    * pattern); the verdict joins back as a BROADCAST. Documents never
+    * shuffle. */
+  def sourceQualityFilter(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val q4 = round(TextAnalysis.qualityScore($"text") * 10000).cast("long")
+    val led = docs.select($"source", q4.as("q4"))
+      .groupBy($"source")
+      .agg(sum($"q4").as("sq"), count(lit(1)).as("n"))
+      .withColumn("src_quality", round($"sq" / ($"n" * 10000.0), 4))
+    val ranked = led
+      .withColumn("rk",
+        row_number().over(Window.orderBy($"src_quality", $"source")))
+      .withColumn("n_src", count(lit(1)).over(
+        Window.partitionBy(lit(1))
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .select($"source", $"src_quality",
+        ($"rk" > floor($"n_src" / 4)).cast("int").as("kept"))
+    docs.select($"doc_id", $"source")
+      .join(broadcast(ranked), "source")
+      .select($"doc_id", $"source", $"src_quality", $"kept")
+      .orderBy($"doc_id")
+  }
+
+  /** Oracle mirror of [[sourceQualityFilter]]: q18's quality formula
+    * verbatim, the same integer-exact ledger, the same
+    * (mean, source)-ordered bottom-quartile cut. */
+  val sourceQualityFilterSql: String = {
+    val stopList = TextAnalysis.QualityStopwordsSql
+    s"""WITH d AS (
+       |  SELECT doc_id, source,
+       |    list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t <> '') AS toks
+       |  FROM documents),
+       |q AS (
+       |  SELECT doc_id, source,
+       |    CAST(round(round(least(1.0, len(toks) / 100.0)
+       |      * round(len(list_filter(toks, t -> regexp_matches(t, '^[a-z]+$$'))) / CAST(len(toks) AS DOUBLE), 4)
+       |      * (1.0 - round(len(list_filter(toks, t -> t IN ($stopList))) / CAST(len(toks) AS DOUBLE), 4) * 0.5),
+       |      4) * 10000) AS BIGINT) AS q4
+       |  FROM d),
+       |led AS (
+       |  SELECT source, round(sum(q4) / (count(*) * 10000.0), 4) AS src_quality
+       |  FROM q GROUP BY source),
+       |ranked AS (
+       |  SELECT source, src_quality,
+       |    row_number() OVER (ORDER BY src_quality, source) AS rk,
+       |    count(*) OVER () AS n_src
+       |  FROM led)
+       |SELECT d.doc_id, d.source, r.src_quality,
+       |  CAST(r.rk > (r.n_src // 4) AS INT) AS kept
+       |FROM documents d JOIN ranked r USING (source)
+       |ORDER BY d.doc_id""".stripMargin
+  }
 }

@@ -311,4 +311,29 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("ReadSchema: struct<doc_id:bigint,n_chars:bigint>"),
       "scan must prune to (doc_id, n_chars) — text must not be read")
   }
+
+  test("q45 source filter: partial-agg ledger, ledger-only single partition, broadcast verdict join, pruned scans") {
+    val df = Assembly.sourceQualityFilter(spark, dir)
+    val p = plan(df)
+    // the per-source aggregate must partial-aggregate map-side so the
+    // shuffle carries source-count rows per task, not doc-count rows
+    assert(p.contains("partial_sum") || p.contains("partial sum"),
+      s"ledger aggregate lost its map-side partial:\n${p.take(1200)}")
+    // ranking runs on the sources-sized ledger only: exactly one
+    // single-partition exchange in the whole plan
+    assert("Exchange SinglePartition".r.findAllIn(p).size == 1,
+      s"single-partition work beyond the ledger:\n${p.take(1200)}")
+    // the verdict joins back as a broadcast; a sort-merge join here
+    // would shuffle every document row
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+    assert(!p.contains("SortMergeJoin"),
+      s"documents must not shuffle for the verdict join:\n${p.take(1200)}")
+    // two column-pruned scans: quality pass (source, text), join pass
+    // (doc_id, source) — neither reads the other's columns
+    assert(p.contains("ReadSchema: struct<source:string,text:string>") ||
+           p.contains("ReadSchema: struct<text:string,source:string>"),
+      "quality scan must prune to (source, text)")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,source:string>"),
+      "join scan must prune to (doc_id, source) — text read twice")
+  }
 }

@@ -320,6 +320,39 @@ class TrainingOpsSpec extends SparkSpec {
       s"negative-id vectors missing from kNN output: $knnIds")
   }
 
+  test("q45 source filter drops WHOLE bottom-quartile sources, doc quality notwithstanding") {
+    import spark.implicits._
+    val d = tmpDir("graft-srcq")
+    // 5 sources: "junk" is all low-quality (short, symbol-heavy);
+    // the others carry long alpha-heavy docs. One GOOD doc is planted
+    // INSIDE junk and one BAD doc inside src-a: group-level curation
+    // must drop the good-doc-in-bad-source and keep the reverse.
+    def good(i: Long) = Seq.fill(120)("alpha" + i).mkString(" ")
+    def bad(i: Long) = s"@@ ## $i %%"
+    val rows =
+      (0L until 10L).map(i => (i, good(i), "src-a")) ++
+      (10L until 20L).map(i => (i, good(i), "src-b")) ++
+      (20L until 30L).map(i => (i, good(i), "src-c")) ++
+      (30L until 40L).map(i => (i, good(i), "src-d")) ++
+      (40L until 49L).map(i => (i, bad(i), "junk")) :+
+      ((49L, good(49L), "junk")) :+ ((9L + 100L, bad(109L), "src-a"))
+    rows.toDF("doc_id", "text", "source")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val out = Assembly.sourceQualityFilter(spark, d).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(3)))
+    // floor(5/4)=1 source dropped: junk, in its entirety — including
+    // the planted good doc 49
+    val dropped = out.filter(_._3 == 0)
+    assert(dropped.nonEmpty && dropped.forall(_._2 == "junk"),
+      s"expected exactly source 'junk' dropped: ${dropped.take(5).toSeq}")
+    assert(dropped.exists(_._1 == 49L),
+      "the good doc inside the bad source must be dropped with its source")
+    // the bad doc inside src-a survives (its source's mean stays top-3/4)
+    assert(out.exists(r => r._1 == 109L && r._3 == 1),
+      "the bad doc inside a good source must survive group curation")
+    assert(out.count(_._3 == 1) == 41)
+  }
+
   test("q21 multimodal features are deterministic with a valid feature schema") {
     val a = Multimodal.features(spark, "/root/testdata/sf0.001").collect()
     val b = Multimodal.features(spark, "/root/testdata/sf0.001").collect()
