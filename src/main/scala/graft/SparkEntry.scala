@@ -88,6 +88,8 @@ object SparkEntry {
     "q44_bloom_dedup" -> ((s, d) => Dedup.bloomDedup(s, d)),
     // Group-level curation: drop bottom-quartile sources by mean quality
     "q45_source_filter" -> ((s, d) => Assembly.sourceQualityFilter(s, d)),
+    // Semantic dedup: drop near-duplicate embeddings within clusters
+    "q46_semdedup" -> ((s, d) => Similarity.semDeDup(s, d)),
   )
 
   /** DuckDB equivalents, same column names + total ORDER BY. */
@@ -133,5 +135,6 @@ object SparkEntry {
     "q43_knn_join" -> Similarity.knnJoinSql,
     "q44_bloom_dedup" -> Dedup.bloomDedupSql,
     "q45_source_filter" -> Assembly.sourceQualityFilterSql,
+    "q46_semdedup" -> Similarity.semDeDupSql,
   )
 }

@@ -666,29 +666,43 @@ object Similarity {
   def centroidAssign(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val e = spark.read.parquet(s"$dir/embeddings.parquet")
-    // labels x dim doubles — tiny by construction (label cardinality),
-    // same driver-resident-codebook pattern as trainIvf
-    val cents: Array[(Int, Array[Float])] = labelCentroidRows(spark, dir)
-      .collect()
-      .groupBy(_.getInt(0)).toArray
-      .map { case (l, rs) =>
-        l -> rs.sortBy(_.getInt(1)).map(_.getDouble(2).toFloat)
-      }.sortBy(_._1)
+    val cents = centroidMatrix(spark, dir)
     if (cents.isEmpty)
       // empty table → empty assignment (the oracle's answer), not a
       // zero-arg greatest() analysis error
       return e.select($"vec_id", lit(0).as("assigned_label"),
         lit(0.0).as("cos")).limit(0)
+    e.select($"vec_id", bestCentroid(cents).as("b"))
+      .select($"vec_id", (-$"b.neg").as("assigned_label"), $"b.cos".as("cos"))
+      .orderBy($"vec_id")
+  }
+
+  /** Float-quantized label-centroid matrix, label-sorted — labels x dim,
+    * tiny by construction (label cardinality), the same driver-resident
+    * codebook pattern as trainIvf. Shared by q36 and q46. */
+  private[operators] def centroidMatrix(
+      spark: SparkSession, dir: String): Array[(Int, Array[Float])] =
+    labelCentroidRows(spark, dir)
+      .collect()
+      .groupBy(_.getInt(0)).toArray
+      .map { case (l, rs) =>
+        l -> rs.sortBy(_.getInt(1)).map(_.getDouble(2).toFloat)
+      }.sortBy(_._1)
+
+  /** Map-only argmax over the centroid matrix: per-label cosines are a
+    * static unroll of the native codegen'd CosineSimilarity against
+    * literal arrays, argmax = one `greatest` over (cos, -label) structs
+    * on the `embedding` column — no explode, no row replication, no
+    * shuffle. Ties break to the smallest label via the negated field. */
+  private[operators] def bestCentroid(
+      cents: Array[(Int, Array[Float])]): org.apache.spark.sql.Column = {
     val scored = cents.map { case (l, c) =>
       struct(
         round(graft.functions.CosineSimilarity.cosine(
-          $"embedding", typedLit(c)), 4).as("cos"),
+          col("embedding"), typedLit(c)), 4).as("cos"),
         lit(-l).as("neg"))
     }
-    val best = if (scored.length == 1) scored.head else greatest(scored: _*)
-    e.select($"vec_id", best.as("b"))
-      .select($"vec_id", (-$"b.neg").as("assigned_label"), $"b.cos".as("cos"))
-      .orderBy($"vec_id")
+    if (scored.length == 1) scored.head else greatest(scored: _*)
   }
 
   /** Oracle mirror of [[centroidAssign]]: double-avg centroids are
@@ -843,6 +857,156 @@ object Similarity {
        |  FROM p)
        |SELECT vec_id, nb_id, cos, rank FROM r WHERE rank <= $KnnK
        |ORDER BY vec_id, rank""".stripMargin
+
+  // ---- q46: semantic dedup within embedding clusters ----------------
+
+  /** Rounded-cosine threshold above which two same-cluster vectors are
+    * semantic duplicates (q46). 0.35 sits just above q14's 0.3 exact
+    * pair threshold — on real embedding corpora SemDeDup runs at
+    * 0.95+; it's a caller knob. */
+  val SemDupTau = 0.35
+
+  /** q46: semantic deduplication (SemDeDup, Abbas et al. 2023 — drop
+    * near-duplicate embeddings WITHIN a cluster, keeping one
+    * representative) as a single-shuffle batch operator.
+    *
+    * Semantics (deterministic pin of the published algorithm):
+    *  1. every vector is assigned to its nearest label centroid —
+    *     exactly q36's map-only assignment (rounded cosine, ties to the
+    *     smallest label);
+    *  2. within each cluster, members are ranked most-central first
+    *     (cent_cos DESC, vec_id ASC — the released SemDeDup code sorts
+    *     by centroid distance and keeps one end of each dup chain; the
+    *     most-central-first order makes the survivor unique and
+    *     engine-independent);
+    *  3. a member is a duplicate iff ANY earlier-ranked member of its
+    *     cluster has rounded cosine >= tau with it. Survivors are the
+    *     rank-minimal representatives of each semantic family.
+    *
+    * Spark shape: the assignment is map-only (literal centroid matrix,
+    * codegen'd cosine — zero exchange), then ONE groupByKey shuffle on
+    * the assigned cluster feeds a per-cluster kernel that sorts members
+    * and runs the early-exit dup scan (a vector stops at its FIRST
+    * earlier hit, so the common dense-dup case is one dot product per
+    * member, not cluster^2). No join anywhere; the only other exchange
+    * is the oracle ORDER BY. Per-task memory is one cluster's vectors —
+    * exactly the published algorithm's per-cluster working set (cluster
+    * count is the knob: real deployments size k ~ n/5000; a cluster too
+    * big for one task would take q14's triangle blocking inside the
+    * group, documented not implemented). Zero-norm vectors are excluded
+    * on both engine and oracle sides (cosine undefined).
+    *
+    * Output: (vec_id, cluster, cent_cos, is_dup 0/1) for every nonzero
+    * vector — the keep-set is `is_dup = 0`, and downstream curation can
+    * weight by cent_cos. Exact within-cluster pair math reuses q43's
+    * kernel arithmetic (double widening, r4 rounding inside the kernel)
+    * so the DuckDB oracle hashes bit-identically. */
+  def semDeDup(spark: SparkSession, dir: String,
+               tau: Double = SemDupTau): DataFrame = {
+    import spark.implicits._
+    val cents = centroidMatrix(spark, dir)
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+    if (cents.isEmpty)
+      return e.select($"vec_id".cast("long"), lit(0).as("cluster"),
+        lit(0.0).as("cent_cos"), lit(0).as("is_dup")).limit(0)
+    val members = e
+      .select($"vec_id".cast("long"), bestCentroid(cents).as("b"),
+        $"embedding")
+      .select($"vec_id", (-$"b.neg").as("cluster"),
+        $"b.cos".as("cent_cos"), $"embedding")
+      .as[(Long, Int, Double, Array[Float])]
+      // norms precompute in double; the VECTORS shuffle as float32 (the
+      // cluster exchange is the operator's only wide payload — widening
+      // before the shuffle would double it) and widen per element in
+      // the kernel, which is bit-identical: float->double conversion is
+      // exact and the accumulation order is unchanged
+      .map { case (id, cl, cc, emb) =>
+        var s = 0.0; var i = 0
+        while (i < emb.length) {
+          val x = emb(i).toDouble; s += x * x; i += 1
+        }
+        (id, cl, cc, emb, math.sqrt(s))
+      }
+      .filter(_._5 > 0.0)
+    val t = tau
+    members
+      .groupByKey(_._2)
+      .flatMapGroups { (cl: Int, it: Iterator[(Long, Int, Double, Array[Float], Double)]) =>
+        // most-central-first total order — the rank the oracle's
+        // row_number uses (cent_cos is already rounded, so double
+        // negation is order-exact)
+        val arr = it.toArray.sortBy { case (id, _, cc, _, _) => (-cc, id) }
+        val out = new Array[(Long, Int, Double, Int)](arr.length)
+        var vi = 0
+        while (vi < arr.length) {
+          val (idv, _, ccv, vv, nv) = arr(vi)
+          var dup = 0
+          var ui = 0
+          while (dup == 0 && ui < vi) {
+            val vu = arr(ui)._4
+            val nu = arr(ui)._5
+            var dot = 0.0; var k = 0
+            while (k < vv.length) {
+              dot += vu(k).toDouble * vv(k).toDouble; k += 1
+            }
+            if (r4(dot / (nu * nv)) >= t) dup = 1
+            ui += 1
+          }
+          out(vi) = (idv, cl, ccv, dup)
+          vi += 1
+        }
+        out.iterator
+      }
+      .toDF("vec_id", "cluster", "cent_cos", "is_dup")
+      .orderBy($"vec_id")
+  }
+
+  /** Oracle mirror of [[semDeDup]]: q36's centroid/assignment CTEs, the
+    * same most-central-first window rank, and the dup set as a
+    * rank-ordered self-join (the naive form of the kernel's early-exit
+    * scan — any earlier member over tau marks the later one). */
+  val semDeDupSql: String =
+    s"""WITH comp AS (
+       |  SELECT label, unnest(range(1, len(embedding)+1)) AS pos,
+       |         unnest(embedding) AS v
+       |  FROM embeddings),
+       |cent AS (
+       |  SELECT label, pos, avg(CAST(v AS DOUBLE)) AS c
+       |  FROM comp GROUP BY label, pos),
+       |cvec AS (
+       |  SELECT label,
+       |         CAST(CAST(list(c ORDER BY pos) AS FLOAT[]) AS DOUBLE[]) AS cv
+       |  FROM cent GROUP BY label),
+       |v AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+       |  FROM embeddings
+       |  WHERE list_sum(list_transform(embedding,
+       |          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) > 0),
+       |scored AS (
+       |  SELECT v.vec_id AS vec_id, cv.label AS label,
+       |         round(list_cosine_similarity(v.e, cv.cv), 4) AS cos
+       |  FROM v CROSS JOIN cvec cv),
+       |assigned AS (
+       |  SELECT vec_id, label, cos,
+       |         row_number() OVER (PARTITION BY vec_id
+       |                            ORDER BY cos DESC, label) AS rn1
+       |  FROM scored),
+       |m AS (
+       |  SELECT a.vec_id AS vec_id, a.label AS cluster,
+       |         a.cos AS cent_cos, v.e AS e,
+       |         row_number() OVER (PARTITION BY a.label
+       |                            ORDER BY a.cos DESC, a.vec_id) AS rn
+       |  FROM assigned a JOIN v ON a.vec_id = v.vec_id
+       |  WHERE a.rn1 = 1),
+       |dups AS (
+       |  SELECT DISTINCT b.vec_id AS vec_id
+       |  FROM m a JOIN m b ON a.cluster = b.cluster AND a.rn < b.rn
+       |  WHERE round(list_cosine_similarity(a.e, b.e), 4) >= $SemDupTau)
+       |SELECT m.vec_id AS vec_id, m.cluster AS cluster,
+       |       m.cent_cos AS cent_cos,
+       |       CASE WHEN d.vec_id IS NULL THEN 0 ELSE 1 END AS is_dup
+       |FROM m LEFT JOIN dups d ON m.vec_id = d.vec_id
+       |ORDER BY m.vec_id""".stripMargin
 
   val centroidAssignSql: String =
     """WITH comp AS (

@@ -967,4 +967,99 @@ class TrainingOpsSpec extends SparkSpec {
       assert(planted.find(_._1 == id).get._3 == 0, s"novel $id seen")
     }
   }
+
+  test("q46 SemDeDup: planted within-cluster dup families keep exactly the most-central member; zero-norm excluded") {
+    import spark.implicits._
+    val d = tmpDir("graft-semdedup")
+    // two planted clusters around e0 / e1; {10,11} and {20,21} are
+    // near-identical families, 12 is same-cluster but below tau (cos to
+    // both family members ~0.30 < 0.35), 99 is the zero vector
+    val rows = Seq(
+      (10L, Array(1.0f, 0f, 0f, 0f), 0),
+      (11L, Array(0.9f, 0.1f, 0f, 0f), 0),
+      (12L, Array(0.3f, 0f, 0.95f, 0f), 0),
+      (20L, Array(0f, 1.0f, 0f, 0f), 1),
+      (21L, Array(0f, 0.95f, 0f, 0.1f), 1),
+      (99L, Array(0f, 0f, 0f, 0f), 0))
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$d/embeddings.parquet")
+    val got = Similarity.semDeDup(spark, d)
+      .as[(Long, Int, Double, Int)].collect().map(r => r._1 -> r).toMap
+    assert(!got.contains(99L), "zero-norm vector must be excluded")
+    assert(got.size == 5)
+    // each family loses exactly its LOWER-ranked member (rank =
+    // cent_cos DESC, vec_id ASC within the cluster)
+    Seq(Seq(10L, 11L), Seq(20L, 21L)).foreach { fam =>
+      val flags = fam.map(id => got(id))
+      assert(flags.map(_._4).sum == 1, s"family $fam flags $flags")
+      val survivor = flags.filter(_._4 == 0).head
+      val dropped = flags.filter(_._4 == 1).head
+      val ord = Ordering.Tuple2[Double, Long]
+      assert(ord.lt((-survivor._3, survivor._1), (-dropped._3, dropped._1)),
+        s"survivor $survivor must outrank dropped $dropped")
+    }
+    assert(got(12L)._4 == 0, "below-tau member must survive")
+    assert(got(12L)._2 == 0, "axis-e0 vector must assign to cluster 0")
+  }
+
+  test("q46 SemDeDup == exact driver replay on real data; plan is join-free with one hash shuffle") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val out = Similarity.semDeDup(spark, dir)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"join in SemDeDup plan:\n$plan")
+    assert("hashpartitioning".r.findAllIn(plan).size == 1,
+      s"expected exactly the cluster shuffle:\n$plan")
+    val got = out.as[(Long, Int, Double, Int)].collect().toSeq
+    // exact replay of the operator's pinned semantics
+    val vecs = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select($"vec_id".cast("long"), $"label", $"embedding")
+      .as[(Long, Int, Array[Float])].collect()
+    val cents: Seq[(Int, Array[Float])] = vecs.groupBy(_._2).map {
+      case (l, vs) =>
+        val dim = vs.head._3.length
+        val m = new Array[Double](dim)
+        vs.foreach(v => (0 until dim).foreach(i => m(i) += v._3(i).toDouble))
+        l -> m.map(x => (x / vs.length).toFloat)
+    }.toSeq.sortBy(_._1)
+    // the expression's arithmetic: widen, ascending-order accumulate,
+    // dot / (sqrt(na) * sqrt(nb)), then round(_, 4)
+    def cosE(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      a.indices.foreach { i =>
+        val x = a(i).toDouble; val y = b(i).toDouble
+        dot += x * y; na += x * x; nb += y * y
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    def r4(x: Double): Double =
+      if (x >= 0) math.floor(x * 1e4 + 0.5) / 1e4
+      else math.ceil(x * 1e4 - 0.5) / 1e4
+    val members = vecs.flatMap { case (id, _, emb) =>
+      val v = emb.map(_.toDouble)
+      val n = math.sqrt(v.map(x => x * x).sum)
+      if (n > 0.0) {
+        val (cl, cc) = cents
+          .map { case (l, c) => (l, r4(cosE(emb, c))) }
+          .maxBy { case (l, c) => (c, -l) }
+        Some((id, cl, cc, v, n))
+      } else None
+    }
+    val expected = members.groupBy(_._2).toSeq.flatMap { case (cl, ms) =>
+      val arr = ms.sortBy { case (id, _, cc, _, _) => (-cc, id) }
+      arr.zipWithIndex.map { case ((id, _, cc, v, n), vi) =>
+        val dup = arr.take(vi).exists { case (_, _, _, u, nu) =>
+          var dot = 0.0; var k = 0
+          while (k < v.length) { dot += u(k) * v(k); k += 1 }
+          r4(dot / (nu * n)) >= Similarity.SemDupTau
+        }
+        (id, cl, cc, if (dup) 1 else 0)
+      }
+    }.sortBy(_._1)
+    assert(got == expected,
+      s"SemDeDup diverged from replay (got ${got.size}, want ${expected.size})")
+    // exercised, not vacuous: dups AND survivors both exist
+    assert(got.exists(_._4 == 1), "no semantic dup in the real table")
+    assert(got.exists(_._4 == 0))
+  }
 }
