@@ -13,7 +13,15 @@ import org.apache.spark.sql.SparkSession
   *         [--partitions N] [--no-sha-verify]
   *   query <indexDir> <queriesFile> <outCsvDir> [--k N] [--driver]
   *   merge <indexOut> <indexPart> <indexPart> [...]
+  *   dedup-labels <corpusDir> <outDir>
   * }}}
+  *
+  * `dedup-labels` materializes the near-dup cluster-label table
+  * (doc_id, cluster_id) at a caller-chosen path — the shared artifact
+  * every downstream curation decision keys off (clustering report,
+  * leakage-safe splits, canonical selection); in-JVM consumers get the
+  * same table through [[operators.DupClusters.labels]]'s per-JVM cache,
+  * this command is the cross-job persistent form.
   *
   * Cluster-model notes:
   *  - the session comes from `SparkSession.builder().getOrCreate()`
@@ -36,7 +44,8 @@ object Cli {
     """usage:
       |  build <corpusDir> <indexDir> [--format parquet|json|csv] [--partitions N] [--no-sha-verify]
       |  query <indexDir> <queriesFile> <outCsvDir> [--k N] [--driver]
-      |  merge <indexOut> <indexPart> <indexPart> [...]""".stripMargin
+      |  merge <indexOut> <indexPart> <indexPart> [...]
+      |  dedup-labels <corpusDir> <outDir>""".stripMargin
 
   /** Bad invocation → exception, not sys.exit: run() is test-drivable
     * on a shared session, and main's `finally spark.stop()` must still
@@ -111,6 +120,11 @@ object Cli {
       case "merge" :: outDir :: parts if parts.size >= 2 =>
         index.Merge.disjoint(spark, parts, outDir)
         println(s"MERGE_OK parts=${parts.size} out=$outDir")
+
+      case "dedup-labels" :: corpusDir :: outDir :: Nil =>
+        operators.DupClusters.computeLabels(spark, corpusDir)
+          .write.mode("overwrite").parquet(outDir)
+        println(s"LABELS_OK out=$outDir")
 
       case _ => usage()
     }

@@ -46,8 +46,30 @@ object DupClusters {
 
   /** The (doc_id, cluster_id) label table over EVERY document — the
     * star-forest closure of the near-dup pair graph, singletons
-    * labeling themselves. Shared by [[clusters]] and [[leakSafeSplit]]. */
-  def labels(spark: SparkSession, dir: String): DataFrame = {
+    * labeling themselves.
+    *
+    * MATERIALIZED once per (corpus dir, JVM) as a parquet artifact and
+    * re-read by every consumer: clustering (q32), leakage-safe
+    * splitting (q40) and canonical selection (q42) all key off the
+    * same label table, and a production pipeline writes that table
+    * once after dedup rather than re-deriving the pair graph + closure
+    * for each downstream decision — the expensive step (shingle join +
+    * star rounds) runs once, downstream ops are a parquet scan plus
+    * their own map/agg work. Same per-JVM artifact discipline as
+    * [[IndexOps.indexFor]] and the ANN layouts (TempDirs lifecycle);
+    * at real scale the path is caller-chosen + manifest, AnnStore's
+    * pattern, and [[computeLabels]] stays the explicit build entry. */
+  private val labelCache = scala.collection.concurrent.TrieMap.empty[String, String]
+
+  def labels(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(labelCache.getOrElseUpdate(dir, {
+      val out = graft.TempDirs.create("graft-dup-labels")
+      computeLabels(spark, dir).write.mode("overwrite").parquet(out)
+      out
+    }))
+
+  /** Derive the label table (one pair-graph build + star contraction). */
+  private[graft] def computeLabels(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val pairs = Dedup.jaccardPairsAll(spark, dir)
       .select($"doc_a".as("a"), $"doc_b".as("b"))

@@ -113,4 +113,18 @@ class CliSpec extends SparkSpec {
       want.sortBy(r => (r._1, r._3)).map(r => (r._1, r._2, r._3)),
       "merged-index CLI ranking drifted from the single-build oracle")
   }
+
+  test("cli dedup-labels persists the label table at a caller-chosen path") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val out = tmpDir("cli-labels-out")
+    Cli.run(spark, Array("dedup-labels", dir, out))
+    val persisted = spark.read.parquet(out)
+      .as[(Long, Long)].collect().sortBy(_._1).toSeq
+    val inJvm = graft.operators.DupClusters.labels(spark, dir)
+      .as[(Long, Long)].collect().sortBy(_._1).toSeq
+    assert(persisted == inJvm,
+      "persisted label table diverged from the in-JVM artifact")
+    assert(persisted.nonEmpty)
+  }
 }

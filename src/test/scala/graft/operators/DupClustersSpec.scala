@@ -139,4 +139,21 @@ class DupClustersSpec extends SparkSpec {
     assert(pairs.nonEmpty && byCluster.exists(_._2.length > 2),
       "fixture too small: need at least one transitive (size>2) cluster")
   }
+
+  test("label table is a per-JVM artifact: built once, re-read by q32/q40/q42") {
+    val dir = "/root/testdata/sf0.001"
+    // two calls resolve to the SAME materialized parquet files — the
+    // pair graph + star contraction ran at most once for this dir
+    val a = DupClusters.labels(spark, dir).inputFiles
+    val b = DupClusters.labels(spark, dir).inputFiles
+    assert(a.nonEmpty && a.sameElements(b), "labels() rebuilt the artifact")
+    assert(a.head.contains("graft-dup-labels"), a.head)
+    // downstream consumers scan the artifact instead of re-deriving the
+    // closure: no shingle/pair machinery in the split's executed plan
+    val p = DupClusters.leakSafeSplit(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("graft-dup-labels"), s"split does not read the artifact:\n$p")
+    assert(!p.contains("Generate"),
+      "split plan re-derives the pair graph (shingle explode present)")
+  }
 }
