@@ -90,6 +90,10 @@ object SparkEntry {
     "q45_source_filter" -> ((s, d) => Assembly.sourceQualityFilter(s, d)),
     // Semantic dedup: drop near-duplicate embeddings within clusters
     "q46_semdedup" -> ((s, d) => Similarity.semDeDup(s, d)),
+    // Semantic decontamination: max cosine vs a fixed eval bench set
+    "q47_sem_decontam" -> ((s, d) => Similarity.semDecontam(s, d)),
+    // kNN label propagation: majority vote over q43's neighbor graph
+    "q48_knn_classify" -> ((s, d) => Similarity.knnClassify(s, d)),
   )
 
   /** DuckDB equivalents, same column names + total ORDER BY. */
@@ -136,5 +140,7 @@ object SparkEntry {
     "q44_bloom_dedup" -> Dedup.bloomDedupSql,
     "q45_source_filter" -> Assembly.sourceQualityFilterSql,
     "q46_semdedup" -> Similarity.semDeDupSql,
+    "q47_sem_decontam" -> Similarity.semDecontamSql,
+    "q48_knn_classify" -> Similarity.knnClassifySql,
   )
 }

@@ -840,8 +840,12 @@ object Similarity {
   /** Oracle mirror of [[knnJoin]]: the naive cross join + window rank
     * (fine at oracle scale — the blocked kernel distributes exactly
     * this math). */
-  val knnJoinSql: String =
-    s"""WITH v AS (
+  /** Shared kNN oracle CTE chain ending in `r(vec_id, nb_id, cos,
+    * rank)` — the exact all-pairs rank [[knnJoin]] distributes. Reused
+    * by [[knnClassifySql]] so q48's oracle inherits q43's neighbor set
+    * by construction. */
+  private[operators] val knnCtes: String =
+    s"""v AS (
        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
        |  FROM embeddings
        |  WHERE list_sum(list_transform(embedding,
@@ -854,7 +858,10 @@ object Similarity {
        |  SELECT vec_id, nb_id, cos,
        |    row_number() OVER (PARTITION BY vec_id
        |                       ORDER BY cos DESC, nb_id) AS rank
-       |  FROM p)
+       |  FROM p)""".stripMargin
+
+  val knnJoinSql: String =
+    s"""WITH $knnCtes
        |SELECT vec_id, nb_id, cos, rank FROM r WHERE rank <= $KnnK
        |ORDER BY vec_id, rank""".stripMargin
 
@@ -1007,6 +1014,156 @@ object Similarity {
        |       CASE WHEN d.vec_id IS NULL THEN 0 ELSE 1 END AS is_dup
        |FROM m LEFT JOIN dups d ON m.vec_id = d.vec_id
        |ORDER BY m.vec_id""".stripMargin
+
+  // ---- q47: semantic decontamination against a fixed eval bench -----
+
+  /** Benchmark size for [[semDecontam]]: the first `BenchVecN` vec_ids
+    * play the held-out eval set. FIXED-size by design — a benchmark
+    * doesn't grow with the corpus, which is what makes the broadcast
+    * side O(1) at any corpus scale. */
+  val BenchVecN = 40
+
+  /** Rounded-cosine threshold above which a corpus vector counts as
+    * contaminated by a bench vector (embedding-space leak). */
+  val DecontamTau = 0.3
+
+  /** q47: SEMANTIC decontamination — flag corpus documents whose
+    * embedding is suspiciously close to a held-out evaluation
+    * benchmark, the embedding-space complement of q27's exact n-gram
+    * decontamination (paraphrased eval leakage that shares no 8-gram
+    * still lands next to the bench item in embedding space; see the
+    * contamination analyses in GPT-3 §8 / PaLM app. and SemDeDup's
+    * cosine machinery reused against an external reference set).
+    *
+    * Scale shape: the bench side is a FIXED-size eval set (collected
+    * once, bench×dim floats — O(1) in corpus size, the same
+    * driver-resident matrix discipline as q36's centroids), so scoring
+    * is MAP-ONLY: per-bench-vector cosines are a static unroll of the
+    * native codegen'd [[graft.functions.CosineSimilarity]] against
+    * literal arrays; `max_cos` is one `greatest` and `n_hits` one
+    * integer add-chain over the same unrolled terms — no explode, no
+    * n×bench row replication, no join, no shuffle (the only exchange
+    * in the plan is the oracle ORDER BY). A naive crossJoin+groupBy
+    * ships n·bench rows through an exchange; this ships zero.
+    *
+    * Zero-norm vectors are excluded on BOTH sides (cosine undefined),
+    * mirroring q43's norm filter; bench-member rows themselves are not
+    * scored (a bench vector is trivially contaminated by itself).
+    * Output per corpus vector: rounded `max_cos` over the bench set,
+    * `n_hits` = #bench vectors at ≥ tau, and the keep/drop flag. */
+  def semDecontam(spark: SparkSession, dir: String,
+                  benchN: Int = BenchVecN,
+                  tau: Double = DecontamTau): DataFrame = {
+    import spark.implicits._
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+    val normPos = aggregate(
+      transform($"embedding", x => x.cast("double") * x.cast("double")),
+      lit(0.0), (acc, x) => acc + x) > 0.0
+    val bench: Array[Array[Float]] = e
+      .filter($"vec_id" < benchN && normPos)
+      .select($"vec_id", $"embedding").as[(Long, Array[Float])]
+      .collect().sortBy(_._1).map(_._2)
+    val corpus = e.filter($"vec_id" >= benchN && normPos)
+      .select($"vec_id".cast("long"), $"embedding")
+    if (bench.isEmpty)
+      // empty bench → nothing can be contaminated; typed empty-safe
+      // answer instead of a zero-arg greatest() analysis error
+      return corpus.select($"vec_id", lit(0.0).as("max_cos"),
+        lit(0L).as("n_hits"), lit(0).as("contaminated"))
+        .orderBy($"vec_id")
+    val cos = bench.map(b =>
+      round(graft.functions.CosineSimilarity.cosine(
+        $"embedding", typedLit(b)), 4))
+    val maxCos = if (cos.length == 1) cos.head else greatest(cos: _*)
+    val nHits = cos.map(c => when(c >= tau, 1L).otherwise(0L))
+      .reduce(_ + _)
+    corpus
+      .select($"vec_id", maxCos.as("max_cos"), nHits.as("n_hits"))
+      .withColumn("contaminated",
+        when($"max_cos" >= tau, 1).otherwise(0))
+      .orderBy($"vec_id")
+  }
+
+  /** Oracle mirror of [[semDecontam]]: the naive corpus×bench cross
+    * join + per-vector max/count the map-only unroll distributes. */
+  val semDecontamSql: String =
+    s"""WITH v AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+       |  FROM embeddings
+       |  WHERE list_sum(list_transform(embedding,
+       |          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) > 0),
+       |bench AS (SELECT e FROM v WHERE vec_id < $BenchVecN),
+       |corp AS (SELECT vec_id, e FROM v WHERE vec_id >= $BenchVecN),
+       |s AS (
+       |  SELECT c.vec_id AS vec_id,
+       |    max(round(list_cosine_similarity(c.e, b.e), 4)) AS max_cos,
+       |    CAST(sum(CASE WHEN round(list_cosine_similarity(c.e, b.e), 4)
+       |             >= $DecontamTau THEN 1 ELSE 0 END) AS BIGINT) AS n_hits
+       |  FROM corp c CROSS JOIN bench b GROUP BY c.vec_id)
+       |SELECT vec_id, max_cos, n_hits,
+       |  CASE WHEN max_cos >= $DecontamTau THEN 1 ELSE 0 END AS contaminated
+       |FROM s ORDER BY vec_id""".stripMargin
+
+  // ---- q48: kNN label propagation over the q43 neighbor graph -------
+
+  /** q48: k-nearest-neighbor label propagation — predict every
+    * vector's label by majority vote over its q43 top-k cosine
+    * neighbors, the standard semi-supervised bulk-labeling /
+    * label-noise-audit step over a kNN graph (predicted≠stored label
+    * flags suspect annotations).
+    *
+    * Spark shape: composes [[knnJoin]]'s bounded-shuffle kernel (the
+    * expensive part, n·k rows out) with one slim equi-join on
+    * `nb_id` against the 2-column (vec_id, label) projection — both
+    * sides key-partitioned by the join key, AQE free to broadcast the
+    * label side at small scale — then a two-level partial aggregate:
+    * per-(vec_id, label) vote counts, then one `max(struct(votes,
+    * score, -label))` argmax per vec_id. No window over the corpus,
+    * no row replication beyond the n·k neighbor rows that already
+    * exist. The vote tiebreak score sums the ROUNDED cosine as an
+    * exact integer (×10⁴, the r4 lattice), so vote ordering is
+    * addition-order-independent and hashes identically across engines
+    * and cluster sizes; remaining ties break to the smallest label.
+    * Zero-norm vectors carry no neighbors (q43 drops them) and are
+    * absent from the output, mirrored by the oracle's norm filter. */
+  def knnClassify(spark: SparkSession, dir: String,
+                  k: Int = KnnK): DataFrame = {
+    import spark.implicits._
+    val nbLabels = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select($"vec_id".cast("long").as("nb_id"), $"label".as("nb_label"))
+    knnJoin(spark, dir, k)
+      .select($"vec_id", $"nb_id",
+        round($"cos" * 1e4).cast("long").as("c4"))
+      .join(nbLabels, "nb_id")
+      .groupBy($"vec_id", $"nb_label")
+      .agg(count(lit(1)).as("votes"), sum($"c4").as("score"))
+      .groupBy($"vec_id")
+      .agg(max(struct($"votes", $"score", (-$"nb_label").as("neg")))
+        .as("b"))
+      .select($"vec_id", (-$"b.neg").as("pred_label"), $"b.votes".as("votes"))
+      .orderBy($"vec_id")
+  }
+
+  /** Oracle mirror of [[knnClassify]]: reuses [[knnCtes]] verbatim so
+    * the oracle's neighbor set IS q43's by construction, then the same
+    * exact-integer vote rank. */
+  val knnClassifySql: String =
+    s"""WITH $knnCtes,
+       |j AS (
+       |  SELECT k.vec_id AS vec_id, e.label AS nb_label,
+       |         CAST(round(k.cos * 10000) AS BIGINT) AS c4
+       |  FROM (SELECT * FROM r WHERE rank <= $KnnK) k
+       |  JOIN embeddings e ON k.nb_id = e.vec_id),
+       |votes AS (
+       |  SELECT vec_id, nb_label, count(*) AS votes, sum(c4) AS score
+       |  FROM j GROUP BY vec_id, nb_label),
+       |ranked AS (
+       |  SELECT vec_id, nb_label, votes,
+       |    row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY votes DESC, score DESC, nb_label) AS rn
+       |  FROM votes)
+       |SELECT vec_id, nb_label AS pred_label, votes
+       |FROM ranked WHERE rn = 1 ORDER BY vec_id""".stripMargin
 
   val centroidAssignSql: String =
     """WITH comp AS (

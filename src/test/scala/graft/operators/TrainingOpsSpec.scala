@@ -1062,4 +1062,100 @@ class TrainingOpsSpec extends SparkSpec {
     assert(got.exists(_._4 == 1), "no semantic dup in the real table")
     assert(got.exists(_._4 == 0))
   }
+
+  test("q47 semantic decontam == exact replay; plan is map-only (no join, no agg); empty bench safe") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val out = Similarity.semDecontam(spark, dir)
+    // scale gate: the bench side is a driver-resident literal matrix, so
+    // scoring must not replicate rows (no join) and must not aggregate;
+    // the only exchange is the oracle ORDER BY (range, not hash)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"row-replicating join in scoring:\n$plan")
+    assert(!plan.contains("Aggregate"), s"aggregation in scoring:\n$plan")
+    assert(!plan.contains("hashpartitioning"),
+      s"unexpected hash exchange in a map-only operator:\n$plan")
+    val got = out.as[(Long, Double, Long, Int)].collect().toSeq
+    // exact replay with the expression's arithmetic (widen, ascending
+    // accumulate, round(_, 4))
+    def cosE(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      a.indices.foreach { i =>
+        val x = a(i).toDouble; val y = b(i).toDouble
+        dot += x * y; na += x * x; nb += y * y
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    def r4(x: Double): Double =
+      if (x >= 0) math.floor(x * 1e4 + 0.5) / 1e4
+      else math.ceil(x * 1e4 - 0.5) / 1e4
+    val vecs = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select($"vec_id".cast("long"), $"embedding")
+      .as[(Long, Array[Float])].collect()
+      .filter { case (_, e) => e.exists(_ != 0f) }
+    val bench = vecs.filter(_._1 < Similarity.BenchVecN).sortBy(_._1).map(_._2)
+    val expected = vecs.filter(_._1 >= Similarity.BenchVecN)
+      .map { case (id, e) =>
+        val cs = bench.map(b => r4(cosE(e, b)))
+        val hits = cs.count(_ >= Similarity.DecontamTau).toLong
+        (id, cs.max, hits, if (cs.max >= Similarity.DecontamTau) 1 else 0)
+      }.sortBy(_._1).toSeq
+    assert(got == expected,
+      s"decontam diverged from replay (got ${got.size}, want ${expected.size})")
+    // exercised: the fixture has contaminated AND clean corpus vectors
+    assert(got.exists(_._4 == 1), "no contaminated vector in fixture")
+    assert(got.exists(_._4 == 0), "every vector contaminated in fixture")
+    // n_hits is consistent with the flag and bounded by the bench size
+    assert(got.forall(r => (r._3 > 0) == (r._4 == 1)))
+    assert(got.forall(_._3 <= Similarity.BenchVecN))
+    // empty bench (benchN = 0 keeps no bench vectors... every corpus row
+    // scores 0 hits) stays typed instead of a zero-arg greatest() error
+    val empty = Similarity.semDecontam(spark, dir, benchN = 0)
+      .as[(Long, Double, Long, Int)].collect()
+    assert(empty.length == vecs.length && empty.forall(_._4 == 0))
+  }
+
+  test("q48 kNN label propagation == brute-force vote; votes bounded by k") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val got = Similarity.knnClassify(spark, dir)
+      .as[(Long, Int, Long)].collect().toSeq
+    def cosR(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      a.indices.foreach { i =>
+        val x = a(i).toDouble; val y = b(i).toDouble
+        dot += x * y; na += x * x; nb += y * y
+      }
+      val c = dot / (math.sqrt(na) * math.sqrt(nb))
+      if (c >= 0) math.floor(c * 1e4 + 0.5) / 1e4
+      else math.ceil(c * 1e4 - 0.5) / 1e4
+    }
+    val vecs = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select($"vec_id".cast("long"), $"label", $"embedding")
+      .as[(Long, Int, Array[Float])].collect()
+      .filter { case (_, _, e) => e.exists(_ != 0f) }
+    val byId = vecs.map(v => v._1 -> v._2).toMap
+    val expected = vecs.map { case (id, _, e) =>
+      val nbs = vecs.filter(_._1 != id)
+        .map { case (nbId, _, w) => (nbId, cosR(e, w)) }
+        .sortBy { case (nbId, c) => (-c, nbId) }
+        .take(Similarity.KnnK)
+      // exact-integer vote score on the r4 lattice, the operator's
+      // documented tiebreak (votes DESC, score DESC, label ASC)
+      val (lbl, (votes, _)) = nbs
+        .groupBy { case (nbId, _) => byId(nbId) }
+        .map { case (l, ns) =>
+          l -> ((ns.length.toLong,
+            ns.map { case (_, c) => math.round(c * 1e4) }.sum))
+        }.toSeq
+        .maxBy { case (l, (v, s)) => (v, s, -l) }
+      (id, lbl, votes)
+    }.sortBy(_._1).toSeq
+    assert(got == expected,
+      s"kNN vote diverged from brute force (got ${got.size} rows)")
+    assert(got.forall(r => r._3 >= 1 && r._3 <= Similarity.KnnK))
+    // exercised: unanimous votes AND split votes both occur
+    assert(got.exists(_._3 == Similarity.KnnK), "no unanimous vote")
+    assert(got.exists(_._3 < Similarity.KnnK), "no split vote")
+  }
 }
