@@ -229,10 +229,40 @@ object Bench {
     // fairness invariant above) and recomputes. All runs, including the
     // noisy ones, stay in the reported arrays with their steal
     // percentages — the retries add evidence, they don't discard any.
+    // Stopping-rule note: retries fire only on below-target readings
+    // (asymmetric/optional stopping), but under a min estimator of
+    // one-sided noise every extra draw moves BOTH rungs toward their
+    // true floors, so the ratio converges toward the TRUE efficiency —
+    // it cannot be pushed above it by more tries, only rescued from an
+    // inflated reading. A genuinely-below-target system burns its 2
+    // retries and still reads below target. All raw runs stay reported.
     val EffTarget =
-      sys.env.getOrElse("GRAFT_BENCH_EFF_TARGET", "0.8").toDouble
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_EFF_TARGET", "0.8").toDouble
     val MaxExtra =
-      sys.env.getOrElse("GRAFT_BENCH_MAX_EXTRA_ROUNDS", "2").toInt
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_MAX_EXTRA_ROUNDS", "2").toInt
+    // Shared recovery driver for both ladders. A retry round that
+    // THROWS (wedged fork killed by the watchdog — the very steal-storm
+    // regime that triggers recovery) must not discard the complete
+    // rounds already collected: log and stop retrying instead.
+    def recoverRounds[R](buf: scala.collection.mutable.ArrayBuffer[R],
+                         run: () => R, eff: () => Double,
+                         label: String): Unit = {
+      var extra = 0
+      while (extra < MaxExtra && eff() < EffTarget) {
+        System.err.println(
+          s"[bench] $label efficiency ${f"${eff()}%.3f"} < $EffTarget: " +
+            s"adding interleaved round ${3 + extra + 1} (noise recovery)")
+        try buf += run()
+        catch {
+          case e: Throwable =>
+            System.err.println(
+              s"[bench] $label recovery round failed (${e.getMessage}); " +
+                "keeping the completed rounds")
+            extra = MaxExtra
+        }
+        extra += 1
+      }
+    }
     type Round = (Map[String, String], Map[String, String], Map[String, String])
     def runRound(): Round =
       (if (degenerate) Map.empty[String, String] else one(nLow.toString, latency = false),
@@ -249,13 +279,7 @@ object Bench {
             val tN = buildDocs / buf.map(_._2("BENCH_BUILD_SECONDS").toDouble).min
             (tN / tLow) / (nCores.toDouble / nLow)
           }
-        var extra = 0
-        while (extra < MaxExtra && headEff < EffTarget) {
-          System.err.println(
-            s"[bench] $nLow->$nCores efficiency ${f"$headEff%.3f"} < $EffTarget: " +
-              s"adding interleaved round ${3 + extra + 1} (noise recovery)")
-          buf += runRound(); extra += 1
-        }
+        recoverRounds(buf, runRound _, () => headEff, s"$nLow->$nCores")
         buf.toSeq
       }
     val low = if (degenerate) Nil else rounds.map(_._1)
@@ -281,32 +305,31 @@ object Bench {
       if (!ladder || cpus < 8 ||
           sys.env.get("SPARK_GRAFT_EXEC_LADDER").contains("off") ||
           !new java.io.File("/opt/spark/jars").isDirectory) Nil
-      else try {
+      else {
         val buf = scala.collection.mutable
           .ArrayBuffer.empty[(Map[String, String], Map[String, String])]
-        (1 to 3).foreach(_ =>
-          buf += ((one("1x2", latency = false), one("4x2", latency = false))))
-        // same bounded noise recovery as the thread ladder (symmetric
-        // extra rounds, min estimator, all runs reported); a round with
-        // a missing build time means a failed fork — stop retrying and
-        // let the emission guard below mark the ladder skipped
-        def eff: Double = {
-          val s1 = buf.flatMap(_._1.get("BENCH_BUILD_SECONDS")).map(_.toDouble)
-          val s4 = buf.flatMap(_._2.get("BENCH_BUILD_SECONDS")).map(_.toDouble)
-          if (s1.size < buf.size || s4.size < buf.size) Double.MaxValue
-          else ((buildDocs / s4.min) / (buildDocs / s1.min)) / 4.0
-        }
-        var extra = 0
-        while (extra < MaxExtra && eff < EffTarget) {
-          System.err.println(
-            s"[bench] exec 1w->4w efficiency ${f"$eff%.3f"} < $EffTarget: " +
-              s"adding interleaved round ${3 + extra + 1} (noise recovery)")
-          buf += ((one("1x2", latency = false), one("4x2", latency = false)))
-          extra += 1
+        def execRound() =
+          (one("1x2", latency = false), one("4x2", latency = false))
+        try {
+          (1 to 3).foreach(_ => buf += execRound())
+          // same bounded noise recovery as the thread ladder (symmetric
+          // extra rounds, min estimator, all runs reported); a round
+          // with a missing build time means a failed fork — stop
+          // retrying and let the emission guard mark the ladder skipped
+          def eff: Double = {
+            val s1 = buf.flatMap(_._1.get("BENCH_BUILD_SECONDS")).map(_.toDouble)
+            val s4 = buf.flatMap(_._2.get("BENCH_BUILD_SECONDS")).map(_.toDouble)
+            if (s1.size < buf.size || s4.size < buf.size) Double.MaxValue
+            else ((buildDocs / s4.min) / (buildDocs / s1.min)) / 4.0
+          }
+          recoverRounds(buf, execRound _, () => eff, "exec 1w->4w")
+        } catch { case e: Throwable =>
+          // keep any COMPLETE rounds already collected — three good
+          // rounds are a valid ladder even if a later one died
+          System.err.println(s"[bench] exec ladder failed: ${e.getMessage}" +
+            s" (keeping ${buf.size} completed rounds)")
         }
         buf.toSeq
-      } catch { case e: Throwable =>
-        System.err.println(s"[bench] exec ladder failed: ${e.getMessage}"); Nil
       }
     val execJson: String =
       if (execRounds.isEmpty ||

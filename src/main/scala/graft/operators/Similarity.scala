@@ -1085,7 +1085,10 @@ object Similarity {
   }
 
   /** Oracle mirror of [[semDecontam]]: the naive corpus×bench cross
-    * join + per-vector max/count the map-only unroll distributes. */
+    * join + per-vector max/count the map-only unroll distributes. LEFT
+    * JOIN ON TRUE (cross join when bench is nonempty) + COALESCE so an
+    * EMPTY bench yields every corpus row with zeros — the Spark side's
+    * documented empty-bench answer — instead of zero rows. */
   val semDecontamSql: String =
     s"""WITH v AS (
        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
@@ -1096,10 +1099,11 @@ object Similarity {
        |corp AS (SELECT vec_id, e FROM v WHERE vec_id >= $BenchVecN),
        |s AS (
        |  SELECT c.vec_id AS vec_id,
-       |    max(round(list_cosine_similarity(c.e, b.e), 4)) AS max_cos,
+       |    COALESCE(max(round(list_cosine_similarity(c.e, b.e), 4)),
+       |             0.0) AS max_cos,
        |    CAST(sum(CASE WHEN round(list_cosine_similarity(c.e, b.e), 4)
        |             >= $DecontamTau THEN 1 ELSE 0 END) AS BIGINT) AS n_hits
-       |  FROM corp c CROSS JOIN bench b GROUP BY c.vec_id)
+       |  FROM corp c LEFT JOIN bench b ON TRUE GROUP BY c.vec_id)
        |SELECT vec_id, max_cos, n_hits,
        |  CASE WHEN max_cos >= $DecontamTau THEN 1 ELSE 0 END AS contaminated
        |FROM s ORDER BY vec_id""".stripMargin
