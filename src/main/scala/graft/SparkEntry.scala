@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Assembly, Dedup, DupClusters, IndexOps, LmScore, Multimodal, Relational, Similarity, TextAnalysis, TextRelational}
+import graft.operators.{Assembly, Dedup, DupClusters, IndexOps, LmScore, Multimodal, Relational, Similarity, TextAnalysis, TextRelational, Versioning}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -94,6 +94,8 @@ object SparkEntry {
     "q47_sem_decontam" -> ((s, d) => Similarity.semDecontam(s, d)),
     // kNN label propagation: majority vote over q43's neighbor graph
     "q48_knn_classify" -> ((s, d) => Similarity.knnClassify(s, d)),
+    // Snapshot diff: added/removed/changed/same between corpus versions
+    "q49_snapshot_diff" -> ((s, d) => Versioning.snapshotDiff(s, d)),
   )
 
   /** DuckDB equivalents, same column names + total ORDER BY. */
@@ -142,5 +144,6 @@ object SparkEntry {
     "q46_semdedup" -> Similarity.semDeDupSql,
     "q47_sem_decontam" -> Similarity.semDecontamSql,
     "q48_knn_classify" -> Similarity.knnClassifySql,
+    "q49_snapshot_diff" -> Versioning.snapshotDiffSql,
   )
 }

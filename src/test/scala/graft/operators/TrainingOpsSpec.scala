@@ -1158,4 +1158,57 @@ class TrainingOpsSpec extends SparkSpec {
     assert(got.exists(_._3 == Similarity.KnnK), "no unanimous vote")
     assert(got.exists(_._3 < Similarity.KnnK), "no split vote")
   }
+
+  test("q49 snapshot diff == exact replay; all four statuses exercised; text never shuffles") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val out = Versioning.snapshotDiff(spark, dir)
+    // scale gate: both sides reduce to (doc_id, digest) BEFORE the
+    // exchange — the join's shuffle must not carry the text column.
+    // EnsureRequirements inserts the join's exchanges directly above
+    // the SMJ children, so each child's output IS the shuffled payload
+    // (checked on sparkPlan: AQE wraps executedPlan in a leaf node)
+    val smj = out.queryExecution.sparkPlan.collect {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+    }
+    assert(smj.size == 1 && smj.head.joinType.sql == "FULL OUTER",
+      s"expected one full-outer sort-merge join:\n${out.queryExecution.sparkPlan}")
+    val shuffled = smj.head.left.output ++ smj.head.right.output
+    assert(!shuffled.exists(_.name == "text"),
+      s"text column rides the diff shuffle: $shuffled")
+    assert(shuffled.count(_.name.endsWith("_digest")) == 2,
+      s"digests must be computed below the join: $shuffled")
+    val got = out.as[(Long, Option[String], Option[String], String)]
+      .collect().toSeq
+    // replay from first principles on the documents table
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    val oldSnap = docs.filter(_._1 % 13 != 0).map { case (id, t) =>
+      id -> md5hex(if (id % 7 == 0) t + " [old-rev]" else t)
+    } ++ docs.filter(_._1 % 17 == 0).map { case (id, t) =>
+      (-id - 1) -> md5hex(t)
+    }
+    val newSnap = docs.map { case (id, t) => id -> md5hex(t) }
+    val oldM = oldSnap.toMap; val newM = newSnap.toMap
+    val expected = (oldM.keySet ++ newM.keySet).toSeq.sorted.map { id =>
+      val (o, n) = (oldM.get(id), newM.get(id))
+      val st =
+        if (o.isEmpty) "added"
+        else if (n.isEmpty) "removed"
+        else if (o == n) "same" else "changed"
+      (id, o, n, st)
+    }
+    assert(got == expected,
+      s"snapshot diff diverged (got ${got.size}, want ${expected.size})")
+    // the fixture plants every regime
+    Seq("added", "removed", "changed", "same").foreach { s =>
+      assert(got.exists(_._4 == s), s"no '$s' row in fixture")
+    }
+    // digests are present exactly where the side exists
+    assert(got.forall(r => r._2.isEmpty == (r._4 == "added")))
+    assert(got.forall(r => r._3.isEmpty == (r._4 == "removed")))
+  }
 }
