@@ -457,9 +457,17 @@ object Build {
       .agg(coalesce(sum($"cf"), lit(0L))).head().getLong(0)
 
     // ts_min/ts_max let the engine skip loading the per-doc timestamp
-    // map entirely when the corpus has no recency signal (all equal)
-    Seq((n, av, tsMin, tsMax, nNumbers))
-      .toDF("n_docs", "avgdl", "ts_min", "ts_max", "n_number_tokens")
+    // map entirely when the corpus has no recency signal (all equal).
+    // tok_cfg is the analysis-chain fingerprint Merge.disjoint compares
+    // across parts — merging a stemmed index into an unstemmed one
+    // unions incompatible term spaces and must fail loudly, not serve
+    // silently-wrong df/idf (stopword set enters via its content hash:
+    // Scala's MurmurHash3 set hash is a pure function of the elements).
+    val tokCfg = s"stem=${cfg.tokenizer.stem}|plain=${cfg.tokenizer.plain}" +
+      s"|sw=${cfg.tokenizer.stopwords.hashCode}"
+    Seq((n, av, tsMin, tsMax, nNumbers, tokCfg))
+      .toDF("n_docs", "avgdl", "ts_min", "ts_max", "n_number_tokens",
+        "tok_cfg")
       .write.mode(SaveMode.Overwrite).parquet(s"$indexDir/corpus_stats")
 
     // manifest markers already carry per-partition rows — no extra job

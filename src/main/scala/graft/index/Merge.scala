@@ -31,6 +31,16 @@ object Merge {
     * merge≡rebuild byte-identity gate is unaffected. */
   private def linkOrCopy(fsIn: org.apache.hadoop.fs.FileSystem, src: Path,
                          fsOut: org.apache.hadoop.fs.FileSystem, dst: Path): Unit = {
+    // Replay safety: a merge that crashed mid-way and is re-run into the
+    // same outDir (StreamIndexer epoch replay) finds dst already present
+    // as a HARD LINK to src's inode. The old copy fallback opened dst
+    // with overwrite=true, which TRUNCATES the shared inode — i.e.
+    // zeroes the LIVE published index's segment bytes. Unlink the stale
+    // name first (dropping a link never touches the shared inode), and
+    // route the copy fallback through tmp+rename so no reader — and no
+    // second crash — can ever observe a partially-copied file under the
+    // final name.
+    if (fsOut.exists(dst)) fsOut.delete(dst, false)
     val bothLocal =
       fsIn.getScheme == "file" && fsOut.getScheme == "file"
     val linked = bothLocal && {
@@ -41,8 +51,12 @@ object Merge {
         true
       } catch { case _: Exception => false } // cross-device etc. -> copy
     }
-    if (!linked)
-      org.apache.hadoop.fs.FileUtil.copy(fsIn, src, fsOut, dst, false, fsIn.getConf)
+    if (!linked) {
+      val tmp = new Path(dst.getParent,
+        s".${dst.getName}.tmp-${java.util.UUID.randomUUID()}")
+      org.apache.hadoop.fs.FileUtil.copy(fsIn, src, fsOut, tmp, false, fsIn.getConf)
+      fsOut.rename(tmp, dst)
+    }
   }
 
   /** Merge `parts` (built over docId-disjoint corpora) into `outDir`.
@@ -58,6 +72,10 @@ object Merge {
     val ranges = parts.map { p =>
       val r = spark.read.parquet(s"$p/doc_stats")
         .agg(min($"doc_id"), max($"doc_id"), count(lit(1))).head()
+      // empty doc_stats (crashed or zero-doc build) would NPE on the
+      // null min/max unbox below — fail with the part named instead
+      require(r.getLong(2) > 0,
+        s"$p has no documents (empty doc_stats) — not mergeable")
       (r.getLong(0), r.getLong(1), r.getLong(2))
     }
     val sorted = ranges.sortBy(_._1)
@@ -66,6 +84,24 @@ object Merge {
         require(hi < lo2, s"docId ranges overlap: max=$hi vs min=$lo2")
       case _ =>
     }
+
+    // ---- validate analysis-chain compatibility: merging indexes built
+    // with different tokenizer configs (stemmed vs unstemmed, different
+    // stopword sets) would union incompatible term spaces — df/idf
+    // silently wrong and half the corpus unfindable. Build persists its
+    // analysis fingerprint in corpus_stats.tok_cfg; parts predating the
+    // column are tolerated (nothing to compare), any two DEFINED
+    // fingerprints must agree.
+    val tokCfgs = parts.flatMap { p =>
+      val cs = spark.read.parquet(s"$p/corpus_stats")
+      if (cs.columns.contains("tok_cfg"))
+        Option(cs.select($"tok_cfg").head().getString(0)).map(p -> _)
+      else None
+    }
+    require(tokCfgs.map(_._2).distinct.size <= 1,
+      "parts were built with different tokenizer configs — refusing to " +
+        "merge incompatible term spaces: " +
+        tokCfgs.map { case (p, c) => s"$p -> $c" }.mkString("; "))
 
     val fsOut = SegmentStore.fs(outDir)
     fsOut.mkdirs(new Path(s"$outDir/segments/_markers"))
@@ -79,10 +115,25 @@ object Merge {
     // becomes m<i>-<j>.bin one level deep again). ----------------------
     val dicts = parts.zipWithIndex.map { case (p, i) =>
       val fsIn = SegmentStore.fs(s"$p/segments")
-      val files = fsIn.listStatus(new Path(s"$p/segments"))
+      val listing = fsIn.listStatus(new Path(s"$p/segments"))
         .filter(_.isFile).map(_.getPath.getName)
-        .filter(_.endsWith(".bin")).sorted
-      val renames = files.zipWithIndex.map { case (name, j) =>
+        .filter(_.endsWith(".bin")).toSet
+      // link the DICT-REFERENCED file set, not the directory listing:
+      // an in-place rebuild with a different partition count can leave
+      // orphan .bin files no dict row points at, and a listing-based
+      // link would carry those dead bytes into every merged generation
+      // forever (and byte-copy them per epoch on non-local FS). The
+      // referenced set is file-count-bound (dict projects one column,
+      // distinct). Loud-failure invariant kept: a dict row naming a
+      // file ABSENT from the listing (partially-deleted or corrupt
+      // part) aborts the merge before anything links.
+      val referenced = spark.read.parquet(s"$p/dict")
+        .select($"file").distinct().as[String].collect().sorted
+      val missing = referenced.filterNot(listing)
+      require(missing.isEmpty,
+        s"dict of $p references segment files missing from " +
+          s"$p/segments: ${missing.take(5).mkString(", ")}")
+      val renames = referenced.zipWithIndex.map { case (name, j) =>
         val nn = s"m$i-$j.bin"
         linkOrCopy(fsIn, new Path(s"$p/segments/$name"),
           fsOut, new Path(s"$outDir/segments/$nn"))
@@ -90,15 +141,7 @@ object Merge {
       }
       spark.read.parquet(s"$p/dict")
         .join(broadcast(renames.toSeq.toDF("file", "new_file")),
-          Seq("file"), "left")
-        // loud-failure invariant: a dict row pointing at a file absent
-        // from the segments listing (partially-deleted or corrupt part)
-        // must ABORT the merge — an inner join silently discarded the
-        // row, and the merged index would serve with that term's
-        // postings missing and no error anywhere (round-4 review)
-        .withColumn("new_file", coalesce($"new_file", raise_error(concat(
-          lit(s"dict of $p references a segment file missing from " +
-            s"$p/segments: "), $"file"))))
+          Seq("file"), "inner") // total by construction over `referenced`
         .drop("file").withColumnRenamed("new_file", "file")
     }
     // allowMissingColumns everywhere below: a part built by an earlier
@@ -158,8 +201,12 @@ object Merge {
     // at the cost of slightly looser pruning.
     val boundScale = partStats
       .map { case (a, s, _, _) => s * math.max(1.0, avgdl / a) }.max
-    Seq((totals, avgdl, boundScale, tsMin, tsMax))
+    val mergedCs = Seq((totals, avgdl, boundScale, tsMin, tsMax))
       .toDF("n_docs", "avgdl", "bound_scale", "ts_min", "ts_max")
+    // carry the (validated-common) analysis fingerprint forward so
+    // chained re-merges keep enforcing compatibility
+    tokCfgs.headOption.map(_._2)
+      .fold(mergedCs)(c => mergedCs.withColumn("tok_cfg", lit(c)))
       .write.mode(SaveMode.Overwrite).parquet(s"$outDir/corpus_stats")
 
     // ---- ts artifact: doc ranges are disjoint, so part stores LINK
@@ -239,9 +286,12 @@ object Merge {
     val fsIn = SegmentStore.fs(indexDir)
     val fsOut = SegmentStore.fs(outDir)
     fsOut.mkdirs(new Path(s"$outDir/segments/_markers"))
-    val segFiles = fsIn.listStatus(new Path(s"$indexDir/segments"))
-      .filter(_.isFile).map(_.getPath.getName).filter(_.endsWith(".bin"))
-      .toSeq.sorted
+    // rewrite the DICT-REFERENCED files only (same rationale as
+    // disjoint's linking): orphan .bin files from a prior in-place
+    // rebuild are dropped at compaction instead of riding forever
+    import spark.implicits._
+    val segFiles = spark.read.parquet(s"$indexDir/dict")
+      .select($"file").distinct().as[String].collect().toSeq.sorted
     val inSeg = s"$indexDir/segments"
     val outSeg = s"$outDir/segments"
     if (segFiles.nonEmpty)

@@ -143,6 +143,20 @@ object DupClusters {
     // Superseded rounds' checkpoint blocks become unreachable and are
     // freed by the ContextCleaner; live state is ≤ 2 edge-sized sets.
     //
+    // FAULT TOLERANCE is the local checkpoint's trade: blocks live on
+    // their executor only, so losing ONE executor mid-contraction (spot
+    // preemption, OOM, decommission) kills the whole derivation — there
+    // is no lineage left to recompute from. When the session has a
+    // RELIABLE checkpoint dir configured (sc.setCheckpointDir — the
+    // norm on preemptible clusters), rounds checkpoint there instead:
+    // each round pays a second job (write-out), and executor loss only
+    // re-reads surviving checkpoint files. Local stays the default for
+    // the non-preemptible/local case where it is strictly faster.
+    def roundCkpt(e: DataFrame): DataFrame =
+      if (e.sparkSession.sparkContext.getCheckpointDir.isDefined)
+        e.checkpoint(eager = false)
+      else e.localCheckpoint(eager = false)
+    //
     // localContract first: each partition's edges are rewritten into
     // the star forest of its LOCAL components before anything shuffles
     // — a dense dup clique (the common shape in a near-dup graph)
@@ -151,14 +165,14 @@ object DupClusters {
     // the round COUNT all start from the contracted size.
     var cur = localContract(edges0.filter($"a" =!= $"b")
         .select(greatest($"a", $"b").as("a"), least($"a", $"b").as("b")))
-      .distinct().localCheckpoint(false)
+      .distinct().transform(roundCkpt)
     var curSig = sig(cur)
     var rounds = 0
     var converged = curSig._1 == 0L
     while (!converged) {
       rounds += 1
       require(rounds <= MaxRounds, s"star contraction did not converge in $MaxRounds rounds")
-      val next = smallStar(largeStar(cur)).localCheckpoint(false)
+      val next = roundCkpt(smallStar(largeStar(cur)))
       val nextSig = sig(next)
       converged = nextSig == curSig
       cur = next

@@ -51,10 +51,20 @@ object StreamIndexer {
     val p = new Path(s"$root/$name")
     if (!fs.exists(p)) None
     else {
-      val buf = new Array[Byte](fs.getFileStatus(p).getLen.toInt)
+      // open FIRST, then read to EOF from the open stream: sizing a
+      // buffer from getFileStatus and opening afterwards races the
+      // atomic pointer flip — the old generation's length against the
+      // new file yields an EOFException or a TRUNCATED path that can
+      // name a long-GC'd generation. The open stream is coherent: the
+      // rename is atomic, so the stream sees exactly one generation.
       val in = fs.open(p)
-      try { in.readFully(buf); Some(new String(buf, "UTF-8").trim) }
-      finally in.close()
+      try {
+        val bos = new java.io.ByteArrayOutputStream(64)
+        val buf = new Array[Byte](256)
+        var r = in.read(buf)
+        while (r >= 0) { bos.write(buf, 0, r); r = in.read(buf) }
+        Some(new String(bos.toByteArray, "UTF-8").trim)
+      } finally in.close()
     }
   }
 
@@ -108,18 +118,38 @@ object StreamIndexer {
                                       cfg: Build.Config,
                                       compactEvery: Int = 0,
                                       gc: Boolean = false): Unit = {
-    if (batch.isEmpty) return
+    // persist: the batch is consumed by TWO actions (the isEmpty probe
+    // and the snapshot build's staging scan) — without it every epoch
+    // re-fetches the micro-batch from the source, which is not free for
+    // remote-broker/object-storage sources
+    batch.persist()
+    try {
+      if (batch.isEmpty) return
+      val spark = batch.sparkSession
+      val fs = SegmentStore.fs(root)
+      val snap = s"$root/snapshots/epoch-$epochId"
+      val done = new Path(s"$snap/_DONE")
+      if (!fs.exists(done)) {
+        Build.run(spark, batch.toDF()
+          .select(col("doc_id"), col("content"),
+            col("ts").cast("long").as("ingest_ts")),
+          snap, cfg)
+        fs.create(done, true).close()
+      }
+      processBatchPublished(batch, epochId, root, cfg, compactEvery, gc,
+        snap)
+    } finally batch.unpersist()
+  }
+
+  /** Post-snapshot phase of [[processBatch]]: merge/compact + publish +
+    * GC (split out so the persist/unpersist lifecycle above stays a
+    * single try/finally around both actions). */
+  private def processBatchPublished(batch: Dataset[StreamIngest.DocEvent],
+                                    epochId: Long, root: String,
+                                    cfg: Build.Config, compactEvery: Int,
+                                    gc: Boolean, snap: String): Unit = {
     val spark = batch.sparkSession
     val fs = SegmentStore.fs(root)
-    val snap = s"$root/snapshots/epoch-$epochId"
-    val done = new Path(s"$snap/_DONE")
-    if (!fs.exists(done)) {
-      Build.run(spark, batch.toDF()
-        .select(col("doc_id"), col("content"),
-          col("ts").cast("long").as("ingest_ts")),
-        snap, cfg)
-      fs.create(done, true).close()
-    }
     val prev = currentIndex(root)
     val merged = prev match {
       case None => snap

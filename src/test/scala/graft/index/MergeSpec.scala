@@ -229,4 +229,68 @@ class MergeSpec extends SparkSpec {
     assert(w2.toSeq == eng2.searchExhaustive("codec", 30).toSeq)
     eng2.close()
   }
+
+  test("replayed merge into the same outDir never truncates the live index through a hard link") {
+    import spark.implicits._
+    def build(lo: Long, hi: Long, name: String): String = {
+      val d = tmpDir(name)
+      Build.run(spark, (lo until hi).map(i => (i, Synth.content(i)))
+        .toDF("doc_id", "content"), d,
+        Build.Config(numPartitions = 2, nSalts = 2, verifySha = false))
+      d
+    }
+    val idxA = build(0L, 60L, "replay-a")
+    val idxB = build(100L, 160L, "replay-b")
+    val srcBytes = {
+      val fs = SegmentStore.fs(idxA)
+      val segs = fs.listStatus(new org.apache.hadoop.fs.Path(s"$idxA/segments"))
+        .filter(_.isFile).map(_.getPath).filter(_.getName.endsWith(".bin"))
+      segs.map(p => p.getName -> fs.getFileStatus(p).getLen).toMap
+    }
+    require(srcBytes.nonEmpty && srcBytes.values.forall(_ > 0))
+    val out = tmpDir("replay-out")
+    // crash-then-replay: the first merge completes PARTIALLY (simulated
+    // by running it fully — every dst now exists as a hard link to the
+    // LIVE part's inodes), then the epoch replays into the same outDir
+    Merge.disjoint(spark, Seq(idxA, idxB), out)
+    Merge.disjoint(spark, Seq(idxA, idxB), out)
+    // the live part's segment bytes must be untouched: the old copy
+    // fallback truncated the shared inode through the existing link
+    val fs = SegmentStore.fs(idxA)
+    srcBytes.foreach { case (name, len) =>
+      val now = fs.getFileStatus(
+        new org.apache.hadoop.fs.Path(s"$idxA/segments/$name")).getLen
+      assert(now == len, s"replayed merge truncated live segment $name")
+    }
+    // and the merged index still answers
+    val eng = new Engine(spark, out, preload = true)
+    assert(eng.nDocs == 120)
+    assert(eng.searchWand("codec", 10).nonEmpty)
+    eng.close()
+  }
+
+  test("merging parts built with different tokenizer configs is refused loudly") {
+    import spark.implicits._
+    def build(lo: Long, hi: Long, name: String, stem: Boolean): String = {
+      val d = tmpDir(name)
+      Build.run(spark, (lo until hi).map(i => (i, Synth.content(i)))
+        .toDF("doc_id", "content"), d,
+        Build.Config(numPartitions = 2, nSalts = 2, verifySha = false,
+          tokenizer = Tokenizer.default.copy(stem = stem)))
+      d
+    }
+    val stemmed = build(0L, 40L, "tok-a", stem = true)
+    val unstemmed = build(100L, 140L, "tok-b", stem = false)
+    val e = intercept[IllegalArgumentException] {
+      Merge.disjoint(spark, Seq(stemmed, unstemmed), tmpDir("tok-out"))
+    }
+    assert(e.getMessage.contains("tokenizer configs"), e.getMessage)
+    // same config still merges fine
+    val ok = build(200L, 240L, "tok-c", stem = true)
+    val out = tmpDir("tok-ok-out")
+    Merge.disjoint(spark, Seq(stemmed, ok), out)
+    val eng = new Engine(spark, out, preload = true)
+    assert(eng.nDocs == 80)
+    eng.close()
+  }
 }
