@@ -1157,6 +1157,16 @@ class TrainingOpsSpec extends SparkSpec {
     // exercised: unanimous votes AND split votes both occur
     assert(got.exists(_._3 == Similarity.KnnK), "no unanimous vote")
     assert(got.exists(_._3 < Similarity.KnnK), "no split vote")
+    // plan gates: the global rank's shuffle is k-bounded (Spark pushes
+    // a PARTIAL WindowGroupLimit below the exchange, so only k rows per
+    // vec_id per task ride it), and the label join never degrades to a
+    // cartesian
+    val plan = Similarity.knnClassify(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"rank window is not k-bounded before the exchange:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"label join degraded to a cartesian:\n$plan")
   }
 
   test("q49 snapshot diff == exact replay; all four statuses exercised; text never shuffles") {
