@@ -873,9 +873,24 @@ object Similarity {
     * 0.95+; it's a caller knob. */
   val SemDupTau = 0.35
 
+  /** Target members per block in [[semDeDup]]'s within-cluster triangle
+    * blocking: a (4096 x 2) block-pair of 1024-dim float32 vectors is
+    * ~32 MB of task memory — the bound holds no matter how large a
+    * single dup-family cluster grows. */
+  val SemDupBlock = 4096
+
+  /** Test instrumentation for [[semDeDup]]: when set (TrainingOpsSpec),
+    * every block-pair kernel group records its total member count (both
+    * cogroup sides), letting the suite pin per-task memory at O(block)
+    * and total candidate work at O(members * blocks). Captured on the
+    * driver at plan-build time; None in production. */
+  @volatile private[graft] var semDupProbe:
+      Option[org.apache.spark.util.CollectionAccumulator[java.lang.Integer]] =
+    None
+
   /** q46: semantic deduplication (SemDeDup, Abbas et al. 2023 — drop
     * near-duplicate embeddings WITHIN a cluster, keeping one
-    * representative) as a single-shuffle batch operator.
+    * representative) with bounded task memory at any cluster size.
     *
     * Semantics (deterministic pin of the published algorithm):
     *  1. every vector is assigned to its nearest label centroid —
@@ -888,45 +903,68 @@ object Similarity {
     *     engine-independent);
     *  3. a member is a duplicate iff ANY earlier-ranked member of its
     *     cluster has rounded cosine >= tau with it. Survivors are the
-    *     rank-minimal representatives of each semantic family.
+    *     rank-minimal representatives of each semantic family. The
+    *     relation is PAIRWISE (an earlier member marks a later one
+    *     whether or not it is itself a dup), which is what makes the
+    *     blocking below exact rather than approximate.
     *
-    * Spark shape: the assignment is map-only (literal centroid matrix,
-    * codegen'd cosine — zero exchange), then ONE groupByKey shuffle on
-    * the assigned cluster feeds a per-cluster kernel that sorts members
-    * and runs the early-exit dup scan (a vector stops at its FIRST
-    * earlier hit, so the common dense-dup case is one dot product per
-    * member, not cluster^2). No join anywhere; the only other exchange
-    * is the oracle ORDER BY. Per-task memory is one cluster's vectors —
-    * exactly the published algorithm's per-cluster working set (cluster
-    * count is the knob: real deployments size k ~ n/5000; a cluster too
-    * big for one task would take q14's triangle blocking inside the
-    * group, documented not implemented). Zero-norm vectors are excluded
-    * on both engine and oracle sides (cosine undefined).
+    * Spark shape — this is q14's triangle block-pair kernel run WITHIN
+    * each cluster, so the per-task working set is O(blockSize), never
+    * O(cluster). Dup FAMILIES are precisely what concentrates into one
+    * cluster, so a boilerplate family of 10^8 vectors must not land in
+    * one task:
+    *  - assignment is map-only (literal centroid matrix, codegen'd
+    *    cosine — zero exchange over the corpus);
+    *  - per-cluster block counts come from a slim label-cardinality
+    *    count aggregate; members hash into nb = ceil(size/blockSize)
+    *    blocks by vec_id (floorMod — negative ids, q14's regression);
+    *  - each unordered block pair (bi <= bj) of a cluster meets exactly
+    *    once in a cogroup keyed (cluster, bi, bj): candidate "earlier"
+    *    members u flow to keys (b, b..nb-1), candidate "later" members
+    *    v to keys (0..b, b). The kernel sorts the u side
+    *    most-central-first and early-exits each v at its FIRST hit with
+    *    (u.rank < v.rank) && r4(cos) >= tau — the dense-dup case stays
+    *    ~one dot product per (v, block). Rank order is compared
+    *    per-pair on (-cent_cos, vec_id), so no window / global rank
+    *    materialization is needed;
+    *  - only the diagonal pair emits non-hit rows (it contains every
+    *    member exactly once), off-diagonal pairs emit hits only; a
+    *    final slim partial-agg max(hit) per vec_id folds the per-pair
+    *    verdicts. Replicated rows total n*(nb+1) per cluster — linear
+    *    in members x blocks, while the O(m^2) dot products (the
+    *    published algorithm's own cost) spread evenly over nb^2/2
+    *    bounded tasks. No join anywhere.
+    * A cluster at the default nb=1 degenerates to exactly the
+    * single-block early-exit scan. Zero-norm vectors are excluded on
+    * both engine and oracle sides (cosine undefined).
     *
     * Output: (vec_id, cluster, cent_cos, is_dup 0/1) for every nonzero
     * vector — the keep-set is `is_dup = 0`, and downstream curation can
     * weight by cent_cos. Exact within-cluster pair math reuses q43's
     * kernel arithmetic (double widening, r4 rounding inside the kernel)
-    * so the DuckDB oracle hashes bit-identically. */
+    * so the DuckDB oracle hashes bit-identically; results are invariant
+    * in blockSize (gated in TrainingOpsSpec). */
   def semDeDup(spark: SparkSession, dir: String,
-               tau: Double = SemDupTau): DataFrame = {
+               tau: Double = SemDupTau,
+               blockSize: Int = SemDupBlock): DataFrame = {
     import spark.implicits._
+    require(blockSize > 0, s"blockSize must be positive: $blockSize")
     val cents = centroidMatrix(spark, dir)
     val e = spark.read.parquet(s"$dir/embeddings.parquet")
     if (cents.isEmpty)
       return e.select($"vec_id".cast("long"), lit(0).as("cluster"),
         lit(0.0).as("cent_cos"), lit(0).as("is_dup")).limit(0)
-    val members = e
+    def members = e
       .select($"vec_id".cast("long"), bestCentroid(cents).as("b"),
         $"embedding")
       .select($"vec_id", (-$"b.neg").as("cluster"),
         $"b.cos".as("cent_cos"), $"embedding")
       .as[(Long, Int, Double, Array[Float])]
       // norms precompute in double; the VECTORS shuffle as float32 (the
-      // cluster exchange is the operator's only wide payload — widening
-      // before the shuffle would double it) and widen per element in
-      // the kernel, which is bit-identical: float->double conversion is
-      // exact and the accumulation order is unchanged
+      // block-pair exchange is the operator's only wide payload —
+      // widening before the shuffle would double it) and widen per
+      // element in the kernel, which is bit-identical: float->double
+      // conversion is exact and the accumulation order is unchanged
       .map { case (id, cl, cc, emb) =>
         var s = 0.0; var i = 0
         while (i < emb.length) {
@@ -935,36 +973,82 @@ object Similarity {
         (id, cl, cc, emb, math.sqrt(s))
       }
       .filter(_._5 > 0.0)
+    // slim cluster-size pass: label-cardinality rows, partial-agg'd
+    // map-side — the only driver-resident state is one Int per cluster
+    // (same scale class as the centroid matrix itself)
+    val nbByCluster: Map[Int, Int] = members
+      .groupByKey(_._2).count().collect()
+      .map { case (cl, n) =>
+        cl -> math.max(1L, (n + blockSize - 1) / blockSize).toInt
+      }.toMap
+    if (nbByCluster.isEmpty)
+      return e.select($"vec_id".cast("long"), lit(0).as("cluster"),
+        lit(0.0).as("cent_cos"), lit(0).as("is_dup")).limit(0)
+    val nbMax = nbByCluster.values.max
+    // key = ((cluster * nbMax) + bi) * nbMax + bj — dense, collision-free
+    def pairKey(cl: Int, bi: Int, bj: Int): Long =
+      (cl.toLong * nbMax + bi) * nbMax + bj
+    val left = members.flatMap { case (id, cl, cc, emb, nrm) =>
+      val nb = nbByCluster(cl)
+      val b = java.lang.Math.floorMod(id, nb.toLong).toInt
+      (b until nb).iterator.map(bj => (pairKey(cl, b, bj), id, cc, emb, nrm))
+    }
+    val right = members.flatMap { case (id, cl, cc, emb, nrm) =>
+      val nb = nbByCluster(cl)
+      val b = java.lang.Math.floorMod(id, nb.toLong).toInt
+      (0 to b).iterator.map(bi => (pairKey(cl, bi, b), id, cc, emb, nrm))
+    }
     val t = tau
-    members
-      .groupByKey(_._2)
-      .flatMapGroups { (cl: Int, it: Iterator[(Long, Int, Double, Array[Float], Double)]) =>
-        // most-central-first total order — the rank the oracle's
-        // row_number uses (cent_cos is already rounded, so double
-        // negation is order-exact)
-        val arr = it.toArray.sortBy { case (id, _, cc, _, _) => (-cc, id) }
-        val out = new Array[(Long, Int, Double, Int)](arr.length)
-        var vi = 0
-        while (vi < arr.length) {
-          val (idv, _, ccv, vv, nv) = arr(vi)
-          var dup = 0
-          var ui = 0
-          while (dup == 0 && ui < vi) {
-            val vu = arr(ui)._4
-            val nu = arr(ui)._5
-            var dot = 0.0; var k = 0
-            while (k < vv.length) {
-              dot += vu(k).toDouble * vv(k).toDouble; k += 1
+    val nbm = nbMax
+    val probe = semDupProbe
+    left.groupByKey(_._1).cogroup(right.groupByKey(_._1)) {
+      case (pk, us, vs) =>
+        // most-central-first total order — the same (-cent_cos, vec_id)
+        // rank the oracle's row_number uses (cent_cos is already
+        // rounded, so double negation is order-exact)
+        val av = us.toArray.sortBy { case (_, id, cc, _, _) => (-cc, id) }
+        val bv = vs.toArray.sortBy { case (_, id, cc, _, _) => (-cc, id) }
+        probe.foreach(_.add(av.length + bv.length))
+        val cl = (pk / nbm / nbm).toInt
+        val diag = (pk / nbm % nbm) == (pk % nbm)
+        // earlier-ranked members of `pre` marking later-ranked members
+        // of `post` — both sides rank-sorted, so each post member
+        // early-exits at its first hit and stops scanning once pre
+        // members stop preceding it
+        def scan(pre: Array[(Long, Long, Double, Array[Float], Double)],
+                 post: Array[(Long, Long, Double, Array[Float], Double)],
+                 emitMisses: Boolean) =
+          post.iterator.flatMap { case (_, idv, ccv, vv, nv) =>
+            var dup = 0
+            var ui = 0
+            while (dup == 0 && ui < pre.length) {
+              val (_, idu, ccu, vu, nu) = pre(ui)
+              if (ccu < ccv || (ccu == ccv && idu >= idv)) ui = pre.length
+              else {
+                var dot = 0.0; var k = 0
+                while (k < vv.length) {
+                  dot += vu(k).toDouble * vv(k).toDouble; k += 1
+                }
+                if (r4(dot / (nu * nv)) >= t) dup = 1
+                ui += 1
+              }
             }
-            if (r4(dot / (nu * nv)) >= t) dup = 1
-            ui += 1
+            if (dup == 1 || emitMisses) Iterator.single((idv, cl, ccv, dup))
+            else Iterator.empty
           }
-          out(vi) = (idv, cl, ccv, dup)
-          vi += 1
-        }
-        out.iterator
-      }
+        // the rank order is independent of the hash blocking, so an
+        // off-diagonal pair needs BOTH directions (the earlier member
+        // of a cross-block pair can sit on either side); the diagonal
+        // pair holds every member exactly once on each side — it alone
+        // emits the hit-less rows that guarantee output coverage
+        if (diag) scan(av, bv, emitMisses = true)
+        else scan(av, bv, emitMisses = false) ++
+          scan(bv, av, emitMisses = false)
+    }
       .toDF("vec_id", "cluster", "cent_cos", "is_dup")
+      .groupBy($"vec_id")
+      .agg(max($"cluster").as("cluster"), max($"cent_cos").as("cent_cos"),
+        max($"is_dup").as("is_dup"))
       .orderBy($"vec_id")
   }
 

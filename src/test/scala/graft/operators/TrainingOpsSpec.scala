@@ -1002,14 +1002,16 @@ class TrainingOpsSpec extends SparkSpec {
     assert(got(12L)._2 == 0, "axis-e0 vector must assign to cluster 0")
   }
 
-  test("q46 SemDeDup == exact driver replay on real data; plan is join-free with one hash shuffle") {
+  test("q46 SemDeDup == exact driver replay on real data; plan is join-free (cogroup + one slim agg)") {
     import spark.implicits._
     val dir = "/root/testdata/sf0.001"
     val out = Similarity.semDeDup(spark, dir)
     val plan = out.queryExecution.executedPlan.toString
     assert(!plan.contains("Join"), s"join in SemDeDup plan:\n$plan")
-    assert("hashpartitioning".r.findAllIn(plan).size == 1,
-      s"expected exactly the cluster shuffle:\n$plan")
+    // block-pair cogroup (one exchange per side) + the slim max(hit)
+    // fold — nothing else may shuffle
+    assert("hashpartitioning".r.findAllIn(plan).size == 3,
+      s"expected the two cogroup exchanges plus the verdict fold:\n$plan")
     val got = out.as[(Long, Int, Double, Int)].collect().toSeq
     // exact replay of the operator's pinned semantics
     val vecs = spark.read.parquet(s"$dir/embeddings.parquet")
@@ -1061,6 +1063,67 @@ class TrainingOpsSpec extends SparkSpec {
     // exercised, not vacuous: dups AND survivors both exist
     assert(got.exists(_._4 == 1), "no semantic dup in the real table")
     assert(got.exists(_._4 == 0))
+  }
+
+  test("q46 SemDeDup is blockSize-invariant: multi-block triangle == single-block kernel") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    // default block (clusters fit one block → the plain early-exit
+    // scan) vs blockSize=2 (every cluster shatters into ~size/2 blocks,
+    // exercising diagonal pairs, both off-diagonal scan directions and
+    // the max(hit) fold) — the pairwise relation is exact, so results
+    // must be identical
+    val base = Similarity.semDeDup(spark, dir)
+      .as[(Long, Int, Double, Int)].collect().toSeq
+    val blocked = Similarity.semDeDup(spark, dir, blockSize = 2)
+      .as[(Long, Int, Double, Int)].collect().toSeq
+    assert(blocked == base,
+      s"blocked diverged (${blocked.size} vs ${base.size} rows)")
+    assert(base.exists(_._4 == 1) && base.exists(_._4 == 0))
+  }
+
+  test("q46 SemDeDup: 1e5-member single-cluster dup family — task memory O(block), candidate work exactly n*(nb+1)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{array, lit}
+    import scala.jdk.CollectionConverters._
+    val d = tmpDir("graft-semdedup-big")
+    // one dominant boilerplate family: every vector is within tau of
+    // every other (cos ~ 1.0 after r4), all in one cluster — exactly
+    // the shape that OOM'd a single task under the old per-cluster
+    // kernel. Deterministic: no rand.
+    val n = 100000
+    spark.range(n).select(
+      $"id".as("vec_id"),
+      array(lit(1.0f),
+        ($"id" % 7).cast("float") * lit(1e-3f)).as("embedding"),
+      lit(0).as("label"))
+      .write.mode("overwrite").parquet(s"$d/embeddings.parquet")
+    val acc = spark.sparkContext
+      .collectionAccumulator[java.lang.Integer]("semdedup-group-sizes")
+    Similarity.semDupProbe = Some(acc)
+    try {
+      val rows = Similarity.semDeDup(spark, d)
+        .as[(Long, Int, Double, Int)].collect()
+      assert(rows.length == n)
+      val survivors = rows.filter(_._4 == 0)
+      assert(survivors.length == 1,
+        s"one family must keep one representative, got ${survivors.length}")
+      assert(survivors.head._1 == 0L,
+        "tie on cent_cos breaks to the smallest vec_id")
+      val sizes = acc.value.asScala.map(_.toInt)
+      val nb = (n + Similarity.SemDupBlock - 1) / Similarity.SemDupBlock
+      assert(sizes.size == nb * (nb + 1) / 2,
+        s"expected the full block triangle, got ${sizes.size} groups")
+      // memory gate: a task holds at most two blocks of vectors, never
+      // the cluster (sequential ids → exactly n/nb per block)
+      assert(sizes.max <= 2 * (n / nb + 1),
+        s"group of ${sizes.max} exceeds two blocks")
+      // candidate-work gate: triangle replication ships exactly
+      // n*(nb+1) member rows through the kernel — linear in
+      // members x blocks, not members^2
+      assert(sizes.map(_.toLong).sum == n.toLong * (nb + 1),
+        s"kernel saw ${sizes.map(_.toLong).sum} rows, want ${n.toLong * (nb + 1)}")
+    } finally Similarity.semDupProbe = None
   }
 
   test("q47 semantic decontam == exact replay; plan is map-only (no join, no agg); empty bench safe") {
