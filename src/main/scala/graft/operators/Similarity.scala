@@ -107,6 +107,27 @@ object Similarity {
        |ORDER BY cos DESC, vec_id
        |LIMIT $K""".stripMargin
 
+  /** Measured recall@K vs the exact q15 answer, attached to every row
+    * of an ANN result as a literal `recall_at_k` column. The approximate
+    * queries (q16/q24/q34) have no SQL oracle — their quality was pinned
+    * only by in-suite recall gates the driver couldn't see; carrying the
+    * measured recall in the rows themselves makes the dumped output
+    * self-certifying (round-4 review), and the suite pins the values as
+    * committed goldens. This is the standard ANN EVALUATION harness
+    * shape (recall@K against brute force on a fixed query); the extra
+    * exact pass is eval cost — serving passes `withRecall = false` and
+    * never runs it. Both collects are K-row driver reads. */
+  private def attachRecall(spark: SparkSession, dir: String,
+                           ann: DataFrame): DataFrame = {
+    import spark.implicits._
+    val exact = annBruteForce(spark, dir)
+      .select($"vec_id").as[Long].collect().toSet
+    val got = ann.select($"vec_id").as[Long].collect().toSet
+    val r = if (exact.isEmpty) 1.0
+            else (exact & got).size.toDouble / exact.size
+    ann.withColumn("recall_at_k", lit(math.rint(r * 10000) / 10000))
+  }
+
   /** q23: per-label embedding centroids (the IVF coarse-quantizer step:
     * centroid per cluster, here per given label) — posexplode + two hash
     * aggs; component averages are the classic array-column aggregation. */
@@ -368,18 +389,20 @@ object Similarity {
     * (PartitionFilters prune everything else; PlanSpec gates it). */
   def annIvf(spark: SparkSession, dir: String,
              cfg: AnnConfig = DefaultAnn,
-             root: Option[String] = None): DataFrame = {
+             root: Option[String] = None,
+             withRecall: Boolean = true): DataFrame = {
     import spark.implicits._
     val (layout, manifest) = ivfResolved(spark, dir, cfg, root)
     val cents = manifest.coarse.get
     val qEmb = queryEmbedding(spark, dir)
     val probes = nearestCentroids(qEmb.map(_.toDouble), cents, cfg.ivfProbes)
-    spark.read.parquet(layout)
+    val res = spark.read.parquet(layout)
       .filter($"list".isin(probes: _*) && $"vec_id" =!= QueryVecId)
       .withColumn("qe", typedLit(qEmb))
       .select($"vec_id", round(cosExpr, 4).as("cos"))
       .orderBy($"cos".desc, $"vec_id")
       .limit(K)
+    if (withRecall) attachRecall(spark, dir, res) else res
   }
 
   // ---- IVF-PQ ANN (compressed serving path; not SQL-expressible) ----
@@ -531,7 +554,8 @@ object Similarity {
     * norm) in the probed partitions only. */
   def annIvfPq(spark: SparkSession, dir: String,
                cfg: AnnConfig = DefaultAnn,
-               root: Option[String] = None): DataFrame = {
+               root: Option[String] = None,
+               withRecall: Boolean = true): DataFrame = {
     import spark.implicits._
     val (layout, manifest) = pqResolved(spark, dir, cfg, root)
     val cents = manifest.coarse.get
@@ -555,11 +579,12 @@ object Similarity {
         shiftright($"code", bits * m).bitwiseAND(lit(mask)).cast("int")
           + lit(m * cfg.pqK + 1))
     }.reduce(_ + _)
-    spark.read.parquet(layout)
+    val res = spark.read.parquet(layout)
       .filter($"list".isin(probes: _*) && $"vec_id" =!= QueryVecId)
       .select($"vec_id", round(adc / ($"norm" * qNorm), 4).as("cos_pq"))
       .orderBy($"cos_pq".desc, $"vec_id")
       .limit(K)
+    if (withRecall) attachRecall(spark, dir, res) else res
   }
 
   // ---- LSH-bucketed ANN (scale path; not SQL-expressible) -----------
@@ -633,17 +658,19 @@ object Similarity {
     * re-rank inside ONLY the probed buckets (partition-pruned read). */
   def annLsh(spark: SparkSession, dir: String,
              cfg: AnnConfig = DefaultAnn,
-             root: Option[String] = None): DataFrame = {
+             root: Option[String] = None,
+             withRecall: Boolean = true): DataFrame = {
     import spark.implicits._
     val qEmb = queryEmbedding(spark, dir)
     val planes = Array.tabulate(cfg.nBits)(p => plane(p, qEmb.length))
     val probes = probeSet(signature(qEmb.map(_.toDouble), planes), cfg)
-    spark.read.parquet(lshLayout(spark, dir, cfg, root))
+    val res = spark.read.parquet(lshLayout(spark, dir, cfg, root))
       .filter($"bucket".isin(probes: _*) && $"vec_id" =!= QueryVecId)
       .withColumn("qe", typedLit(qEmb))
       .select($"vec_id", round(cosExpr, 4).as("cos"))
       .orderBy($"cos".desc, $"vec_id")
       .limit(K)
+    if (withRecall) attachRecall(spark, dir, res) else res
   }
 
   /** q36: nearest-centroid assignment — classify every vector to its
