@@ -727,7 +727,7 @@ object Dedup {
     * aggregation path, so the corpus is read once, map-side, with no
     * row shuffle (only the fixed-size bloom buffers move). Returns
     * null iff the corpus is empty. */
-  private[operators] def corpusBloom(corpus: DataFrame, nItems: Long,
+  private[graft] def corpusBloom(corpus: DataFrame, nItems: Long,
                                      numBits: Long): Array[Byte] = {
     import org.apache.spark.sql.graftshim.SqlShim
     import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
@@ -743,7 +743,7 @@ object Dedup {
     * [[BloomFilterMightContain]] over the serialized filter as a
     * binary literal (referenced from the codegen references array, not
     * inlined source). No false negatives, by construction. */
-  private[operators] def bloomMightContain(bloom: Array[Byte],
+  private[graft] def bloomMightContain(bloom: Array[Byte],
                                            h: Column): Column = {
     import org.apache.spark.sql.graftshim.SqlShim
     import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain

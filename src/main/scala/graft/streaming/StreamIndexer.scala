@@ -1,7 +1,7 @@
 package graft.streaming
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.Dataset
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
 import graft.index.{Build, Merge, SegmentStore}
@@ -117,7 +117,8 @@ object StreamIndexer {
                                       epochId: Long, root: String,
                                       cfg: Build.Config,
                                       compactEvery: Int = 0,
-                                      gc: Boolean = false): Unit = {
+                                      gc: Boolean = false,
+                                      dedup: Boolean = false): Unit = {
     // persist: the batch is consumed by TWO actions (the isEmpty probe
     // and the snapshot build's staging scan) — without it every epoch
     // re-fetches the micro-batch from the source, which is not free for
@@ -127,17 +128,30 @@ object StreamIndexer {
       if (batch.isEmpty) return
       val spark = batch.sparkSession
       val fs = SegmentStore.fs(root)
-      val snap = s"$root/snapshots/epoch-$epochId"
-      val done = new Path(s"$snap/_DONE")
-      if (!fs.exists(done)) {
-        Build.run(spark, batch.toDF()
-          .select(col("doc_id"), col("content"),
-            col("ts").cast("long").as("ingest_ts")),
-          snap, cfg)
-        fs.create(done, true).close()
-      }
-      processBatchPublished(batch, epochId, root, cfg, compactEvery, gc,
-        snap)
+      // incremental dedup (q44 composed with the epoch path): index
+      // only the never-seen slice; an all-duplicate batch publishes
+      // nothing and adds zero postings. The fresh slice is recomputed
+      // on replay from epochs < N only, so it is replay-deterministic
+      // regardless of which epoch-N artifacts a crash left behind.
+      val fresh: DataFrame =
+        if (!dedup) batch.toDF()
+        else StreamDedup.freshSlice(batch.toDF(), root, epochId)
+      if (dedup) fresh.persist()
+      try {
+        if (dedup && fresh.isEmpty) return
+        val snap = s"$root/snapshots/epoch-$epochId"
+        val done = new Path(s"$snap/_DONE")
+        if (!fs.exists(done)) {
+          Build.run(spark, fresh
+            .select(col("doc_id"), col("content"),
+              col("ts").cast("long").as("ingest_ts")),
+            snap, cfg)
+          fs.create(done, true).close()
+        }
+        processBatchPublished(batch, epochId, root, cfg, compactEvery, gc,
+          snap)
+        if (dedup) StreamDedup.commit(fresh.select(col("h")), root, epochId)
+      } finally if (dedup) fresh.unpersist()
     } finally batch.unpersist()
   }
 
@@ -208,11 +222,12 @@ object StreamIndexer {
     * [[processBatch]] for `compactEvery` / `gc`. */
   def start(docs: Dataset[StreamIngest.DocEvent], root: String,
             cfg: Build.Config = Build.Config(),
-            compactEvery: Int = 0, gc: Boolean = false): StreamingQuery = {
+            compactEvery: Int = 0, gc: Boolean = false,
+            dedup: Boolean = false): StreamingQuery = {
     docs.writeStream
       .option("checkpointLocation", s"$root/checkpoint")
       .foreachBatch { (batch: Dataset[StreamIngest.DocEvent], epochId: Long) =>
-        processBatch(batch, epochId, root, cfg, compactEvery, gc)
+        processBatch(batch, epochId, root, cfg, compactEvery, gc, dedup)
       }
       .start()
   }

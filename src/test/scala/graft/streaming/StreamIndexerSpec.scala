@@ -201,4 +201,61 @@ class StreamIndexerSpec extends SparkSpec {
     assert(eng.searchWand("engine", 10).map(_._1).toSet == Set(0L, 1L, 11L))
     eng.close()
   }
+
+  test("incremental bloom dedup per epoch: duplicate batches add zero postings; streamed == one-shot over the unique set") {
+    import spark.implicits._
+    val root = tmpDir("graft-stream-dedup")
+    val cfg = Build.Config(numPartitions = 2, spellIndex = false)
+    def nDocs(dir: String): Long =
+      spark.read.parquet(s"$dir/corpus_stats").head().getAs[Long]("n_docs")
+    // epoch 0: 3 docs, one IN-BATCH duplicate (doc 2 copies doc 0)
+    val e0 = Seq(
+      StreamIngest.DocEvent(0, "alpha engine spark", ts(10)),
+      StreamIngest.DocEvent(1, "beta engine", ts(20)),
+      StreamIngest.DocEvent(2, "alpha engine spark", ts(30)))
+    StreamIndexer.processBatch(e0.toDS(), 0, root, cfg, dedup = true)
+    val cur0 = StreamIndexer.currentIndex(root).get
+    assert(nDocs(cur0) == 2, "in-batch duplicate must not be indexed")
+    // epoch 1: a pure re-crawl of epoch-0 content under NEW doc_ids —
+    // must publish nothing and add zero postings
+    val e1 = Seq(
+      StreamIngest.DocEvent(10, "alpha engine spark", ts(40)),
+      StreamIngest.DocEvent(11, "beta engine", ts(50)))
+    StreamIndexer.processBatch(e1.toDS(), 1, root, cfg, dedup = true)
+    assert(StreamIndexer.currentIndex(root).contains(cur0),
+      "an all-duplicate batch must not move the pointer")
+    assert(nDocs(StreamIndexer.currentIndex(root).get) == 2)
+    // epoch 2: mixed — one cross-epoch dup, one novel doc
+    val e2 = Seq(
+      StreamIngest.DocEvent(20, "beta engine", ts(60)),
+      StreamIngest.DocEvent(21, "gamma delta engine", ts(70)))
+    StreamIndexer.processBatch(e2.toDS(), 2, root, cfg, dedup = true)
+    val cur2 = StreamIndexer.currentIndex(root).get
+    assert(nDocs(cur2) == 3, "exactly the novel doc joins the index")
+    val eng = new Engine(spark, cur2, preload = true,
+      pruneSingletons = false) // df-1 probe terms below
+    // duplicated content answers under its ORIGINAL doc_id only
+    assert(eng.searchWand("beta", 10).map(_._1).toSet == Set(1L))
+    assert(eng.searchWand("gamma", 10).map(_._1).toSet == Set(21L))
+    // crash-replay of the mixed epoch: fresh slice recomputes from
+    // epochs < 2 only, so the replay is a no-op on the pointer
+    StreamIndexer.processBatch(e2.toDS(), 2, root, cfg, dedup = true)
+    assert(StreamIndexer.currentIndex(root).contains(cur2),
+      "dedup-epoch replay moved the pointer")
+    assert(nDocs(StreamIndexer.currentIndex(root).get) == 3)
+    // streamed-with-dedup == one-shot batch build over the first-wins
+    // unique set (rank identity survives the dedup composition)
+    val uniq = Seq(e0(0), e0(1), e2(1))
+    val batchDir = tmpDir("graft-stream-dedup-batch")
+    Build.run(spark,
+      uniq.map(d => (d.doc_id, d.content, d.ts.getTime / 1000))
+        .toDF("doc_id", "content", "ingest_ts"), batchDir, cfg)
+    val oneShot = new Engine(spark, batchDir, preload = true,
+      pruneSingletons = false)
+    Seq("engine", "alpha spark", "gamma", "beta engine").foreach { q =>
+      assert(eng.searchWand(q, 10).toSeq == oneShot.searchWand(q, 10).toSeq,
+        s"'$q' diverged from the one-shot build")
+    }
+    eng.close(); oneShot.close()
+  }
 }
