@@ -461,10 +461,18 @@ object Build {
     // tok_cfg is the analysis-chain fingerprint Merge.disjoint compares
     // across parts — merging a stemmed index into an unstemmed one
     // unions incompatible term spaces and must fail loudly, not serve
-    // silently-wrong df/idf (stopword set enters via its content hash:
-    // Scala's MurmurHash3 set hash is a pure function of the elements).
+    // silently-wrong df/idf. The stopword set enters via an MD5 of the
+    // SORTED word list: collection hashCode (MurmurHash3) is only stable
+    // within one Scala release, so identical stopword sets built before
+    // and after a toolchain upgrade would refuse to merge — and a hash
+    // collision could let genuinely different sets merge (round-4
+    // advice); a content digest has neither failure mode.
+    val swDigest = java.security.MessageDigest.getInstance("MD5")
+      .digest(cfg.tokenizer.stopwords.toSeq.sorted
+        .mkString("\n").getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
     val tokCfg = s"stem=${cfg.tokenizer.stem}|plain=${cfg.tokenizer.plain}" +
-      s"|sw=${cfg.tokenizer.stopwords.hashCode}"
+      s"|sw=$swDigest"
     Seq((n, av, tsMin, tsMax, nNumbers, tokCfg))
       .toDF("n_docs", "avgdl", "ts_min", "ts_max", "n_number_tokens",
         "tok_cfg")

@@ -40,7 +40,12 @@ object Merge {
     // route the copy fallback through tmp+rename so no reader — and no
     // second crash — can ever observe a partially-copied file under the
     // final name.
-    if (fsOut.exists(dst)) fsOut.delete(dst, false)
+    // loud failures: HDFS-style filesystems report delete/rename
+    // failures via the boolean, not an exception — swallowing it would
+    // leave the merged index silently missing a segment under the final
+    // name, surfacing only as a later read failure (round-4 advice)
+    if (fsOut.exists(dst))
+      require(fsOut.delete(dst, false), s"failed to delete stale $dst")
     val bothLocal =
       fsIn.getScheme == "file" && fsOut.getScheme == "file"
     val linked = bothLocal && {
@@ -55,7 +60,7 @@ object Merge {
       val tmp = new Path(dst.getParent,
         s".${dst.getName}.tmp-${java.util.UUID.randomUUID()}")
       org.apache.hadoop.fs.FileUtil.copy(fsIn, src, fsOut, tmp, false, fsIn.getConf)
-      fsOut.rename(tmp, dst)
+      require(fsOut.rename(tmp, dst), s"failed to rename $tmp -> $dst")
     }
   }
 

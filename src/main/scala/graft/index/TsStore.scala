@@ -63,16 +63,19 @@ object TsStore {
     fs.rename(tmp, p)
   }
 
-  /** Write the store from a (doc_id, ingest_ts)-bearing frame (normally
+  /** Write the store from a (doc_id, `valueCol`)-bearing frame (normally
     * the just-written doc_stats). Range-partitioned so each file owns a
-    * contiguous doc_id interval; empty partitions emit nothing. */
+    * contiguous doc_id interval; empty partitions emit nothing. The
+    * store is value-agnostic — ingest_ts is the primary use (recency
+    * ties), and the parity path keeps a second instance for max_tf
+    * (same fixed-width point-read shape, Engine.maxTf). */
   def write(spark: SparkSession, docStats: DataFrame, tsDir: String,
-            numFiles: Int): Unit = {
+            numFiles: Int, valueCol: String = "ingest_ts"): Unit = {
     import org.apache.spark.sql.functions.col
     val fs = SegmentStore.fs(tsDir)
     fs.mkdirs(new Path(tsDir))
     val rows = docStats.select(col("doc_id").cast("long"),
-        col("ingest_ts").cast("long"))
+        col(valueCol).cast("long"))
       .repartitionByRange(math.max(1, numFiles), col("doc_id"))
       .sortWithinPartitions(col("doc_id"))
     val metas = rows.queryExecution.toRdd.mapPartitions { it =>

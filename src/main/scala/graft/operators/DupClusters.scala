@@ -61,12 +61,31 @@ object DupClusters {
     * pattern, and [[computeLabels]] stays the explicit build entry. */
   private val labelCache = scala.collection.concurrent.TrieMap.empty[String, String]
 
+  /** Cheap corpus fingerprint for the cache key: sorted (name, size,
+    * mtime) of the documents.parquet part files, digested. Keying on the
+    * dir STRING alone served stale labels if the corpus at that path was
+    * rewritten within one long-lived JVM (round-4 advice) — the
+    * fingerprint is a metadata-only listing, no data read. */
+  private def corpusFingerprint(dir: String): String = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/documents.parquet")
+    val fs = graft.index.SegmentStore.fs(dir)
+    if (!fs.exists(p)) "absent"
+    else {
+      val parts = fs.listStatus(p).map(s =>
+        s"${s.getPath.getName}:${s.getLen}:${s.getModificationTime}").sorted
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(parts.mkString("\n").getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    }
+  }
+
   def labels(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(labelCache.getOrElseUpdate(dir, {
-      val out = graft.TempDirs.create("graft-dup-labels")
-      computeLabels(spark, dir).write.mode("overwrite").parquet(out)
-      out
-    }))
+    spark.read.parquet(
+      labelCache.getOrElseUpdate(s"$dir@${corpusFingerprint(dir)}", {
+        val out = graft.TempDirs.create("graft-dup-labels")
+        computeLabels(spark, dir).write.mode("overwrite").parquet(out)
+        out
+      }))
 
   /** Derive the label table (one pair-graph build + star contraction). */
   private[graft] def computeLabels(spark: SparkSession, dir: String): DataFrame = {
@@ -140,8 +159,9 @@ object DupClusters {
     // materializes each round's edge set, so every round is ONE Spark
     // job (eager checkpoint + separate sig action would be two — at
     // small edge counts the loop cost is fixed job overhead, not data).
-    // Superseded rounds' checkpoint blocks become unreachable and are
-    // freed by the ContextCleaner; live state is ≤ 2 edge-sized sets.
+    // On the LOCAL path superseded rounds' checkpoint blocks become
+    // unreachable and are freed by the ContextCleaner; live state is
+    // ≤ 2 edge-sized sets.
     //
     // FAULT TOLERANCE is the local checkpoint's trade: blocks live on
     // their executor only, so losing ONE executor mid-contraction (spot
@@ -152,10 +172,31 @@ object DupClusters {
     // each round pays a second job (write-out), and executor loss only
     // re-reads surviving checkpoint files. Local stays the default for
     // the non-preemptible/local case where it is strictly faster.
-    def roundCkpt(e: DataFrame): DataFrame =
-      if (e.sparkSession.sparkContext.getCheckpointDir.isDefined)
-        e.checkpoint(eager = false)
-      else e.localCheckpoint(eager = false)
+    //
+    // Reliable-path RECLAIM: the ContextCleaner does NOT delete reliable
+    // checkpoint FILES (spark.cleaner.referenceTracking.cleanCheckpoints
+    // defaults to false, and it is a static app-start conf) — without
+    // explicit cleanup a long contraction leaks one edge set of files
+    // per round for the app lifetime (round-4 advice). Reliable rounds
+    // therefore checkpoint an explicit RDD whose file location is
+    // tracked, and each round's files are deleted as soon as the NEXT
+    // round's checkpoint has materialized (truncating its lineage).
+    // Only the final round's files remain, reclaimed with the dir.
+    val reliable =
+      edges0.sparkSession.sparkContext.getCheckpointDir.isDefined
+    def roundCkpt(e: DataFrame)
+        : (DataFrame, Option[org.apache.spark.rdd.RDD[(Long, Long)]]) =
+      if (reliable) {
+        val rdd = e.as[(Long, Long)].rdd
+        rdd.checkpoint()
+        (rdd.toDF("a", "b"), Some(rdd))
+      } else (e.localCheckpoint(eager = false), None)
+    def dropFiles(rdd: Option[org.apache.spark.rdd.RDD[(Long, Long)]]): Unit =
+      rdd.flatMap(_.getCheckpointFile).foreach { f =>
+        val p = new org.apache.hadoop.fs.Path(f)
+        try graft.index.SegmentStore.fs(f).delete(p, true)
+        catch { case _: Exception => () } // best-effort reclaim
+      }
     //
     // localContract first: each partition's edges are rewritten into
     // the star forest of its LOCAL components before anything shuffles
@@ -163,19 +204,22 @@ object DupClusters {
     // collapses from O(k²) pair edges to k−1 star edges inside the map
     // task that holds it, so the distinct(), every round's shuffle, and
     // the round COUNT all start from the contracted size.
-    var cur = localContract(edges0.filter($"a" =!= $"b")
+    var (cur, curRdd) = roundCkpt(
+      localContract(edges0.filter($"a" =!= $"b")
         .select(greatest($"a", $"b").as("a"), least($"a", $"b").as("b")))
-      .distinct().transform(roundCkpt)
+      .distinct())
     var curSig = sig(cur)
     var rounds = 0
     var converged = curSig._1 == 0L
     while (!converged) {
       rounds += 1
       require(rounds <= MaxRounds, s"star contraction did not converge in $MaxRounds rounds")
-      val next = roundCkpt(smallStar(largeStar(cur)))
-      val nextSig = sig(next)
+      val (next, nextRdd) = roundCkpt(smallStar(largeStar(cur)))
+      val nextSig = sig(next) // materializes next's checkpoint
+      dropFiles(curRdd)       // cur's files now superseded
       converged = nextSig == curSig
       cur = next
+      curRdd = nextRdd
       curSig = nextSig
     }
     cur.select($"a".as("doc_id"), $"b".as("cluster_id"))

@@ -103,12 +103,31 @@ final class Engine(spark: SparkSession, indexDir: String,
     core.searchWandQuery(queryTerms, k)
   def searchExhaustive(query: String, k: Int): Array[(Long, Double)] =
     core.searchExhaustive(query, k)
-  def close(): Unit = core.close()
+  def close(): Unit = {
+    maxTfReader.foreach(_.close())
+    maxTfReader = None
+    core.close()
+  }
 
-  private lazy val maxTfMap: Map[Long, Int] =
-    spark.read.parquet(s"$indexDir/doc_stats")
-      .select($"doc_id", $"max_tf").collect()
-      .map(r => r.getLong(0) -> r.getAs[Number](1).intValue).toMap
+  /** Parity-mode max_tf source: the same keyed point-read artifact shape
+    * as the recency TsStore, built once per index on the first parity
+    * query (a range shuffle of 16 B rows) and binary-searched per doc —
+    * the doc-count-sized driver map this replaced was the last of its
+    * kind (round-4 review #4; TsStore removed the recency twin a round
+    * earlier). Docs absent from the store read as the parity default
+    * max_tf = 1 (the Reader's 0 sentinel can't collide: max_tf >= 1 for
+    * every stored doc). */
+  @volatile private var maxTfReader: Option[graft.index.TsStore.Reader] = None
+  private lazy val maxTf: Long => Int = {
+    val mtDir = s"$indexDir/maxtf"
+    if (!graft.index.TsStore.exists(mtDir))
+      graft.index.TsStore.write(spark,
+        spark.read.parquet(s"$indexDir/doc_stats"), mtDir,
+        spark.sparkContext.defaultParallelism, valueCol = "max_tf")
+    val r = new graft.index.TsStore.Reader(mtDir)
+    maxTfReader = Some(r)
+    id => { val v = r.tsOf(id); if (v == 0L) 1 else v.toInt }
+  }
 
   /** Reference-parity ranking mode: tf-idf vectors + query-dim cosine
     * exactly as the reference scores (SURVEY Q6-Q8; Parity scaladoc has
@@ -118,7 +137,7 @@ final class Engine(spark: SparkSession, indexDir: String,
     val tps = lookup(Tokenizer.tokenizeQuery(query, tokCfg))
     val termVecs = tps.map(tp => Parity.TermVec(tp.term, tp.qtf, tp.df,
       graft.index.Codec.decode(tp.blocks.toSeq)))
-    Parity.rank(termVecs, nDocs, id => maxTfMap.getOrElse(id, 1), k)
+    Parity.rank(termVecs, nDocs, maxTf, k)
   }
 }
 

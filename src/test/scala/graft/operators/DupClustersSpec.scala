@@ -106,6 +106,40 @@ class DupClustersSpec extends SparkSpec {
     assert(got.count() == 0)
   }
 
+  test("reliable checkpoint path: labels identical to local path, superseded round files reclaimed") {
+    val sc = spark.sparkContext
+    val ck = tmpDir("graft-ckpt")
+    // a 40-chain needs several star rounds — several checkpoints, all
+    // but the final one superseded
+    val edges = (1L to 40L).sliding(2).map(s => (s(0), s(1))).toSeq
+    val want = contract(edges) // local-checkpoint reference run
+    sc.setCheckpointDir(ck)
+    try {
+      assert(contract(edges) == want,
+        "reliable-checkpoint contraction diverged from the local path")
+      // reclaim gate: the ContextCleaner never deletes reliable
+      // checkpoint FILES (cleanCheckpoints is a static conf, default
+      // false) — the loop must delete each round's files itself once
+      // the next round materializes, leaving at most the final round
+      val fs = graft.index.SegmentStore.fs(ck)
+      def rddDirs(p: org.apache.hadoop.fs.Path): Seq[String] =
+        if (!fs.exists(p)) Nil
+        else fs.listStatus(p).filter(_.isDirectory).flatMap { st =>
+          (if (st.getPath.getName.startsWith("rdd-"))
+             Seq(st.getPath.getName) else Nil) ++ rddDirs(st.getPath)
+        }.toSeq
+      val left = rddDirs(new org.apache.hadoop.fs.Path(ck))
+      assert(left.nonEmpty, "reliable path did not checkpoint at all")
+      assert(left.size <= 1, s"superseded round checkpoints leaked: $left")
+    } finally {
+      // SparkContext has no public unset — restore the shared session's
+      // default (faster) localCheckpoint path for every later test
+      val f = sc.getClass.getDeclaredField("checkpointDir")
+      f.setAccessible(true)
+      f.set(sc, None)
+    }
+  }
+
   test("q32 end-to-end invariants on the fixture corpus") {
     import spark.implicits._
     val dir = "/root/testdata/sf0.001"
