@@ -1,0 +1,228 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Data-SIZE scaling ladder for the heavy dedup/similarity operators.
+  *
+  * The core bench ([[Bench]]) evidences the north rule's N→4N CLUSTER
+  * scaling on a fixed input; this main evidences the orthogonal axis the
+  * round-4 review asked for: the same operators on a 1× vs 4× CORPUS at
+  * fixed parallelism. An operator whose candidate generation hides a
+  * quadratic tail (all-pairs inside a bucket, unbounded window, hub
+  * neighbor lists) shows t(4×)/t(1×) ≫ 4 and shuffle-bytes(4×) ≫
+  * 4×shuffle-bytes(1×); a linear operator retains its per-row throughput.
+  *
+  * Scaled-corpus construction (deterministic, no external data — the
+  * 4× corpus is derived from the driver's own sf tables):
+  *  - `factor` disjoint copies of `documents`/`embeddings` with id
+  *    spaces offset by (max id + 1) per copy;
+  *  - copy c>0's text goes through a per-copy LETTER ROTATION
+  *    (`translate` by a fixed alphabet shift): length-preserving — so
+  *    byte-level shuffle sizes stay comparable across copies — with
+  *    every shingle/token statistic WITHIN a copy identical to copy 0
+  *    while CROSS-copy overlap is ~nil (only a token whose rotation is
+  *    itself a corpus token collides). The duplicate structure (the
+  *    work the dedup family does) grows exactly linearly with the
+  *    corpus, which is the property a real 4× crawl has. Exact 4×
+  *    replication instead would make every doc a planted 4-family and
+  *    grow candidate pairs 16×: a worst-case stressor, not a linearity
+  *    probe; a token SUFFIX disguise (first cut) inflated 4×-rung
+  *    shuffle bytes ~10% per char and confounded the linearity read.
+  *  - copy c>0's embedding is rotated left by c components: norms and
+  *    all intra-copy cosines are preserved exactly; cross-copy cosines
+  *    decorrelate. Same linear-growth argument for the ANN family.
+  *  - Both rungs (1× and 4×) are REWRITTEN through the same Spark write
+  *    path so file layout/row-group shape/compression are identical —
+  *    comparing the source parquet to a rewritten 4× would confound
+  *    scan cost with scaling.
+  *
+  * Probed operators (the round-4 verdict's list): q11 n-gram Jaccard
+  * near-dup, q32 duplicate clustering (cold label build: pair graph +
+  * star contraction), q43 exact kNN self-join, q46 SemDeDup. Timings are
+  * COLD per rung (fresh scaled dir ⇒ fresh label artifact; that is the
+  * closure being scaled, per the round-4 "artifact timings hide the cold
+  * cost" finding) — but only after a DISCARDED warm-up rung has paid the
+  * one-time JVM/JIT/codegen cost: without it the x1 rung absorbs all
+  * warm-up (measured 9.7 s for q11's first run vs 2 s steady-state) and
+  * every retention reads absurdly >1. Each (x1, x4) round uses FRESH
+  * dirs so the per-dir artifact caches never turn a timed pass warm;
+  * min over rounds defends against box noise.
+  *
+  * Output: one JSON line per stdout + side file, with per-query
+  * {secs, rows_out, shuffle_mb, shuffle_rec} at each rung, per-row
+  * throughput retention thr(4×)/thr(1×) and shuffle linearity
+  * shuffle(4×)/(factor·shuffle(1×)) in both records (the pure
+  * candidate-blow-up probe) and bytes. Recorded in BASELINE.md
+  * §"Round-5 data scaling".
+  */
+object DataScale {
+
+  private val Factor = 4
+  private val Rounds = 2
+
+  private val Lower = "abcdefghijklmnopqrstuvwxyz"
+  private val Upper = Lower.toUpperCase
+  private val Digits = "0123456789"
+  /** Per-copy bijective letter+digit rotation (length-preserving
+    * disguise). Digits rotate too (stride 3, coprime with 10): the
+    * first cut rotated only letters, so digit-only shingles collided
+    * ACROSS copies — their df grew `factor`× and their candidate pairs
+    * quadratically, confounding the linearity read with the sub-cap
+    * transition regime rather than the operator's own scaling. */
+  private[graft] def rotAlphabet(c: Int): (String, String) = {
+    val k = ((c * 7) % 26 + 26) % 26 // coprime stride spreads copies
+    val k10 = ((c * 3) % 10 + 10) % 10
+    (Lower + Upper + Digits,
+      Lower.drop(k) + Lower.take(k) + Upper.drop(k) + Upper.take(k) +
+        Digits.drop(k10) + Digits.take(k10))
+  }
+
+  /** Write `factor` disguised copies of documents+embeddings from
+    * `srcDir` into `outDir` (same table file names the operators read).
+    * Returns (docRows, vecRows) written. */
+  def writeScaled(spark: SparkSession, srcDir: String, outDir: String,
+                  factor: Int): (Long, Long) = {
+    require(factor >= 1, s"factor must be >= 1: $factor")
+    val docs = spark.read.parquet(s"$srcDir/documents.parquet")
+    val emb = spark.read.parquet(s"$srcDir/embeddings.parquet")
+    val dStride = docs.agg(max("doc_id")).head.getLong(0) + 1
+    val vStride = emb.agg(max("vec_id")).head.getLong(0) + 1
+
+    val docsScaled = (0 until factor).map { c =>
+      val text =
+        if (c == 0) col("text")
+        else { val (from, to) = rotAlphabet(c); translate(col("text"), from, to) }
+      docs.select(
+        (col("doc_id") + lit(c.toLong * dStride)).as("doc_id"),
+        text.as("text"), col("lang"), col("source"),
+        length(text).cast("long").as("n_chars"))
+    }.reduce(_ unionAll _)
+    docsScaled.write.mode("overwrite").parquet(s"$outDir/documents.parquet")
+
+    val embScaled = (0 until factor).map { c =>
+      val vec =
+        if (c == 0) col("embedding")
+        // left-rotate by c mod dim: exact norm + intra-copy cosine
+        // preservation (mod guards c >= dim, where a raw slice length
+        // would go negative)
+        else expr(s"concat(slice(embedding, ($c % size(embedding)) + 1, " +
+          s"size(embedding) - ($c % size(embedding))), " +
+          s"slice(embedding, 1, $c % size(embedding)))")
+      emb.select(
+        (col("vec_id") + lit(c.toLong * vStride)).as("vec_id"),
+        vec.as("embedding"), col("label"))
+    }.reduce(_ unionAll _)
+    embScaled.write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
+
+    (spark.read.parquet(s"$outDir/documents.parquet").count(),
+      spark.read.parquet(s"$outDir/embeddings.parquet").count())
+  }
+
+  private case class Probe(secs: Double, rowsOut: Long, shuffleMb: Double,
+                           shuffleRec: Long)
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      math.max(4, Runtime.getRuntime.availableProcessors()).toString)
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    // stage-level shuffle-write accounting (same listener shape as
+    // BuildBench); reset per probe, drained before reads
+    val shuffleBytes = new java.util.concurrent.atomic.AtomicLong
+    val shuffleRecs = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(
+            sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+          shuffleBytes.addAndGet(
+            sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+          shuffleRecs.addAndGet(
+            sc.stageInfo.taskMetrics.shuffleWriteMetrics.recordsWritten)
+        }
+      })
+    def drain(): Unit = org.apache.spark.graftshim.CoreShim
+      .waitListenerBusEmpty(spark.sparkContext, 30000)
+
+    val probes: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+      "q11_dedup_ngram" -> ((s, d) => operators.Dedup.ngramJaccard(s, d)),
+      "q32_dup_clusters" -> ((s, d) => operators.DupClusters.clusters(s, d)),
+      "q43_knn_join" -> ((s, d) => operators.Similarity.knnJoin(s, d)),
+      "q46_semdedup" -> ((s, d) => operators.Similarity.semDeDup(s, d)))
+
+    def runRung(dir: String): Map[String, Probe] =
+      probes.map { case (name, fn) =>
+        drain()
+        val sb0 = shuffleBytes.get(); val sr0 = shuffleRecs.get()
+        val t0 = System.nanoTime()
+        val rows = fn(spark, dir).count()
+        val secs = (System.nanoTime() - t0) / 1e9
+        drain()
+        name -> Probe(secs, rows, (shuffleBytes.get() - sb0) / 1e6,
+          shuffleRecs.get() - sr0)
+      }.toMap
+
+    val base = TempDirs.create("graft-datascale")
+
+    // discarded warm-up rung: pays JVM/JIT/codegen + Hadoop-FS init once
+    val warmDir = s"$base/warmup"
+    writeScaled(spark, sfDir, warmDir, 1)
+    runRung(warmDir)
+    System.err.println(s"[datascale] warm-up rung done")
+
+    // Rounds × (x1 then x4), fresh dirs each round (per-dir artifact
+    // caches stay cold); min over rounds per rung defends against noise
+    var d1 = 0L; var v1 = 0L; var d4 = 0L; var v4 = 0L
+    val rounds = (1 to Rounds).map { r =>
+      val dir1 = s"$base/r$r-x1"
+      val dir4 = s"$base/r$r-x$Factor"
+      val (a, b) = writeScaled(spark, sfDir, dir1, 1); d1 = a; v1 = b
+      val (c, d) = writeScaled(spark, sfDir, dir4, Factor); d4 = c; v4 = d
+      val out = (runRung(dir1), runRung(dir4))
+      System.err.println(s"[datascale] round $r done")
+      out
+    }
+    // min-time round per (query, rung); shuffle volumes are identical
+    // across rounds (deterministic plans), carried from the min round
+    def best(sel: ((Map[String, Probe], Map[String, Probe])) => Map[String, Probe],
+             name: String): Probe = rounds.map(sel(_)(name)).minBy(_.secs)
+
+    val frags = probes.map { case (name, _) =>
+      val a = best(_._1, name); val b = best(_._2, name)
+      // per-row throughput retention: input rows grow Factor×, so a
+      // perfectly linear operator retains 1.0
+      val retention = (d4 / b.secs) / (d1 / a.secs)
+      def lin(x1: Double, x4: Double): Double =
+        if (x1 > 0) x4 / (Factor * x1) else -1.0
+      s""""$name":{"x1_sec":${f"${a.secs}%.3f"},""" +
+        s""""x${Factor}_sec":${f"${b.secs}%.3f"},""" +
+        s""""x1_rows_out":${a.rowsOut},"x${Factor}_rows_out":${b.rowsOut},""" +
+        s""""x1_shuffle_mb":${f"${a.shuffleMb}%.2f"},""" +
+        s""""x${Factor}_shuffle_mb":${f"${b.shuffleMb}%.2f"},""" +
+        s""""x1_shuffle_rec":${a.shuffleRec},""" +
+        s""""x${Factor}_shuffle_rec":${b.shuffleRec},""" +
+        s""""throughput_retention":${f"$retention%.3f"},""" +
+        s""""shuffle_rec_linearity":${f"${lin(a.shuffleRec.toDouble, b.shuffleRec.toDouble)}%.3f"},""" +
+        s""""shuffle_mb_linearity":${f"${lin(a.shuffleMb, b.shuffleMb)}%.3f"}}"""
+    }
+    val json =
+      s"""{"metric":"data_scaling","factor":$Factor,"rounds":$Rounds,""" +
+      s""""sf":"$sfDir",""" +
+      s""""docs_x1":$d1,"docs_x$Factor":$d4,"vecs_x1":$v1,""" +
+      s""""vecs_x$Factor":$v4,"cpus":$cpus,""" +
+      frags.mkString(",") + "}"
+    println(json)
+    val outPath = java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_DATASCALE_OUT", "datascale_out.json"))
+    java.nio.file.Files.write(outPath,
+      (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    spark.stop()
+  }
+}

@@ -64,15 +64,39 @@ object Dedup {
       .select($"doc_id", explode(expr(
         "transform(sequence(0, size(toks)-2), i -> concat(toks[i], ' ', toks[i+1]))"
       )).as("sh"))
+      // no-op filters (concat of non-null tokens is never null), stated
+      // EXPLICITLY so every consumer's subtree is canonically identical:
+      // the anti-join below injects isnotnull(sh) on its side only,
+      // which otherwise blocks ReusedExchange from collapsing this
+      // distinct's two consumers (anti-join left + hot-set groupBy)
+      // into one executed exchange — the ladder measured the full
+      // shingle relation shuffling twice without it
+      .filter($"sh".isNotNull && $"doc_id".isNotNull)
       .distinct()
   }
 
-  /** Full near-dup pair set (jaccard >= [[JaccardMin]]), no top-k cap —
-    * the edge list [[DupClusters]] clusters over; q11 is this plus its
-    * presentation ordering/limit. */
-  private[operators] def jaccardPairsAll(spark: SparkSession, dir: String): DataFrame = {
+  /** The pair dataflow as a PURE lazy plan — `pin` marks the two
+    * multi-consumer intermediates (the distinct shingle relation and the
+    * hot set); [[jaccardPairsAll]] passes persist, plan-inspection tests
+    * pass identity. */
+  private[operators] def jaccardPairsPlan(spark: SparkSession, dir: String,
+      pin: DataFrame => DataFrame = identity): DataFrame = {
     import spark.implicits._
-    val sh = shingleDf(spark, dir)
+    // PIN the distinct shingle relation: it has two direct consumers
+    // (the hot-set aggregate and the anti-join left side) and everything
+    // downstream re-derives it again through `capped` (self-join a/b
+    // sides + per-doc sizes). Without a pin, whether Catalyst executes
+    // the scan → explode → dedup exchange once or several times is
+    // canonicalization luck — worse, PushDownLeftSemiAntiJoin rewrites
+    // the anti-join's copy (dedup pushed above the join, raw rows
+    // re-keyed by sh ALONE — a skew trap: a 10⁹-instance boilerplate
+    // shingle would land in one task), so that copy can never reuse the
+    // hot side's exchange. The round-5 data-scaling ladder measured 1
+    // executed copy at 1× corpus vs 3 at 4× — a phantom 12× shuffle
+    // read. The cache is the same magnitude as the one dedup shuffle
+    // the operator must do anyway (serialized, disk-spilling), executes
+    // exactly once, and the cache barrier stops the skew-unsafe rewrite.
+    val sh = pin(shingleDf(spark, dir))
     // hot-shingle cap: boilerplate shingles would otherwise create
     // quadratic candidate buckets (skew handling, cf. salted build).
     // The hot SET is computed with a partial-aggregating groupBy — the
@@ -81,8 +105,11 @@ object Dedup {
     // sort-shuffle every (doc_id, sh) row. The hot set is bounded by
     // total shingle rows / MaxShingleDf and Zipf-small in practice, so
     // AQE turns the anti-join into a broadcast at runtime.
-    val hot = sh.groupBy($"sh").agg(count(lit(1)).as("sdf"))
-      .filter($"sdf" > MaxShingleDf).select($"sh")
+    // hot is pinned too — tiny, but referenced by every anti-join
+    // instance below; unpinned, the ladder measured its partial-agg
+    // exchange executing four times (once per capped consumer).
+    val hot = pin(sh.groupBy($"sh").agg(count(lit(1)).as("sdf"))
+      .filter($"sdf" > MaxShingleDf).select($"sh"))
     val capped = sh.join(hot, Seq("sh"), "left_anti")
       .select($"doc_id", $"sh")
     val sizes = capped.groupBy($"doc_id").agg(count(lit(1)).as("sz"))
@@ -98,6 +125,30 @@ object Dedup {
       .select($"doc_a", $"doc_b",
         round($"inter" / ($"sza" + $"szb" - $"inter"), 4).as("jaccard"))
       .filter($"jaccard" >= JaccardMin)
+  }
+
+  /** Full near-dup pair set (jaccard >= [[JaccardMin]]), no top-k cap —
+    * the edge list [[DupClusters]] clusters over; q11 is this plus its
+    * presentation ordering/limit. Materializes EAGERLY: the (small,
+    * near-dup-edge-sized) pair table is checkpointed in one job so the
+    * pinned intermediates' cache lifecycle is deterministic — populate,
+    * drain, release. Local checkpoint by default; a session with a
+    * reliable checkpoint dir (the norm on preemptible clusters)
+    * checkpoints there instead — same switch and same final-table file
+    * lifetime as DupClusters' contraction rounds (reclaimed with the
+    * dir). */
+  private[operators] def jaccardPairsAll(spark: SparkSession, dir: String): DataFrame = {
+    val pinned = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    val pairs = jaccardPairsPlan(spark, dir, { df =>
+      val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+      pinned += p
+      p
+    })
+    val out =
+      if (spark.sparkContext.getCheckpointDir.isDefined) pairs.checkpoint()
+      else pairs.localCheckpoint()
+    pinned.foreach(_.unpersist(blocking = false))
+    out
   }
 
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {

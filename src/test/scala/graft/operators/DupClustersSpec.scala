@@ -174,6 +174,35 @@ class DupClustersSpec extends SparkSpec {
       "fixture too small: need at least one transitive (size>2) cluster")
   }
 
+  test("jaccardPairsAll reliable-checkpoint path: pairs identical to the " +
+    "local path, pair table checkpointed to the configured dir") {
+    val dir = "/root/testdata/sf0.001"
+    val want = Dedup.jaccardPairsAll(spark, dir)
+      .collect().map(_.toString).sorted.toSeq
+    assert(want.nonEmpty, "fixture produced no pairs")
+    val sc = spark.sparkContext
+    val ck = tmpDir("graft-pairs-ckpt")
+    sc.setCheckpointDir(ck)
+    try {
+      val got = Dedup.jaccardPairsAll(spark, dir)
+        .collect().map(_.toString).sorted.toSeq
+      assert(got == want, "reliable-checkpoint pairs diverged from local path")
+      val fs = graft.index.SegmentStore.fs(ck)
+      def rddDirs(p: org.apache.hadoop.fs.Path): Seq[String] =
+        if (!fs.exists(p)) Nil
+        else fs.listStatus(p).filter(_.isDirectory).flatMap { st =>
+          (if (st.getPath.getName.startsWith("rdd-"))
+             Seq(st.getPath.getName) else Nil) ++ rddDirs(st.getPath)
+        }.toSeq
+      assert(rddDirs(new org.apache.hadoop.fs.Path(ck)).nonEmpty,
+        "reliable path did not checkpoint the pair table")
+    } finally {
+      val f = sc.getClass.getDeclaredField("checkpointDir")
+      f.setAccessible(true)
+      f.set(sc, None)
+    }
+  }
+
   test("label table is a per-JVM artifact: built once, re-read by q32/q40/q42") {
     val dir = "/root/testdata/sf0.001"
     // two calls resolve to the SAME materialized parquet files — the

@@ -73,7 +73,11 @@ class PlanSpec extends SparkSpec {
   }
 
   test("q11 ngram dedup: hot-shingle cap is partial-agg + anti-join, not a row-sorting window") {
-    val df = Dedup.ngramJaccard(spark, dir)
+    // inspect the LAZY pair plan (identity pin): the served q11
+    // materializes it through jaccardPairsAll, whose checkpoint hides
+    // the kernel from the outer plan; DataScaleSpec's shuffle-record
+    // gate pins the materialized path's single-execution property
+    val df = Dedup.jaccardPairsPlan(spark, dir)
     val p = plan(df)
     // a count window over sh would sort-shuffle every (doc_id, sh) row;
     // the cap must instead shuffle only partially-aggregated counts and
