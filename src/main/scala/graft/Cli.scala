@@ -43,7 +43,7 @@ object Cli {
   private val usageText =
     """usage:
       |  build <corpusDir> <indexDir> [--format parquet|json|csv] [--partitions N] [--no-sha-verify]
-      |  query <indexDir> <queriesFile> <outCsvDir> [--k N] [--driver]
+      |  query <indexDir> <queriesFile> <outCsvDir> [--k N] [--driver] [--mode or|and]
       |  merge <indexOut> <indexPart> <indexPart> [...]
       |  dedup-labels <corpusDir> <outDir>""".stripMargin
 
@@ -101,17 +101,21 @@ object Cli {
 
       case "query" :: indexDir :: queriesFile :: outDir :: rest =>
         val k = opt(rest, "--k").map(_.toInt).getOrElse(250)
+        // "or" = ranked disjunctive WAND (default); "and" = conjunctive
+        // boolean retrieval (EngineCore.searchConjunctive)
+        val mode = opt(rest, "--mode").getOrElse("or")
+        if (mode != "or" && mode != "and") usage()
         val queries = query.QueryRunner.readQueriesFile(queriesFile)
         if (rest.contains("--driver")) {
           val engine = new query.Engine(spark, indexDir)
           try {
-            val rows = query.QueryRunner.run(engine, queries, k)
+            val rows = query.QueryRunner.run(engine, queries, k, mode = mode)
             query.QueryRunner.writeCsv(spark, rows, outDir)
           } finally engine.close()
         } else {
           import spark.implicits._
           val qdf = queries.toDF("query_num", "query")
-          query.DistributedRunner.run(spark, indexDir, qdf, k)
+          query.DistributedRunner.run(spark, indexDir, qdf, k, mode = mode)
             .coalesce(1).write.mode("overwrite")
             .option("header", "true").csv(outDir)
         }

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Assembly, Dedup, DupClusters, IndexOps, LmScore, Multimodal, Relational, Similarity, TextAnalysis, TextRelational, Versioning}
+import graft.operators.{Assembly, Dedup, DupClusters, IndexOps, LmScore, Multimodal, Relational, Retrieval, Similarity, TextAnalysis, TextRelational, Versioning}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -96,6 +96,16 @@ object SparkEntry {
     "q48_knn_classify" -> ((s, d) => Similarity.knnClassify(s, d)),
     // Snapshot diff: added/removed/changed/same between corpus versions
     "q49_snapshot_diff" -> ((s, d) => Versioning.snapshotDiff(s, d)),
+    // Overlapping fixed-window chunking (RAG / embedding prep)
+    "q50_chunk_overlap" -> ((s, d) => Assembly.chunkOverlap(s, d)),
+    // TF-IDF keyword extraction: top terms per document
+    "q51_tfidf_keywords" -> ((s, d) => TextRelational.tfidfKeywords(s, d)),
+    // DSIR-style importance selection via hashed-bigram buckets
+    "q52_dsir_select" -> ((s, d) => LmScore.dsirSelect(s, d)),
+    // Hybrid retrieval: reciprocal-rank fusion of BM25 + cosine lists
+    "q53_hybrid_rrf" -> ((s, d) => Retrieval.hybridRrf(s, d)),
+    // Boolean-AND retrieval through the engine's postings intersection
+    "q54_boolean_and" -> ((s, d) => IndexOps.booleanAnd(s, d)),
   )
 
   /** DuckDB equivalents, same column names + total ORDER BY. */
@@ -145,5 +155,10 @@ object SparkEntry {
     "q47_sem_decontam" -> Similarity.semDecontamSql,
     "q48_knn_classify" -> Similarity.knnClassifySql,
     "q49_snapshot_diff" -> Versioning.snapshotDiffSql,
+    "q50_chunk_overlap" -> Assembly.chunkOverlapSql,
+    "q51_tfidf_keywords" -> TextRelational.tfidfKeywordsSql,
+    "q52_dsir_select" -> LmScore.dsirSelectSql,
+    "q53_hybrid_rrf" -> Retrieval.hybridRrfSql,
+    "q54_boolean_and" -> IndexOps.booleanAndSql,
   )
 }

@@ -383,4 +383,70 @@ object Assembly {
        |FROM documents d JOIN ranked r USING (source)
        |ORDER BY d.doc_id""".stripMargin
   }
+
+  /** Chunk window (tokens) and stride for [[chunkOverlap]]; stride <
+    * window so consecutive chunks share window-stride tokens of context
+    * — the standard RAG/embedding-prep overlap. Small enough that sf0.01
+    * documents produce multi-chunk splits. */
+  val ChunkWindow = 64
+  val ChunkStride = 48
+
+  /** q50: overlapping fixed-size chunking (RAG / embedding prep).
+    * Documents split into [[ChunkWindow]]-token windows every
+    * [[ChunkStride]] tokens; the last window is the remainder (shorter,
+    * never empty). A doc with n tokens yields floor((n-1)/stride)+1
+    * chunks, so every token is covered and every chunk start is < n.
+    *
+    * Plan shape: scan → project (tokenize once) → generate
+    * (explode over the per-doc chunk-count sequence) → project
+    * (slice + rejoin). Entirely map-side — NO shuffle anywhere before
+    * the presentation sort: chunking is embarrassingly parallel and a
+    * 100 TB corpus chunks at scan speed. The token array is computed
+    * once per doc and slices share it; output text is bounded by
+    * window size, so row width stays bounded regardless of document
+    * length (a 1 GB pathological doc becomes many bounded rows, not one
+    * unbounded one — the property that keeps downstream embedders'
+    * batch memory flat). */
+  def chunkOverlap(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = ChunkWindow
+    val s = ChunkStride
+    val toks = filter(split(lower($"text"), "\\s+"), t => t =!= "")
+    spark.read.parquet(s"$dir/documents.parquet")
+      .select($"doc_id", toks.as("toks"))
+      .withColumn("n", size($"toks").cast("long"))
+      .filter($"n" > 0)
+      .select($"doc_id", $"toks", $"n",
+        explode(sequence(lit(0L),
+          floor(($"n" - 1L) / lit(s.toLong)).cast("long"))).as("chunk_id"))
+      .select(
+        $"doc_id",
+        $"chunk_id",
+        ($"chunk_id" * s).as("chunk_start"),
+        size(slice($"toks", ($"chunk_id" * s + 1).cast("int"), lit(w)))
+          .cast("long").as("n_tokens"),
+        array_join(slice($"toks", ($"chunk_id" * s + 1).cast("int"), lit(w)), " ")
+          .as("chunk_text"))
+      .orderBy($"doc_id", $"chunk_id")
+  }
+
+  /** Oracle mirror of [[chunkOverlap]] — DuckDB's list_slice is 1-based
+    * inclusive-end and clamps like Spark's slice(start, length). */
+  val chunkOverlapSql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id,
+       |    list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t <> '') AS toks
+       |  FROM documents),
+       |n AS (SELECT doc_id, toks, len(toks) AS n FROM d WHERE len(toks) > 0),
+       |c AS (SELECT doc_id, toks,
+       |        unnest(generate_series(0, (n - 1) // $ChunkStride)) AS chunk_id
+       |      FROM n)
+       |SELECT doc_id, chunk_id,
+       |  chunk_id * $ChunkStride AS chunk_start,
+       |  CAST(len(list_slice(toks, chunk_id * $ChunkStride + 1,
+       |                      chunk_id * $ChunkStride + $ChunkWindow)) AS BIGINT) AS n_tokens,
+       |  array_to_string(list_slice(toks, chunk_id * $ChunkStride + 1,
+       |                             chunk_id * $ChunkStride + $ChunkWindow), ' ') AS chunk_text
+       |FROM c
+       |ORDER BY doc_id, chunk_id""".stripMargin
 }

@@ -91,4 +91,25 @@ object IndexOps {
   val distBm25Sql: String = DistQueries.map { case (n, _, terms) =>
     s"SELECT $n AS query_num, doc_id, score FROM (\n${TextRelational.bm25TopKSql(terms, K)})"
   }.mkString("", "\nUNION ALL\n", "\nORDER BY query_num, score DESC, doc_id")
+
+  /** q54: boolean-AND retrieval through the real engine — leapfrog
+    * postings intersection (EngineCore.searchConjunctive) over the same
+    * salted/compressed index q09 queries, BM25-scored on the
+    * intersection only. DuckDB recomputes it relationally
+    * (HAVING count(DISTINCT term) = n), an independent end-to-end oracle
+    * over the conjunctive path. Over-fetch + re-rank on the ROUNDED
+    * score for the same k-cutoff tie discipline as q09. */
+  def booleanAnd(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val eng = new Engine(spark, indexFor(spark, dir), Tokenizer.plainCfg,
+      pruneSingletons = false, preload = true)
+    val hits = eng.searchConjunctive(QueryTerms.mkString(" "), K * 3)
+    eng.close()
+    hits.toSeq.toDF("doc_id", "raw")
+      .select($"doc_id", round($"raw", 4).as("score"))
+      .orderBy($"score".desc, $"doc_id")
+      .limit(K)
+  }
+
+  val booleanAndSql: String = TextRelational.booleanAndSql(QueryTerms, K)
 }

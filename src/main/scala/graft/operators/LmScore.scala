@@ -171,6 +171,100 @@ object LmScore {
        |   OR (bucket = 'tail' AND u_hex < '40000000')
        |ORDER BY doc_id""".stripMargin
 
+  /** Hashed-feature buckets for [[dsirSelect]] (also its Laplace
+    * constant). 64 keeps the sf0.01 histogram dense; a production run
+    * uses 10^4-10^5 buckets — the table stays broadcast-sized either
+    * way, which is the point of hashing the features. */
+  val DsirBuckets = 64
+
+  /** q52: DSIR-style importance selection (Xie et al. 2023, "Data
+    * Selection for Language Models via Importance Resampling"): score
+    * every document by whether its hashed n-gram features look more
+    * like a TARGET distribution than like the corpus background, keep
+    * docs on the target side. Target stand-in: the `lang = 'en'` slice
+    * (real pipelines point this at a trusted domain corpus).
+    *
+    * DSIR's per-feature weight is log((tgt_b+λ)/(cor_b+λ)) summed over
+    * a doc's features — a float sum whose accumulation order differs
+    * across engines. This implementation quantizes the log-ratio to its
+    * SIGN, decided by the INTEGER cross-product
+    * (tgt_b+1)·(cor_tot+B) > (cor_b+1)·(tgt_tot+B) (Laplace-smoothed
+    * "is this bucket target-enriched?"), so a doc's score is
+    * Σ count·(±1) — pure integer arithmetic, bit-exact in any engine,
+    * same selection direction as the full-precision weight. The margin
+    * is reported, so a consumer needing graded weights re-scales it.
+    *
+    * Scale shape: bigrams hash to [[DsirBuckets]] buckets at scan time
+    * (feature space is FIXED, independent of vocabulary); per-(doc,
+    * bucket) counts partial-aggregate map-side; both histograms are
+    * B-row aggregates and the sign table rides a broadcast back. The
+    * corpus shuffles only (doc_id, bucket, count) triples — bounded by
+    * B per doc, not by document length. */
+  def dsirSelect(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val b = DsirBuckets
+    val stream = spark.read.parquet(s"$dir/documents.parquet")
+      .select($"doc_id", $"lang",
+        expr("filter(split(lower(text), '\\\\s+'), t -> t <> '')").as("toks"))
+      .filter(size($"toks") >= 2)
+      .select($"doc_id", $"lang", explode(expr(
+        "transform(sequence(0, size(toks)-2), i -> concat(toks[i], ' ', toks[i+1]))"
+      )).as("g"))
+    val bucket = (ascii(substring(md5($"g"), 1, 1)) * 13 +
+      ascii(substring(md5($"g"), 2, 1))) % b
+    val perDoc = stream
+      .select($"doc_id", $"lang", bucket.cast("long").as("b"))
+      .groupBy($"doc_id", $"lang", $"b").agg(count(lit(1)).as("c"))
+    val hist = perDoc.groupBy($"b").agg(
+      sum($"c").as("cor_b"),
+      sum(when($"lang" === "en", $"c").otherwise(0L)).as("tgt_b"))
+    val tots = hist.agg(sum($"cor_b").as("cor_tot"), sum($"tgt_b").as("tgt_tot"))
+    val sgn = hist.crossJoin(tots).select($"b",
+      when(($"tgt_b" + 1) * ($"cor_tot" + b) > ($"cor_b" + 1) * ($"tgt_tot" + b),
+        1L).otherwise(-1L).as("sgn"))
+    perDoc.join(broadcast(sgn), "b")
+      .groupBy($"doc_id")
+      .agg(sum($"c").as("n_bigrams"), sum($"c" * $"sgn").as("margin"))
+      .select($"doc_id", $"n_bigrams", $"margin",
+        ($"margin" > 0).cast("int").as("kept"))
+      .orderBy($"doc_id")
+  }
+
+  val dsirSelectSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, lang,
+       |    list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t <> '') AS arr
+       |  FROM documents),
+       |stream AS (
+       |  SELECT doc_id, lang,
+       |    unnest(list_transform(range(1, len(arr)), i -> arr[i] || ' ' || arr[i+1])) AS g
+       |  FROM toks WHERE len(arr) >= 2),
+       |pd AS (
+       |  SELECT doc_id, lang,
+       |    (ascii(substr(md5(g), 1, 1)) * 13 + ascii(substr(md5(g), 2, 1))) % $DsirBuckets AS b,
+       |    count(*) AS c
+       |  FROM stream GROUP BY doc_id, lang, b),
+       |hist AS (
+       |  SELECT b, CAST(sum(c) AS BIGINT) AS cor_b,
+       |    CAST(sum(CASE WHEN lang = 'en' THEN c ELSE 0 END) AS BIGINT) AS tgt_b
+       |  FROM pd GROUP BY b),
+       |tots AS (
+       |  SELECT CAST(sum(cor_b) AS BIGINT) AS cor_tot,
+       |    CAST(sum(tgt_b) AS BIGINT) AS tgt_tot FROM hist),
+       |sgn AS (
+       |  SELECT b,
+       |    CASE WHEN (tgt_b + 1) * (cor_tot + $DsirBuckets)
+       |            > (cor_b + 1) * (tgt_tot + $DsirBuckets)
+       |         THEN 1 ELSE -1 END AS sgn
+       |  FROM hist CROSS JOIN tots)
+       |SELECT pd.doc_id AS doc_id,
+       |  CAST(sum(pd.c) AS BIGINT) AS n_bigrams,
+       |  CAST(sum(pd.c * sgn.sgn) AS BIGINT) AS margin,
+       |  CAST(CAST(sum(pd.c * sgn.sgn) AS BIGINT) > 0 AS INT) AS kept
+       |FROM pd JOIN sgn ON pd.b = sgn.b
+       |GROUP BY pd.doc_id
+       |ORDER BY pd.doc_id""".stripMargin
+
   val trigramNoveltySql: String =
     s"""WITH toks AS (
        |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t <> '') AS arr

@@ -83,7 +83,7 @@ object Similarity {
   /** q15: exact top-k cosine neighbors of QueryVecId's embedding.
     * Broadcast the 1-row query side; the big side never shuffles —
     * TakeOrderedAndProject does the global top-k. */
-  def annBruteForce(spark: SparkSession, dir: String): DataFrame = {
+  def annBruteForce(spark: SparkSession, dir: String, k: Int = K): DataFrame = {
     import spark.implicits._
     val e = spark.read.parquet(s"$dir/embeddings.parquet")
     val q = e.filter($"vec_id" === QueryVecId)
@@ -92,7 +92,7 @@ object Similarity {
       .crossJoin(broadcast(q))
       .select($"vec_id", round(cosExpr, 4).as("cos"))
       .orderBy($"cos".desc, $"vec_id")
-      .limit(K)
+      .limit(k)
   }
 
   // DOUBLE[] casts: DuckDB's list_cosine_similarity computes in float32

@@ -108,6 +108,107 @@ object TextRelational {
       .limit(k)
   }
 
+  /** Keywords kept per document by [[tfidfKeywords]]. */
+  val KeywordsPerDoc = 3
+
+  /** q51: TF-IDF keyword extraction — the top-[[KeywordsPerDoc]] terms
+    * of every document by tf·ln((N+1)/(df+1)), the classic
+    * per-document salient-term summary (tagging, faceting, weak
+    * labels for retrieval training).
+    *
+    * Scale shape: the (doc, term, tf) relation partial-aggregates
+    * map-side; the df table is VOCAB-sized, so its join back is an AQE
+    * broadcast at any corpus size (a vocabulary grows ~log with the
+    * corpus, not linearly); the corpus-size scalar rides a 1-row
+    * cross-join. The only per-doc ordering is a window PARTITIONED BY
+    * doc_id — bounded by a single document's distinct-term count, never
+    * by the corpus. Ranking compares the ROUNDED score (what the oracle
+    * sorts on) with the term as tiebreak, so the top-3 cut is
+    * deterministic and engine-independent. */
+  def tfidfKeywords(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val tf = tokens(spark, dir)
+      .groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+    val dfT = tf.groupBy($"term").agg(count(lit(1)).as("df"))
+    val st = tf.agg(countDistinct($"doc_id").as("n_docs"))
+    val score = round($"tf" * log(($"n_docs" + 1.0) / ($"df" + 1.0)), 4)
+    val w = Window.partitionBy($"doc_id").orderBy($"score".desc, $"term")
+    tf.join(dfT, "term")
+      .crossJoin(broadcast(st))
+      .select($"doc_id", $"term", $"tf", $"df", score.as("score"))
+      .withColumn("rk", row_number().over(w))
+      .filter($"rk" <= KeywordsPerDoc)
+      .orderBy($"doc_id", $"rk")
+  }
+
+  val tfidfKeywordsSql: String =
+    s"""WITH tok AS ($tokSql),
+       |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+       |dft AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+       |st AS (SELECT count(DISTINCT doc_id) AS n_docs FROM tf)
+       |SELECT doc_id, term, tf, df, score, rk FROM (
+       |  SELECT tf.doc_id AS doc_id, tf.term AS term, tf.tf AS tf, dft.df AS df,
+       |    round(tf.tf * ln((n_docs + 1.0) / (df + 1.0)), 4) AS score,
+       |    CAST(row_number() OVER (PARTITION BY tf.doc_id
+       |      ORDER BY round(tf.tf * ln((n_docs + 1.0) / (df + 1.0)), 4) DESC,
+       |               tf.term) AS INT) AS rk
+       |  FROM tf JOIN dft ON tf.term = dft.term CROSS JOIN st)
+       |WHERE rk <= $KeywordsPerDoc
+       |ORDER BY doc_id, rk""".stripMargin
+
+  /** Relational twin of the engine's conjunctive search (q54): identical
+    * BM25 arithmetic, restricted to docs matching EVERY query term —
+    * `HAVING count(DISTINCT term) = n` is ANSI's spelling of the
+    * engine's leapfrog postings intersection. */
+  def booleanAnd(spark: SparkSession, dir: String,
+                 queryTerms: Seq[String] = Seq("spark", "join", "stream"),
+                 k: Int = 20): DataFrame = {
+    import spark.implicits._
+    val tf = tokens(spark, dir)
+      .groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+    val dl = tf.groupBy($"doc_id").agg(sum($"tf").as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), avg($"dl").as("avgdl"))
+    val dfT = tf.filter($"term".isin(queryTerms: _*))
+      .groupBy($"term").agg(count(lit(1)).as("df"))
+    val idf: Column = log((($"n_docs" - $"df" + 0.5) / ($"df" + 0.5)) + 1.0)
+    val w: Column = idf * ($"tf" * (K1 + 1)) /
+      ($"tf" + lit(K1) * (lit(1 - B) + ($"dl" / $"avgdl") * B))
+    tf.filter($"term".isin(queryTerms: _*))
+      .join(dl, "doc_id")
+      .join(broadcast(dfT), "term")
+      .crossJoin(broadcast(stats))
+      .groupBy($"doc_id")
+      .agg(round(sum(w), 4).as("score"),
+        countDistinct($"term").as("nt"))
+      .filter($"nt" === queryTerms.size)
+      .select($"doc_id", $"score")
+      .orderBy($"score".desc, $"doc_id")
+      .limit(k)
+  }
+
+  def booleanAndSql(queryTerms: Seq[String] = Seq("spark", "join", "stream"),
+                    k: Int = 20): String = {
+    val inList = queryTerms.map(t => s"'$t'").mkString(", ")
+    s"""WITH tok AS ($tokSql),
+       |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+       |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id),
+       |stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+       |dft AS (SELECT term, count(*) AS df FROM tf WHERE term IN ($inList) GROUP BY term)
+       |SELECT tf.doc_id AS doc_id,
+       |  round(sum(ln(((n_docs - df + 0.5) / (df + 0.5)) + 1.0)
+       |    * (tf * ${K1 + 1}) / (tf + $K1 * (1 - $B + $B * (dl / avgdl)))), 4) AS score
+       |FROM tf
+       |JOIN dl ON tf.doc_id = dl.doc_id
+       |JOIN dft ON tf.term = dft.term
+       |CROSS JOIN stats
+       |WHERE tf.term IN ($inList)
+       |GROUP BY tf.doc_id
+       |HAVING count(DISTINCT tf.term) = ${queryTerms.size}
+       |ORDER BY score DESC, doc_id
+       |LIMIT $k""".stripMargin
+  }
+
   def bm25TopKSql(queryTerms: Seq[String] = Seq("spark", "join", "stream"),
                   k: Int = 20): String = {
     val inList = queryTerms.map(t => s"'$t'").mkString(", ")

@@ -42,7 +42,8 @@ object DistributedRunner {
           k: Int = 250,
           tokCfg: Tokenizer.Config = Tokenizer.default,
           pruneSingletons: Boolean = true,
-          spell: Boolean = true): DataFrame = {
+          spell: Boolean = true,
+          mode: String = "or"): DataFrame = {
     import spark.implicits._
     val cs = spark.read.parquet(s"$indexDir/corpus_stats")
     val r = cs.select($"n_docs", $"avgdl").head()
@@ -75,7 +76,10 @@ object DistributedRunner {
             eng.closeThreadReader(); eng.releaseTsHandles()
           })
         it.flatMap { case (qn, q) =>
-          eng.searchWand(q, kc).iterator.zipWithIndex.map {
+          val hits =
+            if (mode == "and") eng.searchConjunctive(q, kc)
+            else eng.searchWand(q, kc)
+          hits.iterator.zipWithIndex.map {
             case ((id, s), i) => (qn, id, i + 1, s)
           }
         }

@@ -103,6 +103,10 @@ final class Engine(spark: SparkSession, indexDir: String,
     core.searchWandQuery(queryTerms, k)
   def searchExhaustive(query: String, k: Int): Array[(Long, Double)] =
     core.searchExhaustive(query, k)
+  def searchConjunctive(query: String, k: Int): Array[(Long, Double)] =
+    core.searchConjunctive(query, k)
+  def searchConjunctiveQuery(queryTerms: Map[String, Int], k: Int): Array[(Long, Double)] =
+    core.searchConjunctiveQuery(queryTerms, k)
   def close(): Unit = {
     maxTfReader.foreach(_.close())
     maxTfReader = None

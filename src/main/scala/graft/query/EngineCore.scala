@@ -248,14 +248,16 @@ final class EngineCore(
     c
   }
 
-  /** Dictionary + stats lookup for a parsed query, with the reference's
-    * case-fold fallback (searcher.py:46-55, SURVEY Q3), default-on spell
-    * correction for still-unknown terms (the reference corrects EVERY
-    * query, searcher.py:44, incl. the edit-2 candidates() fallback,
-    * searcher.py:94-95), and query-time singleton pruning
-    * (indexer.py:604-615, SURVEY A7). */
-  def lookup(queryTerms: Map[String, Int]): Seq[TermPostings] = {
-    if (queryTerms.isEmpty) return Nil
+  /** Resolution half of [[lookup]]: query tokens → live dictionary terms
+    * (case-fold fallback, optional spell correction, singleton pruning),
+    * their df stats, and the count of query tokens that resolved to
+    * NOTHING (case variants missing, spell found no correction, or the
+    * term was pruned). The disjunctive paths ignore the last value; the
+    * conjunctive path refuses to answer on it — the AND of a missing
+    * term is the empty set, not the AND of whatever remained. */
+  private def resolveTerms(queryTerms: Map[String, Int])
+      : (Map[String, Int], Map[String, Long], Int) = {
+    if (queryTerms.isEmpty) return (Map.empty, Map.empty, 0)
     val variants = queryTerms.keys.flatMap(t =>
       Seq(t, t.toLowerCase, t.toUpperCase)).toSeq.distinct
     var stats: Map[String, Long] = resolver.dfBatch(variants)
@@ -267,22 +269,30 @@ final class EngineCore(
         else None
       hit.map(_ -> qtf)
     }
+    var unresolved = 0
+    val missing = queryTerms.filter { case (t, _) =>
+      !(stats.contains(t) || stats.contains(t.toLowerCase) ||
+        stats.contains(t.toUpperCase)) }
     if (spell) {
-      val missing = queryTerms.filter { case (t, _) =>
-        !(stats.contains(t) || stats.contains(t.toLowerCase) ||
-          stats.contains(t.toUpperCase)) }
       missing.foreach { case (t, qtf) =>
         val c = correctionOf(t)
         if (c != t) {
           stats ++= resolver.dfBatch(Seq(c))
           resolved = resolved.updatedWith(c)(q =>
             Some(q.getOrElse(0) + qtf))
-        }
+        } else unresolved += 1
       }
-    }
+    } else unresolved += missing.size
     val live = resolved.filter { case (t, _) =>
       !pruneSingletons || stats(t) > 1 }
-    if (live.isEmpty) return Nil
+    unresolved += resolved.size - live.size
+    (live, stats, unresolved)
+  }
+
+  /** Posting fetch half of [[lookup]]: live terms → docId-sorted block
+    * lists, through the executor-local SegmentCache. */
+  private def fetchPostings(live: Map[String, Int],
+                            stats: Map[String, Long]): Seq[TermPostings] = {
     val dict = resolver.dictEntries(live.keys.toSeq)
     live.toSeq.sortBy(_._1).flatMap { case (t, qtf) => // Q4: sorted terms
       val entries = dict.filter(_.term == t)
@@ -297,6 +307,85 @@ final class EngineCore(
         Some(TermPostings(t, qtf, stats(t), blocks))
       }
     }
+  }
+
+  /** Dictionary + stats lookup for a parsed query, with the reference's
+    * case-fold fallback (searcher.py:46-55, SURVEY Q3), default-on spell
+    * correction for still-unknown terms (the reference corrects EVERY
+    * query, searcher.py:44, incl. the edit-2 candidates() fallback,
+    * searcher.py:94-95), and query-time singleton pruning
+    * (indexer.py:604-615, SURVEY A7). */
+  def lookup(queryTerms: Map[String, Int]): Seq[TermPostings] = {
+    val (live, stats, _) = resolveTerms(queryTerms)
+    if (live.isEmpty) Nil else fetchPostings(live, stats)
+  }
+
+  /** Boolean-AND (conjunctive) retrieval: only documents containing
+    * EVERY resolved query term, BM25-scored over the intersection,
+    * top-k under the same rank order as [[searchWand]].
+    *
+    * Postings are docId-sorted, so the intersection is a leapfrog merge
+    * driven by the largest current docId; a term whose remaining blocks
+    * all end before the candidate skips them metadata-only (the same
+    * block-skip machinery WAND's advanceTo uses), so a rare term drags
+    * the scan cost toward its own df, not the common terms'. The
+    * reference engine is disjunctive-only (searcher.py scores the
+    * union); conjunctive mode is the classic inverted-index AND query
+    * added as first-class engine surface. Any query token that resolves
+    * to no live dictionary term (even after case-fold + spell) makes
+    * the result empty — AND semantics, not best-effort. */
+  def searchConjunctive(query: String, k: Int): Array[(Long, Double)] =
+    searchConjunctiveQuery(Tokenizer.tokenizeQuery(query, tokCfg), k)
+
+  /** [[searchConjunctive]] over pre-tokenized terms (the batch-runner
+    * entry, mirroring searchWandQuery). */
+  def searchConjunctiveQuery(q: Map[String, Int], k: Int): Array[(Long, Double)] = {
+    if (q.isEmpty) return Array.empty
+    val (live, stats, unresolved) = resolveTerms(q)
+    if (unresolved > 0 || live.isEmpty) return Array.empty
+    val tps = fetchPostings(live, stats)
+    if (tps.size < live.size) return Array.empty // a live term lost its record
+    val cs = tps.map(tp =>
+      new Cursor(BM25.termConst(nDocs, tp.df, tp.qtf), tp.blocks)).toArray
+    if (cs.exists(_.exhausted)) return Array.empty
+    val hits = new scala.collection.AbstractIterator[(Long, Double)] {
+      private var done = false
+      private var has = false
+      private var cur: (Long, Double) = null
+      private def seek(): Unit = {
+        while (!has && !done) {
+          // candidate = max of current docIds; exhaustion anywhere ends it
+          var max = 0L; var i = 0
+          while (i < cs.length) {
+            val d = cs(i).curDoc
+            if (d == Long.MaxValue) { done = true; return }
+            if (d > max) max = d
+            i += 1
+          }
+          var agree = true
+          i = 0
+          while (i < cs.length) {
+            cs(i).advanceTo(max)
+            val d = cs(i).curDoc
+            if (d == Long.MaxValue) { done = true; return }
+            if (d != max) agree = false
+            i += 1
+          }
+          if (agree) {
+            // term-sorted cursor order (fetchPostings sorts) keeps the
+            // double accumulation order identical to searchExhaustive's
+            var s = 0.0; i = 0
+            while (i < cs.length) { s += cs(i).curScore; i += 1 }
+            cur = (max, s); has = true
+            i = 0
+            while (i < cs.length) { cs(i).next(); i += 1 }
+          }
+        }
+      }
+      def hasNext: Boolean = { seek(); has }
+      def next(): (Long, Double) = { seek(); has = false; cur }
+    }
+    topK(hits, k)
   }
 
   def close(): Unit = {

@@ -39,7 +39,8 @@ object QueryRunner {
   def run(engine: Engine, queries: Seq[(Int, String)],
           k: Int = 250,
           spellDf: Option[String => Option[Long]] = None,
-          tokCfg: Tokenizer.Config = Tokenizer.default)
+          tokCfg: Tokenizer.Config = Tokenizer.default,
+          mode: String = "or")
       : Seq[(Int, Long, Int, Double)] = {
     val kCapped = math.min(k, 2000)
     queries.flatMap { case (qnum, q) =>
@@ -50,7 +51,10 @@ object QueryRunner {
           .groupMapReduce(_._1)(_._2)(_ + _)
         case None => terms
       }
-      engine.searchWandQuery(corrected, kCapped).zipWithIndex.map {
+      val hits =
+        if (mode == "and") engine.searchConjunctiveQuery(corrected, kCapped)
+        else engine.searchWandQuery(corrected, kCapped)
+      hits.zipWithIndex.map {
         case ((docId, score), i) => (qnum, docId, i + 1, score)
       }
     }
