@@ -106,6 +106,10 @@ object SparkEntry {
     "q53_hybrid_rrf" -> ((s, d) => Retrieval.hybridRrf(s, d)),
     // Boolean-AND retrieval through the engine's postings intersection
     "q54_boolean_and" -> ((s, d) => IndexOps.booleanAnd(s, d)),
+    // Hard-negative mining for retrieval training (engine BM25 bands)
+    "q55_hard_negatives" -> ((s, d) => IndexOps.hardNegatives(s, d)),
+    // Contrastive positive pairs from near-duplicate clusters
+    "q56_contrastive_pairs" -> ((s, d) => DupClusters.contrastivePairs(s, d)),
   )
 
   /** DuckDB equivalents, same column names + total ORDER BY. */
@@ -160,5 +164,7 @@ object SparkEntry {
     "q52_dsir_select" -> LmScore.dsirSelectSql,
     "q53_hybrid_rrf" -> Retrieval.hybridRrfSql,
     "q54_boolean_and" -> IndexOps.booleanAndSql,
+    "q55_hard_negatives" -> IndexOps.hardNegativesSql,
+    "q56_contrastive_pairs" -> DupClusters.contrastivePairsSql,
   )
 }

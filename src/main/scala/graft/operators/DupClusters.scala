@@ -301,6 +301,40 @@ object DupClusters {
        |FROM lab l JOIN sz s USING (cluster_id)
        |ORDER BY l.doc_id""".stripMargin
 
+  /** q56: contrastive positive-pair mining — near-duplicate clusters
+    * turned into (anchor, positive) training pairs for embedding-model
+    * training (SimCSE/E5-style contrastive objectives; negatives come
+    * free in-batch at training time, so the pipeline's job is the
+    * positives). Anchor = the cluster label itself (star contraction
+    * labels every cluster by its MIN doc_id, so the anchor needs no
+    * extra pass); every other member pairs with it once. ANCHOR-STAR
+    * pairing is the scale decision: a 10^6-member boilerplate family
+    * yields 10^6-1 pairs, not the 10^12 of all-pairs — same linearity
+    * argument as q12's star-link. cluster_size rides along so trainers
+    * can down-weight giant families. Reads the materialized label
+    * artifact (q32's); the size ledger is cluster-count-sized and
+    * broadcasts back under AQE. Pairs are leak-safe by construction
+    * when split by q40 (anchor and positive share a cluster, and q40
+    * splits whole clusters). */
+  def contrastivePairs(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val lab = labels(spark, dir)
+    val sizes = lab.groupBy($"cluster_id").agg(count(lit(1)).as("cluster_size"))
+    lab.filter($"doc_id" =!= $"cluster_id")
+      .join(sizes, "cluster_id")
+      .select($"cluster_id".as("anchor"), $"doc_id".as("positive"),
+        $"cluster_size")
+      .orderBy($"anchor", $"positive")
+  }
+
+  val contrastivePairsSql: String =
+    s"""WITH RECURSIVE $labelCtes,
+       |sz AS (SELECT cluster_id, count(*) AS cluster_size FROM lab GROUP BY cluster_id)
+       |SELECT l.cluster_id AS anchor, l.doc_id AS positive, s.cluster_size
+       |FROM lab l JOIN sz s USING (cluster_id)
+       |WHERE l.doc_id <> l.cluster_id
+       |ORDER BY anchor, positive""".stripMargin
+
   /** Keep threshold: floor(0.90 · 2³²) and floor(0.95 · 2³²) as 8-hex —
     * literal constants, so no float math exists to diverge on. */
   val SplitTrainHex = "e6666666"

@@ -92,6 +92,54 @@ object IndexOps {
     s"SELECT $n AS query_num, doc_id, score FROM (\n${TextRelational.bm25TopKSql(terms, K)})"
   }.mkString("", "\nUNION ALL\n", "\nORDER BY query_num, score DESC, doc_id")
 
+  /** Hard-negative band for [[hardNegatives]]: list depth and the rank
+    * the negatives start at. Ranks 2..HardNegLo-1 are skipped — docs
+    * that close to the positive are too often unlabeled positives (the
+    * standard DPR-style mining precaution). */
+  val HardNegK = 15
+  val HardNegLo = 11
+
+  /** q55: hard-negative mining for retrieval training (DPR, Karpukhin
+    * et al. 2020): for every training query, the engine's BM25 top-1 is
+    * the positive and ranks [[HardNegLo]]..[[HardNegK]] are the hard
+    * negatives — lexically confusable documents that teach a dense
+    * retriever what BM25 cannot distinguish. Mined through the REAL
+    * distributed engine (same fan-out as q28: query core on a
+    * broadcast, zero shuffle over the corpus — 10^6 training queries
+    * mine at serving throughput); ranks re-computed on the ROUNDED
+    * score per q09/q28's k-cutoff tie discipline, so the band edges are
+    * engine-independent and the DuckDB oracle reproduces them
+    * relationally. */
+  def hardNegatives(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val idx = indexFor(spark, dir)
+    val q = DistQueries.map { case (n, s, _) => (n, s) }
+      .toDF("query_num", "query").repartition(4)
+    val raw = graft.query.DistributedRunner.run(spark, idx, q, k = HardNegK * 3,
+      tokCfg = Tokenizer.plainCfg, pruneSingletons = false)
+    val w = Window.partitionBy($"query_num")
+      .orderBy(round($"score", 4).desc, $"doc_id")
+    raw.select($"query_num", $"doc_id", round($"score", 4).as("score"))
+      .withColumn("rank", row_number().over(w))
+      .filter($"rank" === 1 || ($"rank" >= HardNegLo && $"rank" <= HardNegK))
+      .withColumn("role", when($"rank" === 1, "pos").otherwise("neg"))
+      .select($"query_num", $"doc_id", $"rank", $"role", $"score")
+      .orderBy($"query_num", $"rank")
+  }
+
+  val hardNegativesSql: String = DistQueries.map { case (n, _, terms) =>
+    s"""SELECT $n AS query_num, doc_id,
+       |  CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT) AS rank, score
+       |FROM (
+       |${TextRelational.bm25TopKSql(terms, HardNegK)})""".stripMargin
+  }.mkString(
+    "SELECT query_num, doc_id, rank,\n" +
+      s"  CASE WHEN rank = 1 THEN 'pos' ELSE 'neg' END AS role, score\nFROM (\n",
+    "\nUNION ALL\n",
+    s"\n) WHERE rank = 1 OR rank BETWEEN $HardNegLo AND $HardNegK\n" +
+      "ORDER BY query_num, rank")
+
   /** q54: boolean-AND retrieval through the real engine — leapfrog
     * postings intersection (EngineCore.searchConjunctive) over the same
     * salted/compressed index q09 queries, BM25-scored on the

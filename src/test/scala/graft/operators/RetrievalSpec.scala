@@ -227,4 +227,50 @@ class RetrievalSpec extends SparkSpec {
     // AND of an unresolvable term returns nothing for that query only
     assert(!dist.exists(_._1 == 3) && dist.exists(_._1 == 1) && dist.exists(_._1 == 2))
   }
+
+  // ---- q55 hard-negative mining -------------------------------------------
+
+  test("q55 engine-mined bands == relational BM25 replay; one pos + the 11-15 neg band per query") {
+    import spark.implicits._
+    val expect = IndexOps.DistQueries.flatMap { case (n, _, terms) =>
+      TextRelational.bm25TopK(spark, dir, terms, IndexOps.HardNegK)
+        .as[(Long, Double)].collect()
+        .sortBy { case (id, s) => (-s, id) }.zipWithIndex
+        .map { case ((id, s), i) =>
+          (n, id, i + 1, if (i == 0) "pos" else "neg", s) }
+        .filter { case (_, _, r, _, _) =>
+          r == 1 || (r >= IndexOps.HardNegLo && r <= IndexOps.HardNegK) }
+    }.sortBy(r => (r._1, r._3))
+    val got = IndexOps.hardNegatives(spark, dir)
+      .as[(Int, Long, Int, String, Double)].collect().toSeq
+    assert(got == expect)
+    IndexOps.DistQueries.foreach { case (n, _, _) =>
+      val rows = got.filter(_._1 == n)
+      assert(rows.count(_._4 == "pos") == 1, s"query $n pos count")
+      assert(rows.filter(_._4 == "neg").map(_._3).sorted ==
+        (IndexOps.HardNegLo to IndexOps.HardNegK).toSeq, s"query $n neg band")
+      // negatives never outscore the positive
+      val pos = rows.find(_._4 == "pos").get._5
+      assert(rows.filter(_._4 == "neg").forall(_._5 <= pos), s"query $n scores")
+    }
+  }
+
+  // ---- q56 contrastive positive pairs -------------------------------------
+
+  test("q56 pairs are the anchor-star of every multi-member dup cluster, nothing else") {
+    import spark.implicits._
+    val lab = DupClusters.labels(spark, dir)
+      .as[(Long, Long)].collect().toMap // doc_id -> cluster
+    val byCluster = lab.groupBy(_._2)
+    val expect = byCluster.filter(_._2.size > 1).toSeq.flatMap { case (cid, m) =>
+      assert(m.keys.min == cid, "anchor must be the cluster min")
+      m.keys.filter(_ != cid).map(p => (cid, p, m.size.toLong))
+    }.sortBy(r => (r._1, r._2))
+    val got = DupClusters.contrastivePairs(spark, dir)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got == expect)
+    assert(got.nonEmpty, "fixture has no multi-member clusters")
+    // anchor-star linearity: pair count == sum(size-1) over real clusters
+    assert(got.size == byCluster.values.map(m => math.max(0, m.size - 1)).sum)
+  }
 }
