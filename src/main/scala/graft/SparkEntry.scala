@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Assembly, Dedup, DupClusters, IndexOps, LmScore, Multimodal, Relational, Retrieval, Similarity, TextAnalysis, TextRelational, Versioning}
+import graft.operators.{Assembly, Classifier, Dedup, DupClusters, IndexOps, LmScore, Multimodal, Relational, Retrieval, Similarity, TextAnalysis, TextRelational, Versioning}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -110,6 +110,16 @@ object SparkEntry {
     "q55_hard_negatives" -> ((s, d) => IndexOps.hardNegatives(s, d)),
     // Contrastive positive pairs from near-duplicate clusters
     "q56_contrastive_pairs" -> ((s, d) => DupClusters.contrastivePairs(s, d)),
+    // Positional phrase match over the token stream
+    "q57_phrase_match" -> ((s, d) => TextRelational.phraseMatch(s, d)),
+    // Trained quality classifier (hashed logistic regression, full-batch
+    // GD via treeAggregate; holdout accuracy rides the rows — no SQL
+    // oracle for an iterative fixpoint)
+    "q58_quality_clf" -> ((s, d) => Classifier.qualityClassifier(s, d)),
+    // Collocation mining: top word pairs by PMI
+    "q59_pmi_colloc" -> ((s, d) => TextRelational.pmiCollocations(s, d)),
+    // Phrase search through the REAL positional index (PosStore sidecar)
+    "q60_phrase_index" -> ((s, d) => IndexOps.phraseIndex(s, d)),
   )
 
   /** DuckDB equivalents, same column names + total ORDER BY. */
@@ -166,5 +176,8 @@ object SparkEntry {
     "q54_boolean_and" -> IndexOps.booleanAndSql,
     "q55_hard_negatives" -> IndexOps.hardNegativesSql,
     "q56_contrastive_pairs" -> DupClusters.contrastivePairsSql,
+    "q57_phrase_match" -> TextRelational.phraseMatchSql,
+    "q59_pmi_colloc" -> TextRelational.pmiCollocationsSql,
+    "q60_phrase_index" -> IndexOps.phraseIndexSql,
   )
 }

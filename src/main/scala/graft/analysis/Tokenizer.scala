@@ -590,6 +590,26 @@ object Tokenizer extends Serializable {
       val (c, docLen) = tokenizeRaw(text, cfg)
       return TokenizedDoc(c.toMap, Map.empty, docLen, c.maxTf)
     }
+    if (cfg.plain) {
+      // plain + positions must agree with tokenizeRaw's plain shortcut
+      // (whitespace-lowercase), NOT the rule pipeline below — the
+      // positional index (PosStore) is built on this path and its
+      // phrase results are oracle-compared against the whitespace token
+      // stream position-for-position.
+      val toks = fastSplit(text.toLowerCase)
+      val tf = mutable.LinkedHashMap.empty[String, Int]
+      val pos = mutable.LinkedHashMap.empty[String, List[Int]]
+      var i = 0
+      while (i < toks.length) {
+        val t = toks(i)
+        tf.updateWith(t) { c => Some(c.getOrElse(0) + 1) }
+        pos.updateWith(t) { l => Some(i :: l.getOrElse(Nil)) }
+        i += 1
+      }
+      val maxTf = if (tf.isEmpty) 0 else tf.valuesIterator.max
+      return TokenizedDoc(tf.toMap, pos.view.mapValues(_.reverse).toMap,
+        toks.length, maxTf)
+    }
     val pre = preTokens(text, cfg)
     val tf = mutable.LinkedHashMap.empty[String, Int]
     val pos = mutable.LinkedHashMap.empty[String, List[Int]]
@@ -614,4 +634,14 @@ object Tokenizer extends Serializable {
     * same pipeline; returns term -> tf. */
   def tokenizeQuery(q: String, cfg: Config = default): Map[String, Int] =
     tokenize(q, cfg).terms
+
+  /** Ordered token sequence (phrase queries need ORDER, which the
+    * tf map erases): the emitted tokens sorted by their positions.
+    * Runs the positions-tracking path regardless of cfg.positions. */
+  def tokenizeSeq(text: String, cfg: Config = default): Seq[String] = {
+    val td = tokenize(text, cfg.copy(positions = true))
+    td.positions.toSeq
+      .flatMap { case (t, ps) => ps.map(p => (p, t)) }
+      .sortBy(_._1).map(_._2)
+  }
 }

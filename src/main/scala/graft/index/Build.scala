@@ -490,4 +490,83 @@ object Build {
 
     Result(indexDir, n, av, totalPostings, shaViol, lineage)
   }
+
+  /** OPT-IN positional sidecar build ([[PosStore]] scaladoc): a second
+    * tokenize pass with position tracking feeding a second salted
+    * (term, salt) shuffle whose payload is each doc's varbyte-packed
+    * position list — positions roughly double an index's size, which is
+    * why every production engine makes them a schema-level choice; here
+    * they are a sidecar artifact so existing indexes/queries are
+    * untouched and `buildPosStore` can be run AFTER the fact on a
+    * corpus whose main index already serves.
+    *
+    * Scale shape is the main build's (its whole point): the position
+    * set crosses the network exactly once, heavy terms are salted by
+    * docId range with the same formula (salt runs stay docId-disjoint,
+    * so a term's blocks concatenate across salts without re-encoding),
+    * and the writer streams one (term, salt) run at a time with the
+    * same per-partition checkpoint/resume markers. Returns total
+    * positional postings written. */
+  def buildPosStore(spark: SparkSession, docs: DataFrame, indexDir: String,
+                    cfg: Config = Config()): Long = {
+    import spark.implicits._
+    val tokCfg = cfg.tokenizer.copy(positions = true)
+    val docsWithId = graft.corpus.Ingest.withDocId(docs)
+    val rows = docsWithId.select($"doc_id".cast("long"), $"content")
+      .as[(Long, String)].flatMap { case (id, text) =>
+        Tokenizer.tokenize(text, tokCfg).positions.iterator.map {
+          case (t, ps) => (t, id, PosStore.packPositions(ps.toArray))
+        }
+      }.toDF("term", "docId", "posBytes")
+
+    // same staging discipline as the main build's cache mode: the frame
+    // feeds three jobs (heavy detection, maxId, the shuffle)
+    rows.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    try {
+      val heavy: Set[String] =
+        if (cfg.saltDfThreshold == Long.MaxValue) Set.empty
+        else rows.groupBy($"term").agg(count(lit(1)).as("df"))
+          .filter($"df" >= cfg.saltDfThreshold)
+          .select($"term").as[String].collect().toSet
+      val agg = rows.agg(max($"docId"), count(lit(1))).head()
+      val maxId = if (agg.isNullAt(0)) 0L else agg.getLong(0)
+      val total = agg.getLong(1)
+      val nSalts = cfg.nSalts
+      val lineage = s"pos|rows=$total|salts=$nSalts|P=${cfg.numPartitions}|" +
+        s"stem=${tokCfg.stem}|plain=${tokCfg.plain}|v1"
+
+      val posDir = PosStore.posDir(indexDir)
+      SegmentStore.fs(posDir).mkdirs(
+        new org.apache.hadoop.fs.Path(s"$posDir/_markers"))
+      val saltExpr =
+        if (heavy.isEmpty) lit(0)
+        else when($"term".isInCollection(heavy),
+          least(lit(nSalts - 1), greatest(lit(0),
+            (($"docId".cast("double") / lit(maxId.toDouble + 1.0)) * nSalts)
+              .cast("int"))))
+          .otherwise(lit(0))
+      val sorted = rows.select($"term".as("_1"), saltExpr.as("_2"),
+          $"docId".as("_3"), $"posBytes".as("_4"))
+        .repartition(cfg.numPartitions, $"_1", $"_2")
+        .sortWithinPartitions($"_1", $"_2", $"_3")
+      val entriesRdd = sorted.queryExecution.toRdd.mapPartitions { rs =>
+        val pid = TaskContext.getPartitionId()
+        var curU: org.apache.spark.unsafe.types.UTF8String = null
+        var curS: String = null
+        val mapped = rs.map { r =>
+          val t = r.getUTF8String(0)
+          if (curU == null || !curU.equals(t)) { curU = t.copy(); curS = curU.toString }
+          (curS, r.getInt(1),
+            PosStore.PosPosting(r.getLong(2),
+              PosStore.unpackPositions(r.getBinary(3))))
+        }
+        PosStore.writePartition(posDir, pid, lineage, mapped).entries.iterator
+      }
+      phase("pos-segments+dict") {
+        spark.createDataset(entriesRdd).toDF()
+          .write.mode(SaveMode.Overwrite).parquet(PosStore.dictDir(indexDir))
+      }
+      total
+    } finally rows.unpersist(blocking = false)
+  }
 }

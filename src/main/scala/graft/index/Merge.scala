@@ -164,6 +164,49 @@ object Merge {
         "cf", lit(0L))
       .write.mode(SaveMode.Overwrite).parquet(s"$outDir/dict")
 
+    // ---- positional sidecar (PosStore): carried iff EVERY part has it
+    // — positions are opt-in, so "none have it" merges to none; a MIXED
+    // set cannot merge to a correct phrase index (phrases spanning the
+    // position-less part's docs would silently vanish), so the merged
+    // index omits the sidecar LOUDLY and PhraseSearcher's existence
+    // check fails fast on it. Same flat epoch-scoped link + dict
+    // re-point discipline as the segments above. -----------------------
+    val partsWithPos = parts.filter(PosStore.exists)
+    if (partsWithPos.size == parts.size) {
+      fsOut.mkdirs(new Path(s"$outDir/pos/_markers"))
+      val posDicts = parts.zipWithIndex.map { case (p, i) =>
+        val pd = PosStore.posDir(p)
+        val fsIn = SegmentStore.fs(pd)
+        val listing = fsIn.listStatus(new Path(pd))
+          .filter(_.isFile).map(_.getPath.getName)
+          .filter(_.endsWith(".bin")).toSet
+        val referenced = spark.read.parquet(PosStore.dictDir(p))
+          .select($"file").distinct().as[String].collect().sorted
+        val missing = referenced.filterNot(listing)
+        require(missing.isEmpty,
+          s"pos_dict of $p references files missing from $pd: " +
+            missing.take(5).mkString(", "))
+        val renames = referenced.zipWithIndex.map { case (name, j) =>
+          val nn = s"m$i-$j.bin"
+          linkOrCopy(fsIn, new Path(s"$pd/$name"),
+            fsOut, new Path(s"$outDir/pos/$nn"))
+          (name, nn)
+        }
+        spark.read.parquet(PosStore.dictDir(p))
+          .join(broadcast(renames.toSeq.toDF("file", "new_file")),
+            Seq("file"), "inner")
+          .drop("file").withColumnRenamed("new_file", "file")
+      }
+      posDicts.reduce(_.unionByName(_, allowMissingColumns = true))
+        .write.mode(SaveMode.Overwrite).parquet(s"$outDir/pos_dict")
+    } else if (partsWithPos.nonEmpty) {
+      System.err.println(
+        s"[merge] positional sidecar dropped: only ${partsWithPos.size}/" +
+          s"${parts.size} parts carry positions — rebuild the sidecar on " +
+          s"the merged corpus (Build.buildPosStore) to restore phrase " +
+          s"queries")
+    }
+
     // ---- stats: union / sum ------------------------------------------
     // ingest_ts = 0 for pre-recency docs == "oldest", exactly the
     // engine's tsOf default for docs missing from the timestamp map

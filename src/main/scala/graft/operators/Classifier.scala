@@ -1,0 +1,198 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** q58: a TRAINED quality classifier — hashed bag-of-words logistic
+  * regression, the fastText-style linear model every production
+  * pretraining pipeline runs after its heuristic filters (GPT-3's
+  * WebText-similarity classifier, LLaMA's Wikipedia-reference
+  * classifier, CCNet's quality LM). The heuristics (q18) are the weak
+  * supervision; the classifier generalizes them into a smooth score a
+  * curriculum can threshold or importance-sample against.
+  *
+  * This is the repo's one ITERATIVE distributed-training loop, shaped
+  * the way `spark.ml`'s own LBFGS/GD run (we hand-roll full-batch GD
+  * rather than import MLlib so the dataflow is explicit and the build
+  * stays dependency-free):
+  *
+  *   - features: each doc's tokens hash into [[Dim]] buckets
+  *     (murmur-free: first 4 md5 bytes mod Dim — same digest family the
+  *     other operators hash with), L1-normalized tf, plus one document
+  *     length slot and a bias. Feature space is FIXED — independent of
+  *     vocabulary, so the weight vector never grows with the corpus.
+  *   - weak labels: y = 1 iff q18's composite quality >= [[QualityCut]]
+  *     (a literal, so labeling is deterministic).
+  *   - holdout: docs whose md5(doc_id) leads >= [[HoldoutHex]] (top
+  *     ~25%) are never trained on — the reported accuracy is honest
+  *     generalization, not memorization. Same literal-hex-threshold
+  *     split discipline as q40.
+  *   - training: [[Iters]] rounds of full-batch gradient descent. Per
+  *     round the O([[Dim]]) weight vector ships to executors in the
+  *     task closure and one partition-indexed aggregation returns the
+  *     O([[Dim]]) gradient (see [[train]] for why not `treeAggregate`)
+  *     — the corpus itself never moves, never shuffles; persistent
+  *     driver state is two Dim+2 arrays. At 100 TB this is exactly the
+  *     map-reduce-per-epoch shape parameter servers replaced only at
+  *     model sizes 10^6× this one.
+  *
+  * Determinism: the cached feature partitions are a deterministic
+  * function of the input files, each partition folds its rows in order,
+  * and treeAggregate's combine tree is fixed given the partition count —
+  * so weights, scores and accuracy are bit-reproducible for a given
+  * (input, parallelism), which the spec pins by training twice. Like
+  * the ANN family (q16/q24/q34) this op is not SQL-expressible (an
+  * iterative fixpoint), so the measured holdout accuracy rides the
+  * OUTPUT as a column — the driver's rows then pin quality, not just
+  * shape.
+  */
+object Classifier {
+
+  /** Hashed feature buckets. 256 is vocabulary-collision-lossy on
+    * purpose — the model must work off distribution shape, not term
+    * identity; production runs use 10^5-10^6 buckets, same O(Dim)
+    * driver state either way. */
+  val Dim = 256
+  /** Extra slots: [Dim] = scaled log-length, [Dim+1] = bias. */
+  val NFeat: Int = Dim + 2
+  val Iters = 60
+  val Lr = 4.0
+  val QualityCut = 0.5
+  /** md5(doc_id) first-8-hex >= this → holdout (~25%). */
+  val HoldoutHex = "c0000000"
+
+  /** One featurized example: sparse bucket indices/values (unique,
+    * index-sorted), dense extras appended at fixed slots. */
+  private[operators] case class Ex(docId: Long, y: Double, holdout: Boolean,
+                                   idx: Array[Int], v: Array[Double])
+
+  private def bucketOf(md: java.security.MessageDigest, t: String): Int = {
+    val d = md.digest(t.getBytes("UTF-8"))
+    val h = ((d(0) & 0xff) << 24) | ((d(1) & 0xff) << 16) |
+      ((d(2) & 0xff) << 8) | (d(3) & 0xff)
+    java.lang.Math.floorMod(h, Dim)
+  }
+
+  /** Featurize the corpus: one narrow pass over `documents`, weak label
+    * from the same expression q18 materializes, holdout from the
+    * doc_id digest. No shuffle — the Dataset is cached partition-wise
+    * exactly as scanned. */
+  private[operators] def featurize(spark: SparkSession, dir: String)
+      : org.apache.spark.sql.Dataset[Ex] = {
+    import spark.implicits._
+    spark.read.parquet(s"$dir/documents.parquet")
+      .select($"doc_id", $"text",
+        (TextAnalysis.qualityScore(col("text")) >= QualityCut).as("y"),
+        (substring(md5($"doc_id".cast("string")), 1, 8) >= HoldoutHex)
+          .as("holdout"))
+      .as[(Long, String, Boolean, Boolean)]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val dense = new Array[Double](Dim) // reused scratch per partition
+        it.map { case (id, text, y, holdout) =>
+          val toks = text.toLowerCase.split("\\s+").filter(_.nonEmpty)
+          java.util.Arrays.fill(dense, 0.0)
+          var nnz = 0
+          toks.foreach { t =>
+            val b = bucketOf(md, t)
+            if (dense(b) == 0.0) nnz += 1
+            dense(b) += 1.0
+          }
+          val n = math.max(1, toks.length).toDouble
+          val idx = new Array[Int](nnz + 2)
+          val v = new Array[Double](nnz + 2)
+          var i = 0; var b = 0
+          while (b < Dim) {
+            if (dense(b) != 0.0) { idx(i) = b; v(i) = dense(b) / n; i += 1 }
+            b += 1
+          }
+          idx(i) = Dim; v(i) = math.log1p(n) / 10.0
+          idx(i + 1) = Dim + 1; v(i + 1) = 1.0
+          Ex(id, if (y) 1.0 else 0.0, holdout, idx, v)
+        }
+      }
+  }
+
+  private def margin(w: Array[Double], ex: Ex): Double = {
+    var s = 0.0; var i = 0
+    while (i < ex.idx.length) { s += w(ex.idx(i)) * ex.v(i); i += 1 }
+    s
+  }
+
+  private def sigmoid(z: Double): Double = 1.0 / (1.0 + math.exp(-z))
+
+  /** Full-batch GD on the TRAIN slice; returns the learned weights.
+    * One job per iteration: every partition folds its rows IN ORDER
+    * into an O(NFeat) gradient, and the driver combines the per-
+    * partition gradients IN PARTITION-INDEX ORDER — `treeAggregate`
+    * would be the textbook call, but its final `reduce` merges results
+    * in task-COMPLETION order, which makes the float sum (and so the
+    * learned weights) run-dependent; the indexed fold is bit-
+    * reproducible. Transient driver state is O(P·NFeat) — at this
+    * model size trivial at any cluster scale; a 10^6-feature
+    * production model would re-introduce a tree by foldByKey-ing
+    * (index/scale) groups, each group combined in sorted-index order,
+    * keeping determinism at O(log P) network rounds. */
+  private[operators] def train(ds: org.apache.spark.sql.Dataset[Ex]): Array[Double] = {
+    val trainRdd = ds.rdd.filter(!_.holdout)
+    val n = trainRdd.count().toDouble
+    require(n > 0, "empty training slice")
+    var w = new Array[Double](NFeat)
+    var it = 0
+    while (it < Iters) {
+      val wB = w // stable closure capture per round
+      val parts = trainRdd.mapPartitionsWithIndex { (pi, exs) =>
+        val g = new Array[Double](NFeat)
+        exs.foreach { ex =>
+          val err = sigmoid(margin(wB, ex)) - ex.y
+          var i = 0
+          while (i < ex.idx.length) { g(ex.idx(i)) += err * ex.v(i); i += 1 }
+        }
+        Iterator((pi, g))
+      }.collect()
+      val grad = new Array[Double](NFeat)
+      parts.sortBy(_._1).foreach { case (_, g) =>
+        var i = 0; while (i < NFeat) { grad(i) += g(i); i += 1 }
+      }
+      val next = new Array[Double](NFeat)
+      var i = 0
+      while (i < NFeat) { next(i) = w(i) - Lr / n * grad(i); i += 1 }
+      w = next
+      it += 1
+    }
+    w
+  }
+
+  /** q58 entry: featurize → train on the non-holdout slice → score every
+    * document map-only with the final weights; the holdout accuracy is
+    * computed once (an O(1) aggregate) and rides every row. The scored
+    * table lands in a temp parquet and is served from there (the same
+    * artifact discipline as DupClusters.labels) — no doc-count-sized
+    * driver state anywhere, and the cached feature set is released as
+    * soon as the write finishes. */
+  def qualityClassifier(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ds = featurize(spark, dir).persist(StorageLevel.MEMORY_AND_DISK_SER)
+    try {
+      val w = train(ds)
+      val scored = ds.map { ex =>
+        val p = sigmoid(margin(w, ex))
+        (ex.docId, ex.y.toInt, if (ex.holdout) 1 else 0, p,
+          if (p >= 0.5) 1 else 0)
+      }.toDF("doc_id", "label", "is_holdout", "p", "pred")
+      // null-safe: a corpus tiny enough to land zero docs in the
+      // holdout hex range reports accuracy 0.0 rather than NPEing
+      val accRow = scored.filter($"is_holdout" === 1)
+        .agg(avg(($"pred" === $"label").cast("double")).as("a")).head
+      val acc = if (accRow.isNullAt(0)) 0.0 else accRow.getDouble(0)
+      val out = scored.select($"doc_id", $"label", $"is_holdout",
+          round($"p", 4).as("score"), $"pred",
+          round(lit(acc), 4).as("holdout_acc"))
+        .orderBy($"doc_id")
+      val artifact = graft.TempDirs.create("graft-clf-scores")
+      out.write.mode("overwrite").parquet(artifact)
+      spark.read.parquet(artifact).orderBy($"doc_id")
+    } finally ds.unpersist(blocking = false)
+  }
+}

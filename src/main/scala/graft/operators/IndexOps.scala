@@ -160,4 +160,44 @@ object IndexOps {
   }
 
   val booleanAndSql: String = TextRelational.booleanAndSql(QueryTerms, K)
+
+  private val posBuilt = TrieMap.empty[String, Boolean]
+
+  /** Ensure the positional sidecar exists on [[indexFor]]'s index (built
+    * once per sfDir per JVM — the sidecar is an after-the-fact artifact
+    * by design, PosStore scaladoc). */
+  def posIndexFor(spark: SparkSession, dir: String): String = {
+    val idx = indexFor(spark, dir)
+    posBuilt.getOrElseUpdate(dir, {
+      if (!graft.index.PosStore.exists(idx)) {
+        val docs = spark.read.parquet(s"$dir/documents.parquet")
+          .select(col("doc_id"), col("text").as("content"))
+        Build.buildPosStore(spark, docs, idx, Build.Config(
+          numPartitions = 16, nSalts = 4, saltDfThreshold = 100,
+          tokenizer = Tokenizer.plainCfg))
+      }
+      true
+    })
+    idx
+  }
+
+  /** q60: phrase search through the REAL positional index — the
+    * [[graft.query.PhraseSearcher]] leapfrog + adjacency sweep over the
+    * PosStore sidecar, for the SAME phrase q57 scans relationally; the
+    * DuckDB oracle is q57's SQL verbatim, so codec + salted positional
+    * shuffle + cursor skips + adjacency logic are all end-to-end
+    * hash-gated against an independent engine (the q08/q09 discipline,
+    * extended to positions). All-integer output — no float rounding
+    * anywhere. */
+  def phraseIndex(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val idx = posIndexFor(spark, dir)
+    val ps = new graft.query.PhraseSearcher(spark, idx, Tokenizer.plainCfg)
+    val hits = try ps.search(TextRelational.PhraseTerms.mkString(" "))
+               finally ps.close()
+    hits.toSeq.toDF("doc_id", "n_matches", "first_pos")
+      .orderBy($"n_matches".desc, $"doc_id")
+  }
+
+  val phraseIndexSql: String = TextRelational.phraseMatchSql
 }

@@ -229,4 +229,140 @@ object TextRelational {
        |ORDER BY score DESC, doc_id
        |LIMIT $k""".stripMargin
   }
+
+  /** The phrase [[phraseMatch]] searches for — chosen to occur in every
+    * driver sf's `documents` so the query is non-trivially exercised. */
+  val PhraseTerms: Seq[String] = Seq("table", "scan")
+
+  /** q57: positional phrase match — documents containing the exact
+    * token sequence [[PhraseTerms]], with occurrence count and first
+    * token position. The positional question ("these terms ADJACENT, in
+    * this order") is what the engine's postings alone cannot answer
+    * (the index drops positions, reference parity — Tokenizer F19);
+    * relationally it is answered from the token stream directly.
+    *
+    * Scale shape: the adjacent-k-gram stream is generated AT SCAN TIME
+    * (posexplode over a transform of the token array — pure map work,
+    * no join against a position table), rows not matching the phrase
+    * die in the same stage, and only (doc_id, pos) survivors reach the
+    * one per-doc aggregate. A 100 TB corpus phrase-scans at read
+    * throughput with a match-sized shuffle — the same shape grep-style
+    * scan engines use. k-gram length equals the phrase length, so cost
+    * is linear in corpus tokens regardless of phrase rarity. */
+  def phraseMatch(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val phrase = PhraseTerms.mkString(" ")
+    val n = PhraseTerms.size
+    val gram = (0 until n).map(j => col("toks").getItem(col("i") + j))
+      .reduce((a, b) => concat(a, lit(" "), b))
+    spark.read.parquet(s"$dir/documents.parquet")
+      .select($"doc_id",
+        expr("filter(split(lower(text), '\\\\s+'), t -> t <> '')").as("toks"))
+      .filter(size($"toks") >= n)
+      .select($"doc_id", $"toks",
+        explode(sequence(lit(0), size($"toks") - n)).as("i"))
+      .filter(gram === phrase)
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_matches"), min($"i").cast("long").as("first_pos"))
+      .orderBy($"n_matches".desc, $"doc_id")
+  }
+
+  val phraseMatchSql: String = {
+    val n = PhraseTerms.size
+    val phrase = PhraseTerms.mkString(" ")
+    // DuckDB arrays are 1-based: i ranges over 1..len-n+1, emitted pos
+    // is i-1 to match Spark's 0-based token index
+    val gram = (0 until n).map(j => s"arr[i + $j]").mkString(" || ' ' || ")
+    s"""WITH d AS (
+       |  SELECT doc_id,
+       |    list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t <> '') AS arr
+       |  FROM documents),
+       |s AS (
+       |  SELECT doc_id,
+       |    unnest(list_transform(range(1, len(arr) - $n + 2),
+       |      i -> {'pos': i - 1, 'g': $gram})) AS e
+       |  FROM d WHERE len(arr) >= $n)
+       |SELECT doc_id, count(*) AS n_matches, CAST(min(e.pos) AS BIGINT) AS first_pos
+       |FROM s WHERE e.g = '$phrase'
+       |GROUP BY doc_id
+       |ORDER BY n_matches DESC, doc_id""".stripMargin
+  }
+
+  /** [[pmiCollocations]] thresholds: a bigram must occur this often to
+    * be scored (PMI is noise below a handful of counts), and the top-k
+    * presented. */
+  val PmiMinCount = 5
+  val PmiTopK = 100
+
+  /** q59: collocation mining — the corpus's top word pairs by pointwise
+    * mutual information, PMI(x,y) = ln(P(x,y) / (P(x)P(y))) with
+    * unigram probabilities from the token stream and bigram
+    * probabilities from the adjacent-pair stream. The classic
+    * phrase-discovery signal (word2vec's phrase pass, n-gram
+    * vocabulary induction for tokenizers).
+    *
+    * Scale shape: bigram and unigram counts both partial-aggregate
+    * map-side; the unigram table is VOCAB-sized so both probability
+    * joins are AQE broadcasts at any corpus size; the two corpus
+    * scalars ride 1-row cross-joins; the final top-k is a
+    * TakeOrderedAndProject, never a full sort. The PMI double is
+    * computed as ONE product / ONE product / one ln / one round, the
+    * identical expression tree on both engines, so the rounded value
+    * is bit-stable cross-engine (count magnitudes stay < 2^53). */
+  def pmiCollocations(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select($"doc_id",
+        expr("filter(split(lower(text), '\\\\s+'), t -> t <> '')").as("toks"))
+    val uni = docs.select(explode($"toks").as("term"))
+      .groupBy($"term").agg(count(lit(1)).as("c"))
+    val bi = docs.filter(size($"toks") >= 2)
+      .select(explode(expr(
+        "transform(sequence(0, size(toks)-2), i -> struct(toks[i] AS x, toks[i+1] AS y))"
+      )).as("p"))
+      .select($"p.x".as("x"), $"p.y".as("y"))
+      .groupBy($"x", $"y").agg(count(lit(1)).as("c_xy"))
+      .filter($"c_xy" >= PmiMinCount)
+    val nUni = uni.agg(sum($"c").as("n_uni"))
+    val nBiDf = docs.filter(size($"toks") >= 2)
+      .agg(sum(size($"toks") - 1).cast("long").as("n_bi"))
+    val cx = uni.select($"term".as("x"), $"c".as("c_x"))
+    val cy = uni.select($"term".as("y"), $"c".as("c_y"))
+    val pmi = round(log(
+      ($"c_xy".cast("double") * $"n_uni" * $"n_uni") /
+        ($"n_bi".cast("double") * $"c_x" * $"c_y")), 4)
+    bi.join(broadcast(cx), "x").join(broadcast(cy), "y")
+      .crossJoin(broadcast(nUni)).crossJoin(broadcast(nBiDf))
+      .select($"x", $"y", $"c_xy", $"c_x", $"c_y", pmi.as("pmi"))
+      .orderBy($"pmi".desc, $"x", $"y")
+      .limit(PmiTopK)
+  }
+
+  val pmiCollocationsSql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id,
+       |    list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t <> '') AS arr
+       |  FROM documents),
+       |uni AS (
+       |  SELECT unnest(arr) AS term FROM d),
+       |uc AS (SELECT term, count(*) AS c FROM uni GROUP BY term),
+       |bi AS (
+       |  SELECT unnest(list_transform(range(1, len(arr)),
+       |    i -> {'x': arr[i], 'y': arr[i+1]})) AS p
+       |  FROM d WHERE len(arr) >= 2),
+       |bc AS (
+       |  SELECT p.x AS x, p.y AS y, count(*) AS c_xy FROM bi GROUP BY p.x, p.y
+       |  HAVING count(*) >= $PmiMinCount),
+       |nu AS (SELECT CAST(sum(c) AS BIGINT) AS n_uni FROM uc),
+       |nb AS (SELECT CAST(sum(len(arr) - 1) AS BIGINT) AS n_bi FROM d WHERE len(arr) >= 2)
+       |SELECT bc.x AS x, bc.y AS y, bc.c_xy AS c_xy,
+       |  ux.c AS c_x, uy.c AS c_y,
+       |  round(ln((CAST(bc.c_xy AS DOUBLE) * n_uni * n_uni)
+       |          / (CAST(n_bi AS DOUBLE) * ux.c * uy.c)), 4) AS pmi
+       |FROM bc
+       |JOIN uc ux ON bc.x = ux.term
+       |JOIN uc uy ON bc.y = uy.term
+       |CROSS JOIN nu CROSS JOIN nb
+       |ORDER BY pmi DESC, x, y
+       |LIMIT $PmiTopK""".stripMargin
 }
