@@ -42,8 +42,8 @@ object Cli {
 
   private val usageText =
     """usage:
-      |  build <corpusDir> <indexDir> [--format parquet|json|csv] [--partitions N] [--no-sha-verify]
-      |  query <indexDir> <queriesFile> <outCsvDir> [--k N] [--driver] [--mode or|and]
+      |  build <corpusDir> <indexDir> [--format parquet|json|csv] [--partitions N] [--no-sha-verify] [--positions]
+      |  query <indexDir> <queriesFile> <outCsvDir> [--k N] [--driver] [--mode or|and|phrase]
       |  merge <indexOut> <indexPart> <indexPart> [...]
       |  dedup-labels <corpusDir> <outDir>""".stripMargin
 
@@ -94,6 +94,12 @@ object Cli {
               index.Build.Config(numPartitions = parts,
                 verifySha = !rest.contains("--no-sha-verify")))
           } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+        // opt-in positional sidecar (phrase queries; PosStore scaladoc)
+        if (rest.contains("--positions")) {
+          val docs = corpus.Ingest.read(spark, corpusDir, fmt)
+          index.Build.buildPosStore(spark, docs, indexDir,
+            index.Build.Config(numPartitions = parts))
+        }
         // Build.run itself enforces shaViolations == 0; printed here as
         // evidence of the gate, not as a second enforcement point.
         println(s"BUILD_OK docs=${res.nDocs} avgdl=${res.avgdl} " +
@@ -102,11 +108,24 @@ object Cli {
       case "query" :: indexDir :: queriesFile :: outDir :: rest =>
         val k = opt(rest, "--k").map(_.toInt).getOrElse(250)
         // "or" = ranked disjunctive WAND (default); "and" = conjunctive
-        // boolean retrieval (EngineCore.searchConjunctive)
+        // boolean retrieval (EngineCore.searchConjunctive); "phrase" =
+        // exact-adjacency retrieval over the positional sidecar (score
+        // column = occurrence count)
         val mode = opt(rest, "--mode").getOrElse("or")
-        if (mode != "or" && mode != "and") usage()
+        if (mode != "or" && mode != "and" && mode != "phrase") usage()
         val queries = query.QueryRunner.readQueriesFile(queriesFile)
-        if (rest.contains("--driver")) {
+        if (mode == "phrase" && rest.contains("--driver")) {
+          val ps = new query.PhraseSearcher(spark, indexDir)
+          try {
+            val kc = math.min(k, 2000)
+            val rows = queries.flatMap { case (qn, q) =>
+              ps.search(q).sortBy { case (id, n, _) => (-n, id) }.take(kc)
+                .zipWithIndex.map { case ((id, n, _), i) =>
+                  (qn, id, i + 1, n.toDouble) }
+            }
+            query.QueryRunner.writeCsv(spark, rows, outDir)
+          } finally ps.close()
+        } else if (rest.contains("--driver")) {
           val engine = new query.Engine(spark, indexDir)
           try {
             val rows = query.QueryRunner.run(engine, queries, k, mode = mode)
@@ -115,8 +134,11 @@ object Cli {
         } else {
           import spark.implicits._
           val qdf = queries.toDF("query_num", "query")
-          query.DistributedRunner.run(spark, indexDir, qdf, k, mode = mode)
-            .coalesce(1).write.mode("overwrite")
+          val res =
+            if (mode == "phrase")
+              query.DistributedRunner.runPhrase(spark, indexDir, qdf, k)
+            else query.DistributedRunner.run(spark, indexDir, qdf, k, mode = mode)
+          res.coalesce(1).write.mode("overwrite")
             .option("header", "true").csv(outDir)
         }
         println(s"QUERY_OK queries=${queries.size} out=$outDir")

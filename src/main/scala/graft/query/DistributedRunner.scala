@@ -86,4 +86,37 @@ object DistributedRunner {
       }
       .toDF("query_num", "doc_id", "rank", "score")
   }
+
+  /** Phrase-mode batch serving: the same zero-shuffle broadcast-core
+    * fan-out with a [[PhraseCore]] — the batch's positional dictionary
+    * entries (vocab-bounded, computed by a distributed distinct over
+    * the query tokens, never by collecting the raw queries) ride the
+    * broadcast; each task leapfrogs its query slice against a
+    * per-thread byte-addressed reader. `score` = occurrence count (a
+    * phrase has no BM25 surface), ranked (n_matches DESC, doc_id ASC) —
+    * integer-exact, so ranks are engine- and cluster-size-independent
+    * by construction. */
+  def runPhrase(spark: SparkSession, indexDir: String, queries: DataFrame,
+                k: Int = 250,
+                tokCfg: Tokenizer.Config = Tokenizer.default): DataFrame = {
+    import spark.implicits._
+    val core = PhraseCore.forBatch(spark, indexDir, queries, tokCfg)
+    val bc = spark.sparkContext.broadcast(core)
+    val kc = math.min(k, 2000)
+    queries.select($"query_num".cast("int"), $"query".cast("string"))
+      .as[(Int, String)]
+      .mapPartitions[(Int, Long, Int, Double)] { (it: Iterator[(Int, String)]) =>
+        val eng = bc.value
+        Option(org.apache.spark.TaskContext.get()).foreach(
+          _.addTaskCompletionListener[Unit](_ => eng.closeThreadReader()))
+        it.flatMap { case (qn, q) =>
+          eng.search(q)
+            .sortBy { case (id, n, _) => (-n, id) }.take(kc)
+            .iterator.zipWithIndex.map {
+              case ((id, n, _), i) => (qn, id, i + 1, n.toDouble)
+            }
+        }
+      }
+      .toDF("query_num", "doc_id", "rank", "score")
+  }
 }

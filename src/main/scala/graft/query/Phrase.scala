@@ -1,6 +1,6 @@
 package graft.query
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.analysis.Tokenizer
 import graft.index.{PosCursor, PosReader, PosStore, SegmentStore}
 
@@ -24,50 +24,25 @@ import graft.index.{PosCursor, PosReader, PosStore, SegmentStore}
   * tokenizer's own lowercasing; any phrase term absent from the
   * positional dictionary empties the result (AND semantics, as q54).
   *
-  * Serving shape: the per-query state is the phrase terms' dictionary
-  * entries + their block lists — the same vocabulary-bounded footprint
-  * the WAND path carries, so the DistributedRunner broadcast-core
-  * pattern extends to phrase batches unchanged (the pos_dict rows for
-  * the batch's terms ride the broadcast; corpus never shuffles). */
-final class PhraseSearcher(spark: SparkSession, indexDir: String,
-                           tokCfg: Tokenizer.Config = Tokenizer.default) {
+  * Two serving forms share one kernel ([[PhraseKernel.search]]):
+  *  - [[PhraseSearcher]] — the driver-side engine (q60, CLI --driver):
+  *    dictionary entries load on demand per term through Spark;
+  *  - [[PhraseCore]] — the broadcastable batch core
+  *    (DistributedRunner.runPhrase): the BATCH's term entries ride one
+  *    vocab-bounded broadcast (the same discipline as EngineCore's
+  *    dict) and each executor task leapfrogs its query slice against a
+  *    per-thread byte-addressed reader. Corpus never shuffles. */
+object PhraseKernel {
 
-  require(PosStore.exists(indexDir),
-    s"no positional sidecar under $indexDir (Build.buildPosStore)")
-
-  private val reader = new PosReader(PosStore.posDir(indexDir))
-
-  // term -> dict entries, loaded once per searcher per term (vocab-
-  // bounded; a phrase has a handful of terms)
-  private val entryCache =
-    scala.collection.mutable.HashMap.empty[String, Array[SegmentStore.DictEntry]]
-
-  private def entriesOf(terms: Seq[String]): Map[String, Array[SegmentStore.DictEntry]] = {
-    val missing = terms.distinct.filterNot(entryCache.contains)
-    if (missing.nonEmpty) {
-      import spark.implicits._
-      val loaded = spark.read.parquet(PosStore.dictDir(indexDir))
-        .filter($"term".isin(missing: _*))
-        .as[SegmentStore.DictEntry].collect()
-        .groupBy(_.term)
-      missing.foreach(t => entryCache(t) = loaded.getOrElse(t, Array.empty))
-    }
-    terms.distinct.map(t => t -> entryCache(t)).toMap
-  }
-
-  /** All docs matching the phrase: (docId, nMatches, firstPos),
-    * docId-ascending. Empty when any term is unknown or the phrase has
-    * no token. */
-  def search(phrase: String): Array[(Long, Long, Long)] = {
-    val terms = Tokenizer.tokenizeSeq(phrase, tokCfg)
+  /** Leapfrog + adjacency over already-resolved blocks. `blocksOf` must
+    * return the docId-disjoint block set for a term (empty = unknown
+    * term => empty result). Returns (docId, nMatches, firstPos)
+    * docId-ascending. */
+  private[query] def search(terms: Seq[String],
+      blocksOf: String => Array[PosStore.PosBlock]): Array[(Long, Long, Long)] = {
     if (terms.isEmpty) return Array.empty
-    val entries = entriesOf(terms)
-    if (terms.exists(t => entries(t).isEmpty)) return Array.empty
-    // blocks per distinct term fetched ONCE; duplicate phrase terms get
-    // independent cursors over the shared block arrays
-    val blocksByTerm = entries.map { case (t, es) =>
-      t -> es.flatMap(e => reader.record(e)._2)
-    }
+    val blocksByTerm = terms.distinct.map(t => t -> blocksOf(t)).toMap
+    if (blocksByTerm.values.exists(_.isEmpty)) return Array.empty
     val cursors = terms.map(t => new PosCursor(blocksByTerm(t))).toArray
     if (cursors.exists(_.exhausted)) return Array.empty
 
@@ -93,8 +68,7 @@ final class PhraseSearcher(spark: SparkSession, indexDir: String,
           i += 1
         }
         if (!done && agree) {
-          val (n, first) = PhraseSearcher.adjacencyCount(
-            cursors.map(_.curPositions))
+          val (n, first) = adjacencyCount(cursors.map(_.curPositions))
           if (n > 0) out += ((max, n.toLong, first.toLong))
           i = 0
           while (i < cursors.length) { cursors(i).next(); i += 1 }
@@ -103,11 +77,6 @@ final class PhraseSearcher(spark: SparkSession, indexDir: String,
     }
     out.toArray
   }
-
-  def close(): Unit = reader.close()
-}
-
-object PhraseSearcher {
 
   /** Count positions p in arrs(0) with arrs(i) containing p+i for all i
     * — one monotone pointer per term, O(Σ|positions|) total. Returns
@@ -134,5 +103,100 @@ object PhraseSearcher {
       i += 1
     }
     (count, first)
+  }
+}
+
+/** Driver-side phrase engine (q60, CLI --driver): entries load on
+  * demand per term through Spark; one reader per searcher. */
+final class PhraseSearcher(spark: SparkSession, indexDir: String,
+                           tokCfg: Tokenizer.Config = Tokenizer.default) {
+
+  require(PosStore.exists(indexDir),
+    s"no positional sidecar under $indexDir (Build.buildPosStore)")
+
+  private val reader = new PosReader(PosStore.posDir(indexDir))
+
+  // term -> dict entries, loaded once per searcher per term (vocab-
+  // bounded; a phrase has a handful of terms)
+  private val entryCache =
+    scala.collection.mutable.HashMap.empty[String, Array[SegmentStore.DictEntry]]
+
+  private def entriesOf(terms: Seq[String]): Unit = {
+    val missing = terms.distinct.filterNot(entryCache.contains)
+    if (missing.nonEmpty) {
+      import spark.implicits._
+      val loaded = spark.read.parquet(PosStore.dictDir(indexDir))
+        .filter($"term".isin(missing: _*))
+        .as[SegmentStore.DictEntry].collect()
+        .groupBy(_.term)
+      missing.foreach(t => entryCache(t) = loaded.getOrElse(t, Array.empty))
+    }
+  }
+
+  /** All docs matching the phrase: (docId, nMatches, firstPos),
+    * docId-ascending. Empty when any term is unknown or the phrase has
+    * no token. */
+  def search(phrase: String): Array[(Long, Long, Long)] = {
+    val terms = Tokenizer.tokenizeSeq(phrase, tokCfg)
+    entriesOf(terms)
+    PhraseKernel.search(terms,
+      t => entryCache(t).flatMap(e => reader.record(e)._2))
+  }
+
+  def close(): Unit = reader.close()
+}
+
+/** Broadcastable batch phrase core: the batch's term entries as a plain
+  * map (vocab-bounded — EngineCore's dict discipline), per-thread
+  * readers executor-side. Blocks are fetched per query, NOT cached on
+  * the core: a broadcast must stay its serialized size, and the hot
+  * path is the byte-addressed read the posting path already takes. */
+final class PhraseCore(posDir: String,
+                       tokCfg: Tokenizer.Config,
+                       entries: Map[String, Array[SegmentStore.DictEntry]])
+    extends Serializable {
+
+  @transient private var readerTL: ThreadLocal[PosReader] = _
+  private def reader: PosReader = {
+    if (readerTL == null) synchronized {
+      if (readerTL == null)
+        readerTL = ThreadLocal.withInitial(() => new PosReader(posDir))
+    }
+    readerTL.get()
+  }
+
+  def search(phrase: String): Array[(Long, Long, Long)] = {
+    val terms = Tokenizer.tokenizeSeq(phrase, tokCfg)
+    val r = reader
+    PhraseKernel.search(terms,
+      t => entries.getOrElse(t, Array.empty).flatMap(e => r.record(e)._2))
+  }
+
+  def closeThreadReader(): Unit =
+    if (readerTL != null) { reader.close(); readerTL.remove() }
+}
+
+object PhraseCore {
+
+  /** Build the batch core for a query table: the distinct TERM SET is
+    * computed distributively (flatMap + distinct — never the raw
+    * queries driver-side), then one pruned pos_dict read collects the
+    * matching entries. Both driver-resident pieces are vocab-bounded
+    * regardless of batch size. */
+  def forBatch(spark: SparkSession, indexDir: String, queries: DataFrame,
+               tokCfg: Tokenizer.Config): PhraseCore = {
+    import spark.implicits._
+    require(PosStore.exists(indexDir),
+      s"no positional sidecar under $indexDir (Build.buildPosStore)")
+    val terms = queries.select($"query".cast("string")).as[String]
+      .flatMap(q => Tokenizer.tokenizeSeq(q, tokCfg))
+      .distinct().collect().toSeq
+    val entries =
+      if (terms.isEmpty) Map.empty[String, Array[SegmentStore.DictEntry]]
+      else spark.read.parquet(PosStore.dictDir(indexDir))
+        .filter($"term".isin(terms: _*))
+        .as[SegmentStore.DictEntry].collect()
+        .groupBy(_.term)
+    new PhraseCore(PosStore.posDir(indexDir), tokCfg, entries)
   }
 }

@@ -169,6 +169,49 @@ class PosStoreSpec extends SparkSpec {
     assert(eng.nonEmpty)
   }
 
+  test("distributed phrase serving equals the driver searcher, ranked identically") {
+    import spark.implicits._
+    val batch = Seq((1, "table scan"), (2, "the big"), (3, "order batch batch"),
+      (4, "zzz scan"), (5, "the"))
+    val qdf = batch.toDF("query_num", "query").repartition(3)
+    val dist = graft.query.DistributedRunner
+      .runPhrase(spark, idxDir, qdf, k = 10, tokCfg = Tokenizer.plainCfg)
+      .as[(Int, Long, Int, Double)].collect().toSeq
+      .sortBy(r => (r._1, r._3))
+    val searcher = new PhraseSearcher(spark, idxDir, Tokenizer.plainCfg)
+    val driver = try {
+      batch.flatMap { case (qn, q) =>
+        searcher.search(q).sortBy { case (id, n, _) => (-n, id) }.take(10)
+          .zipWithIndex.map { case ((id, n, _), i) => (qn, id, i + 1, n.toDouble) }
+      }
+    } finally searcher.close()
+    assert(dist == driver.sortBy(r => (r._1, r._3)))
+    assert(dist.exists(_._1 == 1) && !dist.exists(_._1 == 4),
+      "matching phrases serve, unknown-term phrase is empty")
+  }
+
+  test("CLI --mode phrase: driver and distributed paths write identical CSVs") {
+    import spark.implicits._
+    val qFile = java.nio.file.Files.createTempFile("phrase-queries", ".txt")
+    // Cli serves the DEFAULT profile (same as its WAND mode — the
+    // profile its own `build` verb indexes with); these phrase tokens
+    // are stem- and stopword-stable, so they hit the plain-profile
+    // fixture identically from both paths.
+    java.nio.file.Files.writeString(qFile,
+      "1. order batch batch\n2. scan join\n")
+    val outA = tmpDir("cli-phrase-driver")
+    val outB = tmpDir("cli-phrase-dist")
+    graft.Cli.run(spark,
+      Array("query", idxDir, qFile.toString, outA, "--mode", "phrase", "--driver"))
+    graft.Cli.run(spark,
+      Array("query", idxDir, qFile.toString, outB, "--mode", "phrase"))
+    def csv(d: String) = spark.read.option("header", "true").csv(d)
+      .orderBy($"query_num".cast("int"), $"rank".cast("int"))
+      .collect().map(_.toSeq).toSeq
+    assert(csv(outA) == csv(outB))
+    assert(csv(outA).nonEmpty)
+  }
+
   test("merge carries the positional sidecar iff every part has it") {
     import spark.implicits._
     val docs = spark.read.parquet(s"$dir/documents.parquet")
