@@ -117,6 +117,7 @@ object Cli {
         if (mode == "phrase" && rest.contains("--driver")) {
           val ps = new query.PhraseSearcher(spark, indexDir)
           try {
+            ps.preload(queries.map(_._2)) // one dict read for the batch
             val kc = math.min(k, 2000)
             val rows = queries.flatMap { case (qn, q) =>
               ps.search(q).sortBy { case (id, n, _) => (-n, id) }.take(kc)

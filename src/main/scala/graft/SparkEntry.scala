@@ -112,8 +112,9 @@ object SparkEntry {
     "q56_contrastive_pairs" -> ((s, d) => DupClusters.contrastivePairs(s, d)),
     // Positional phrase match over the token stream
     "q57_phrase_match" -> ((s, d) => TextRelational.phraseMatch(s, d)),
-    // Trained quality classifier (hashed logistic regression, full-batch
-    // GD via treeAggregate; holdout accuracy rides the rows — no SQL
+    // Trained quality classifier (hashed logistic regression; full-batch
+    // GD with a partition-indexed gradient fold — bit-reproducible where
+    // treeAggregate is not; holdout accuracy rides the rows — no SQL
     // oracle for an iterative fixpoint)
     "q58_quality_clf" -> ((s, d) => Classifier.qualityClassifier(s, d)),
     // Collocation mining: top word pairs by PMI

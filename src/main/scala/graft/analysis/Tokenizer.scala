@@ -135,7 +135,7 @@ object Tokenizer extends Serializable {
   private def lowerAscii(t: String): String = {
     var i = 0
     while (i < t.length && !(t.charAt(i) >= 'A' && t.charAt(i) <= 'Z')) i += 1
-    if (i == t.length) t else t.toLowerCase
+    if (i == t.length) t else t.toLowerCase(java.util.Locale.ROOT)
   }
 
   /** Thread-local stem memo: the Zipf head repeats constantly, so most
@@ -541,7 +541,7 @@ object Tokenizer extends Serializable {
     * allocation per term — this is what the index build runs. */
   private[graft] def tokenizeRaw(text: String, cfg: Config): (Counter, Int) = {
     if (cfg.plain) {
-      val toks = fastSplit(text.toLowerCase)
+      val toks = fastSplit(text.toLowerCase(java.util.Locale.ROOT))
       val c = new Counter()
       var i = 0
       while (i < toks.length) { c.add(toks(i)); i += 1 }
@@ -595,8 +595,17 @@ object Tokenizer extends Serializable {
       // (whitespace-lowercase), NOT the rule pipeline below — the
       // positional index (PosStore) is built on this path and its
       // phrase results are oracle-compared against the whitespace token
-      // stream position-for-position.
-      val toks = fastSplit(text.toLowerCase)
+      // stream position-for-position. Known boundary of that agreement
+      // (pre-existing for the term-set paths, stated here because
+      // positions tighten it to per-token alignment): fastSplit splits
+      // on Character.isWhitespace, a superset of regex \s — exotic
+      // Unicode separators (U+2028, U+1680, U+2000-U+200A, U+3000)
+      // split here but not in the SQL oracles' regexp_split. The
+      // oracle corpora are ASCII-whitespace; a corpus that isn't needs
+      // its oracle tokenizer aligned first. Lowercasing is pinned to
+      // Locale.ROOT engine-wide so a tr-TR JVM can't fold 'I' to a
+      // dotless ı that Spark/DuckDB lower() would not produce.
+      val toks = fastSplit(text.toLowerCase(java.util.Locale.ROOT))
       val tf = mutable.LinkedHashMap.empty[String, Int]
       val pos = mutable.LinkedHashMap.empty[String, List[Int]]
       var i = 0

@@ -532,8 +532,17 @@ object Build {
       val maxId = if (agg.isNullAt(0)) 0L else agg.getLong(0)
       val total = agg.getLong(1)
       val nSalts = cfg.nSalts
+      // the analysis fragment (stem|plain|sw) doubles as the sidecar's
+      // merge-compatibility fingerprint (Merge reads it back from any
+      // marker): stopwords shift POSITIONS on the rule pipeline (dropped
+      // tokens don't emit), so two sidecars differing in any of the
+      // three cannot union into one phrase space — same failure mode the
+      // main index's corpus_stats.tok_cfg guards
+      val swDigest = java.security.MessageDigest.getInstance("MD5")
+        .digest(tokCfg.stopwords.toSeq.sorted.mkString("\n").getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
       val lineage = s"pos|rows=$total|salts=$nSalts|P=${cfg.numPartitions}|" +
-        s"stem=${tokCfg.stem}|plain=${tokCfg.plain}|v1"
+        s"stem=${tokCfg.stem}|plain=${tokCfg.plain}|sw=$swDigest|v2"
 
       val posDir = PosStore.posDir(indexDir)
       SegmentStore.fs(posDir).mkdirs(

@@ -64,6 +64,39 @@ object Merge {
     }
   }
 
+  /** Link one part's dict-referenced .bin set under flat epoch-scoped
+    * names (`m<part>-<idx>.bin`) into `outDataDir` and return the
+    * re-pointed dict frame — the ONE copy of the link/re-point protocol,
+    * shared by the posting segments and the positional sidecar (the
+    * rationale comments live at the segments call site). */
+  private def linkAndRepoint(spark: SparkSession, dataDir: String,
+                             dictPath: String, outDataDir: String,
+                             partIdx: Int, what: String)
+      : org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    val fsIn = SegmentStore.fs(dataDir)
+    val fsOut = SegmentStore.fs(outDataDir)
+    val listing = fsIn.listStatus(new Path(dataDir))
+      .filter(_.isFile).map(_.getPath.getName)
+      .filter(_.endsWith(".bin")).toSet
+    val referenced = spark.read.parquet(dictPath)
+      .select($"file").distinct().as[String].collect().sorted
+    val missing = referenced.filterNot(listing)
+    require(missing.isEmpty,
+      s"$what of $dataDir references files missing from " +
+        s"$dataDir: ${missing.take(5).mkString(", ")}")
+    val renames = referenced.zipWithIndex.map { case (name, j) =>
+      val nn = s"m$partIdx-$j.bin"
+      linkOrCopy(fsIn, new Path(s"$dataDir/$name"),
+        fsOut, new Path(s"$outDataDir/$nn"))
+      (name, nn)
+    }
+    spark.read.parquet(dictPath)
+      .join(broadcast(renames.toSeq.toDF("file", "new_file")),
+        Seq("file"), "inner") // total by construction over `referenced`
+      .drop("file").withColumnRenamed("new_file", "file")
+  }
+
   /** Merge `parts` (built over docId-disjoint corpora) into `outDir`.
     * Validates disjointness via doc_stats ranges. `spellIndex=false`
     * skips regenerating the spell artifact (engines fall back to the
@@ -118,36 +151,20 @@ object Merge {
     // 255-byte filename limit after ~80 micro-batches; flat names make
     // chained merges rename-stable (a merged part's m0-5.bin simply
     // becomes m<i>-<j>.bin one level deep again). ----------------------
+    // link the DICT-REFERENCED file set, not the directory listing:
+    // an in-place rebuild with a different partition count can leave
+    // orphan .bin files no dict row points at, and a listing-based
+    // link would carry those dead bytes into every merged generation
+    // forever (and byte-copy them per epoch on non-local FS). The
+    // referenced set is file-count-bound (dict projects one column,
+    // distinct). Loud-failure invariant kept: a dict row naming a
+    // file ABSENT from the listing (partially-deleted or corrupt
+    // part) aborts the merge before anything links. (linkAndRepoint is
+    // the one copy of this protocol — the positional sidecar below
+    // merges through it too.)
     val dicts = parts.zipWithIndex.map { case (p, i) =>
-      val fsIn = SegmentStore.fs(s"$p/segments")
-      val listing = fsIn.listStatus(new Path(s"$p/segments"))
-        .filter(_.isFile).map(_.getPath.getName)
-        .filter(_.endsWith(".bin")).toSet
-      // link the DICT-REFERENCED file set, not the directory listing:
-      // an in-place rebuild with a different partition count can leave
-      // orphan .bin files no dict row points at, and a listing-based
-      // link would carry those dead bytes into every merged generation
-      // forever (and byte-copy them per epoch on non-local FS). The
-      // referenced set is file-count-bound (dict projects one column,
-      // distinct). Loud-failure invariant kept: a dict row naming a
-      // file ABSENT from the listing (partially-deleted or corrupt
-      // part) aborts the merge before anything links.
-      val referenced = spark.read.parquet(s"$p/dict")
-        .select($"file").distinct().as[String].collect().sorted
-      val missing = referenced.filterNot(listing)
-      require(missing.isEmpty,
-        s"dict of $p references segment files missing from " +
-          s"$p/segments: ${missing.take(5).mkString(", ")}")
-      val renames = referenced.zipWithIndex.map { case (name, j) =>
-        val nn = s"m$i-$j.bin"
-        linkOrCopy(fsIn, new Path(s"$p/segments/$name"),
-          fsOut, new Path(s"$outDir/segments/$nn"))
-        (name, nn)
-      }
-      spark.read.parquet(s"$p/dict")
-        .join(broadcast(renames.toSeq.toDF("file", "new_file")),
-          Seq("file"), "inner") // total by construction over `referenced`
-        .drop("file").withColumnRenamed("new_file", "file")
+      linkAndRepoint(spark, s"$p/segments", s"$p/dict",
+        s"$outDir/segments", i, "dict")
     }
     // allowMissingColumns everywhere below: a part built by an earlier
     // engine generation may lack newer columns (ingest_ts in doc_stats,
@@ -173,29 +190,38 @@ object Merge {
     // re-point discipline as the segments above. -----------------------
     val partsWithPos = parts.filter(PosStore.exists)
     if (partsWithPos.size == parts.size) {
-      fsOut.mkdirs(new Path(s"$outDir/pos/_markers"))
-      val posDicts = parts.zipWithIndex.map { case (p, i) =>
+      // analysis-chain compatibility, the sidecar's own form of the
+      // tok_cfg check above: the main indexes may share a tok_cfg while
+      // the sidecars were built with different profiles (buildPosStore
+      // takes its own config) — merging those unions incompatible
+      // term/POSITION spaces, so phrase queries would silently miss or
+      // mis-place matches for one part's docs. The fingerprint rides
+      // every pos marker's lineage (stem|plain|sw fragment).
+      val posCfgs = parts.map { p =>
         val pd = PosStore.posDir(p)
         val fsIn = SegmentStore.fs(pd)
-        val listing = fsIn.listStatus(new Path(pd))
-          .filter(_.isFile).map(_.getPath.getName)
-          .filter(_.endsWith(".bin")).toSet
-        val referenced = spark.read.parquet(PosStore.dictDir(p))
-          .select($"file").distinct().as[String].collect().sorted
-        val missing = referenced.filterNot(listing)
-        require(missing.isEmpty,
-          s"pos_dict of $p references files missing from $pd: " +
-            missing.take(5).mkString(", "))
-        val renames = referenced.zipWithIndex.map { case (name, j) =>
-          val nn = s"m$i-$j.bin"
-          linkOrCopy(fsIn, new Path(s"$pd/$name"),
-            fsOut, new Path(s"$outDir/pos/$nn"))
-          (name, nn)
-        }
-        spark.read.parquet(PosStore.dictDir(p))
-          .join(broadcast(renames.toSeq.toDF("file", "new_file")),
-            Seq("file"), "inner")
-          .drop("file").withColumnRenamed("new_file", "file")
+        val markers = fsIn.listStatus(new Path(s"$pd/_markers"))
+          .filter(_.getPath.getName.endsWith(".json"))
+        require(markers.nonEmpty, s"no pos markers under $pd — corrupt sidecar")
+        val in: java.io.InputStream = fsIn.open(markers.head.getPath)
+        val lineage =
+          try SegmentStore.mapper.readValue(in,
+            classOf[SegmentStore.PartitionMarker]).lineage
+          finally in.close()
+        val frag = "stem=[^|]*\\|plain=[^|]*(\\|sw=[^|]*)?".r
+          .findFirstIn(lineage)
+        require(frag.isDefined, s"$pd marker lineage carries no analysis " +
+          s"fingerprint: $lineage")
+        p -> frag.get
+      }
+      require(posCfgs.map(_._2).distinct.size <= 1,
+        "positional sidecars were built with different tokenizer " +
+          "configs — refusing to merge incompatible phrase spaces: " +
+          posCfgs.map { case (p, c) => s"$p -> $c" }.mkString("; "))
+      fsOut.mkdirs(new Path(s"$outDir/pos/_markers"))
+      val posDicts = parts.zipWithIndex.map { case (p, i) =>
+        linkAndRepoint(spark, PosStore.posDir(p), PosStore.dictDir(p),
+          s"$outDir/pos", i, "pos_dict")
       }
       posDicts.reduce(_.unionByName(_, allowMissingColumns = true))
         .write.mode(SaveMode.Overwrite).parquet(s"$outDir/pos_dict")

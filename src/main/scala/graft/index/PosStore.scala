@@ -1,6 +1,5 @@
 package graft.index
 
-import java.io.{BufferedOutputStream, DataOutputStream}
 import org.apache.hadoop.fs.Path
 import scala.collection.mutable.ArrayBuffer
 
@@ -183,56 +182,31 @@ object PosStore {
       case Some(m) if SegmentStore.isComplete(dir, pid, lineage) => return m
       case _ =>
     }
-    val f = SegmentStore.fs(dir)
+    // file lifecycle (roll/tmp+rename/recovery) is the shared
+    // RollingWriter — one protocol copy for both segment stores
+    val w = new RollingWriter(dir, s"pos-segment-$pid")
     val entries = ArrayBuffer.empty[SegmentStore.DictEntry]
-    val files = ArrayBuffer.empty[SegmentStore.FileMeta]
     var rows = 0L
-    var totalBytes = 0L
-    var fileIdx = -1
-    var fileName: String = null
-    var tmpPath: Path = null
-    var out: DataOutputStream = null
-    var posInFile = 0L
-
-    def openFile(): Unit = {
-      fileIdx += 1
-      fileName = if (fileIdx == 0) s"pos-segment-$pid.bin"
-                 else s"pos-segment-$pid-$fileIdx.bin"
-      tmpPath = new Path(s"$dir/$fileName.tmp-${java.util.UUID.randomUUID()}")
-      out = new DataOutputStream(new BufferedOutputStream(f.create(tmpPath, true)))
-      posInFile = 0L
-    }
-    def closeFile(): Unit = {
-      if (out == null) return
-      out.flush(); out.close()
-      val fin = new Path(s"$dir/$fileName")
-      if (f.exists(fin)) require(f.delete(fin, false), s"failed to delete stale $fin")
-      require(f.rename(tmpPath, fin), s"failed to rename $tmpPath -> $fin")
-      files += SegmentStore.FileMeta(fileName, f.getFileStatus(fin).getLen)
-      totalBytes += files.last.bytes
-      out = null
-    }
-    openFile()
 
     def flushGroup(term: String, salt: Int, arr: Array[PosPosting]): Unit = {
       if (arr.isEmpty) return
-      if (posInFile >= posBudget) { closeFile(); openFile() }
-      val start = out.size().toLong
+      w.rollIfOver(posBudget)
+      val start = w.out.size().toLong
       val blocks = encode(arr)
-      out.writeInt(arr.length)
-      out.writeInt(blocks.length)
+      w.out.writeInt(arr.length)
+      w.out.writeInt(blocks.length)
       blocks.foreach { b =>
-        out.writeInt(b.n); out.writeLong(b.firstDocId)
-        out.writeLong(b.lastDocId); out.writeInt(b.bytes.length)
-        out.write(b.bytes)
+        w.out.writeInt(b.n); w.out.writeLong(b.firstDocId)
+        w.out.writeLong(b.lastDocId); w.out.writeInt(b.bytes.length)
+        w.out.write(b.bytes)
       }
       var cf = 0L
       var pi = 0
       while (pi < arr.length) { cf += arr(pi).pos.length; pi += 1 }
-      entries += SegmentStore.DictEntry(term, salt, fileName, start,
-        (out.size() - start).toInt, arr.length, cf)
+      entries += SegmentStore.DictEntry(term, salt, w.fileName, start,
+        (w.out.size() - start).toInt, arr.length, cf)
       rows += arr.length
-      posInFile += cf
+      w.addUnits(cf) // positional budget counts POSITIONS, not postings
     }
 
     // change-detection grouping: one (term, salt) run buffered at a time
@@ -247,10 +221,10 @@ object PosStore {
       buf += p
     }
     if (curTerm != null) flushGroup(curTerm, curSalt, buf.toArray)
-    closeFile()
+    w.closeFile()
 
-    val marker = SegmentStore.PartitionMarker(pid, files.toSeq, rows,
-      totalBytes, lineage, entries.toSeq)
+    val marker = SegmentStore.PartitionMarker(pid, w.files.toSeq, rows,
+      w.totalBytes, lineage, entries.toSeq)
     SegmentStore.writeMarker(dir, marker)
     marker
   }

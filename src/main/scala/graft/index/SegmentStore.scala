@@ -164,67 +164,37 @@ object SegmentStore {
                         groups: Iterator[(String, Int, Array[Codec.Posting])],
                         scoreOf: (Int, Int) => Double,
                         postingBudget: Long): PartitionMarker = {
-    val f = fs(dir)
+    val w = new RollingWriter(dir, s"segment-$pid")
     val entries = ArrayBuffer.empty[DictEntry]
-    val files = ArrayBuffer.empty[FileMeta]
     var rows = 0L
-    var totalBytes = 0L
-
-    var fileIdx = -1
-    var fileName: String = null
-    var tmpPath: Path = null
-    var out: DataOutputStream = null
-    var rowsInFile = 0L
-
-    def openFile(): Unit = {
-      fileIdx += 1
-      fileName = if (fileIdx == 0) s"segment-$pid.bin"
-                 else s"segment-$pid-$fileIdx.bin"
-      tmpPath = new Path(s"$dir/$fileName.tmp-${java.util.UUID.randomUUID()}")
-      out = new DataOutputStream(new BufferedOutputStream(f.create(tmpPath, true)))
-      rowsInFile = 0L
-    }
-
-    def closeFile(): Unit = {
-      if (out == null) return
-      out.flush(); out.close()
-      val fin = new Path(s"$dir/$fileName")
-      if (f.exists(fin)) f.delete(fin, false)
-      f.rename(tmpPath, fin)
-      files += FileMeta(fileName, f.getFileStatus(fin).getLen)
-      totalBytes += files.last.bytes
-      out = null
-    }
-
-    openFile()
 
     def flushGroup(term: String, salt: Int,
                    arr: Array[Codec.Posting]): Unit = {
       if (arr.isEmpty) return
-      if (rowsInFile >= postingBudget) { closeFile(); openFile() }
-      val start = out.size().toLong
+      w.rollIfOver(postingBudget)
+      val start = w.out.size().toLong
       val blocks = Codec.encode(arr, scoreOf)
-      out.writeInt(arr.length)
-      out.writeInt(blocks.length)
+      w.out.writeInt(arr.length)
+      w.out.writeInt(blocks.length)
       blocks.foreach { b =>
-        out.writeInt(b.n); out.writeLong(b.firstDocId)
-        out.writeLong(b.lastDocId); out.writeInt(b.maxTf)
-        out.writeDouble(b.maxScore); out.writeInt(b.bytes.length)
-        out.write(b.bytes)
+        w.out.writeInt(b.n); w.out.writeLong(b.firstDocId)
+        w.out.writeLong(b.lastDocId); w.out.writeInt(b.maxTf)
+        w.out.writeDouble(b.maxScore); w.out.writeInt(b.bytes.length)
+        w.out.write(b.bytes)
       }
       var cf = 0L
       var pi = 0
       while (pi < arr.length) { cf += arr(pi).tf; pi += 1 }
-      entries += DictEntry(term, salt, fileName, start,
-        (out.size() - start).toInt, arr.length, cf)
+      entries += DictEntry(term, salt, w.fileName, start,
+        (w.out.size() - start).toInt, arr.length, cf)
       rows += arr.length
-      rowsInFile += arr.length
+      w.addUnits(arr.length)
     }
 
     groups.foreach { case (term, salt, arr) => flushGroup(term, salt, arr) }
-    closeFile()
+    w.closeFile()
 
-    val marker = PartitionMarker(pid, files.toSeq, rows, totalBytes,
+    val marker = PartitionMarker(pid, w.files.toSeq, rows, w.totalBytes,
       lineage, entries.toSeq)
     writeMarker(dir, marker)
     marker
@@ -234,6 +204,53 @@ object SegmentStore {
   def readRecord(dir: String, e: DictEntry): (Int, Array[Codec.Block]) = {
     val r = new SegmentReader(dir)
     try r.record(e) finally r.close()
+  }
+}
+
+/** THE one copy of the segment-file lifecycle, shared by the posting
+  * writer (SegmentStore.writeCore) and the positional writer
+  * (PosStore.writePartition): budget-based rolls at record boundaries,
+  * tmp+UUID create, stale-name delete, atomic rename, FileMeta
+  * accounting. A fix to the roll/rename/recovery protocol lands once.
+  * First file is `<prefix>.bin`, rolls are `<prefix>-<i>.bin`. */
+private[index] final class RollingWriter(dir: String, prefix: String) {
+  private val f = SegmentStore.fs(dir)
+  val files: ArrayBuffer[SegmentStore.FileMeta] = ArrayBuffer.empty
+  var totalBytes = 0L
+  private var fileIdx = -1
+  var fileName: String = _
+  private var tmpPath: Path = _
+  var out: DataOutputStream = _
+  private var unitsInFile = 0L
+
+  openFile()
+
+  private def openFile(): Unit = {
+    fileIdx += 1
+    fileName = if (fileIdx == 0) s"$prefix.bin" else s"$prefix-$fileIdx.bin"
+    tmpPath = new Path(s"$dir/$fileName.tmp-${java.util.UUID.randomUUID()}")
+    out = new DataOutputStream(new BufferedOutputStream(f.create(tmpPath, true)))
+    unitsInFile = 0L
+  }
+
+  /** Roll at a RECORD boundary once the caller-counted units (postings,
+    * positions) exceed the budget. Call before starting a record. */
+  def rollIfOver(budget: Long): Unit =
+    if (unitsInFile >= budget) { closeFile(); openFile() }
+
+  def addUnits(n: Long): Unit = unitsInFile += n
+
+  def closeFile(): Unit = {
+    if (out == null) return
+    out.flush(); out.close()
+    val fin = new Path(s"$dir/$fileName")
+    // loud failures: HDFS-style filesystems report delete/rename via the
+    // boolean (same invariant as Merge.linkOrCopy)
+    if (f.exists(fin)) require(f.delete(fin, false), s"failed to delete stale $fin")
+    require(f.rename(tmpPath, fin), s"failed to rename $tmpPath -> $fin")
+    files += SegmentStore.FileMeta(fileName, f.getFileStatus(fin).getLen)
+    totalBytes += files.last.bytes
+    out = null
   }
 }
 

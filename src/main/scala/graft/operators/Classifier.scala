@@ -39,9 +39,11 @@ import org.apache.spark.storage.StorageLevel
   *
   * Determinism: the cached feature partitions are a deterministic
   * function of the input files, each partition folds its rows in order,
-  * and treeAggregate's combine tree is fixed given the partition count —
-  * so weights, scores and accuracy are bit-reproducible for a given
-  * (input, parallelism), which the spec pins by training twice. Like
+  * and the driver combines per-partition gradients in PARTITION-INDEX
+  * order (not `treeAggregate`, whose final reduce merges in task-
+  * completion order — [[train]]) — so weights, scores and accuracy are
+  * bit-reproducible for a given (input, parallelism), which the spec
+  * pins by training twice. Like
   * the ANN family (q16/q24/q34) this op is not SQL-expressible (an
   * iterative fixpoint), so the measured holdout accuracy rides the
   * OUTPUT as a column — the driver's rows then pin quality, not just
@@ -176,11 +178,15 @@ object Classifier {
     val ds = featurize(spark, dir).persist(StorageLevel.MEMORY_AND_DISK_SER)
     try {
       val w = train(ds)
+      // pred thresholds the ROUNDED probability — the same value
+      // published as `score` — so a consumer re-deriving the class from
+      // the output column always agrees with pred (raw-p thresholding
+      // disagreed on p ∈ [0.49995, 0.5): score printed 0.5, pred said 0)
       val scored = ds.map { ex =>
-        val p = sigmoid(margin(w, ex))
-        (ex.docId, ex.y.toInt, if (ex.holdout) 1 else 0, p,
-          if (p >= 0.5) 1 else 0)
-      }.toDF("doc_id", "label", "is_holdout", "p", "pred")
+        (ex.docId, ex.y.toInt, if (ex.holdout) 1 else 0,
+          sigmoid(margin(w, ex)))
+      }.toDF("doc_id", "label", "is_holdout", "p")
+        .withColumn("pred", (round(col("p"), 4) >= 0.5).cast("int"))
       // null-safe: a corpus tiny enough to land zero docs in the
       // holdout hex range reports accuracy 0.0 rather than NPEing
       val accRow = scored.filter($"is_holdout" === 1)

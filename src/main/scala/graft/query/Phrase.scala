@@ -133,6 +133,13 @@ final class PhraseSearcher(spark: SparkSession, indexDir: String,
     }
   }
 
+  /** Batch-load the dict entries for a whole query list in ONE pruned
+    * dict read (the driver-mode analog of [[PhraseCore.forBatch]]) —
+    * without it a 10^4-query file pays one Spark job per query's new
+    * terms. */
+  def preload(phrases: Seq[String]): Unit =
+    entriesOf(phrases.flatMap(q => Tokenizer.tokenizeSeq(q, tokCfg)).distinct)
+
   /** All docs matching the phrase: (docId, nMatches, firstPos),
     * docId-ascending. Empty when any term is unknown or the phrase has
     * no token. */

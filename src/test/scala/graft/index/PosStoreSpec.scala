@@ -245,6 +245,18 @@ class PosStoreSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       new PhraseSearcher(spark, mixed, Tokenizer.plainCfg)
     }
+
+    // incompatible sidecar PROFILES: main indexes share a tok_cfg but
+    // part C's sidecar was built with the rule pipeline (stemmed,
+    // stopworded — positions shift) — the merge must refuse, not union
+    // incompatible phrase spaces
+    Build.buildPosStore(spark, db, pc,
+      cfg.copy(tokenizer = Tokenizer.default))
+    val bad = tmpDir("pos-badmix")
+    val e = intercept[IllegalArgumentException] {
+      Merge.disjoint(spark, Seq(pa, pc), bad, spellIndex = false)
+    }
+    assert(e.getMessage.contains("different tokenizer configs"))
   }
 
   test("resume: a re-run with the same lineage rewrites nothing") {
