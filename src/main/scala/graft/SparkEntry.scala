@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Assembly, Classifier, Dedup, DupClusters, IndexOps, LmScore, Multimodal, Relational, Retrieval, Similarity, TextAnalysis, TextRelational, Versioning}
+import graft.operators.{Assembly, BpeTrainer, Classifier, Dedup, DupClusters, IndexOps, LmScore, Multimodal, Relational, Retrieval, Similarity, TextAnalysis, TextRelational, Versioning}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -121,6 +121,10 @@ object SparkEntry {
     "q59_pmi_colloc" -> ((s, d) => TextRelational.pmiCollocations(s, d)),
     // Phrase search through the REAL positional index (PosStore sidecar)
     "q60_phrase_index" -> ((s, d) => IndexOps.phraseIndex(s, d)),
+    // Distributed BPE tokenizer training (vocab induction; iterative
+    // fixpoint like q58 — no SQL oracle, all-integer output, BpeSpec
+    // pins the table against a from-first-principles replay)
+    "q61_bpe_merges" -> ((s, d) => BpeTrainer.bpeMerges(s, d)),
   )
 
   /** DuckDB equivalents, same column names + total ORDER BY. */
