@@ -2,7 +2,6 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.storage.StorageLevel
 
 /** q61: distributed BPE tokenizer training (Sennrich et al. 2016) —
   * learn a byte-pair-encoding merge table from the corpus, the
@@ -26,15 +25,23 @@ import org.apache.spark.storage.StorageLevel
   *     cluster size — and apply the merge executor-side.
   *
   * Scale shape: the corpus is touched exactly once (phase 1); every
-  * merge round runs on the cached vocab-sized table (persisted
-  * MEMORY_AND_DISK_SER; the superseded generation is unpersisted as
-  * soon as its successor materializes, so live state is ≤ 2 vocab
-  * tables). The driver holds only the O(NumMerges) merge list — the
-  * argmax comes back through a 1-row `limit(1)` collect, never the
-  * pair table. Production trainers keep incremental pair-delta updates
-  * per merge; the recount here is the Spark-first trade — each round
-  * is one partial-agg job over a table that no longer depends on the
-  * corpus at all.
+  * merge round runs on the vocab-sized table, CHECKPOINTED per round
+  * (localCheckpoint, or the reliable dir when configured — the same
+  * switch as DupClusters' star contraction) so the plan is truncated
+  * to the materialized generation. Persist-only chaining was measured
+  * pathological here: each generation's cached plan EMBEDS its
+  * predecessor's whole plan, so by round ~25 Spark's plan-string
+  * bookkeeping (SQL-listener descriptions walk the tree per job) costs
+  * minutes and tens of GB — the exact lineage blow-up the contraction
+  * loop's roundCkpt comment warns about, now pinned by a BpeSpec
+  * 40-round runtime gate. Superseded generations unpersist as
+  * successors materialize, so live state is ≤ 2 vocab tables. The
+  * driver holds only the O(NumMerges) merge list — the argmax comes
+  * back through a 1-row `limit(1)` collect, never the pair table.
+  * Production trainers keep incremental pair-delta updates per merge;
+  * the recount here is the Spark-first trade — each round is one
+  * partial-agg job over a table that no longer depends on the corpus
+  * at all.
   *
   * Like q58 (iterative fixpoint), not SQL-expressible — no DuckDB
   * oracle; BpeSpec pins the table against a from-first-principles
@@ -93,7 +100,13 @@ object BpeTrainer {
                                numMerges: Int = NumMerges)
       : Seq[(Int, String, String, Long)] = {
     import spark.implicits._
-    var cur = initialSyms(spark, dir).persist(StorageLevel.MEMORY_AND_DISK_SER)
+    // per-round plan truncation (see scaladoc): localCheckpoint by
+    // default, reliable checkpoint when a dir is configured — the
+    // DupClusters roundCkpt switch
+    def ckpt(ds: Dataset[WordSyms]): Dataset[WordSyms] =
+      if (spark.sparkContext.getCheckpointDir.isDefined) ds.checkpoint()
+      else ds.localCheckpoint()
+    var cur = ckpt(initialSyms(spark, dir))
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
     try {
       var round = 0
@@ -113,10 +126,10 @@ object BpeTrainer {
           case Some((l, r, c)) if c >= MinPairCount =>
             merges += ((round + 1, l, r, c))
             val prev = cur
-            cur = prev.map(ws => WordSyms(applyMerge(ws.syms, l, r), ws.cnt))
-              .persist(StorageLevel.MEMORY_AND_DISK_SER)
-            cur.count() // materialize the new generation...
-            prev.unpersist(blocking = false) // ...then drop the old one
+            // eager checkpoint materializes AND truncates the plan to
+            // the new generation in one job
+            cur = ckpt(prev.map(ws => WordSyms(applyMerge(ws.syms, l, r), ws.cnt)))
+            prev.unpersist(blocking = false) // drop the superseded blocks
             round += 1
           case _ => stop = true
         }

@@ -85,4 +85,17 @@ class BpeSpec extends SparkSpec {
     val b = BpeTrainer.train(spark, dir, numMerges = 8)
     assert(a == b)
   }
+
+  test("q61 full default run stays flat-cost per round (lineage truncation)") {
+    // regression gate for the plan blow-up the first cut hit: persist-
+    // only generation chaining made round ~25+ cost MINUTES of driver
+    // plan bookkeeping (each cached plan embedded its predecessor's).
+    // With per-round checkpoint truncation the full default run is
+    // seconds; the generous bound still fails the quadratic regime.
+    val t0 = System.nanoTime()
+    val got = BpeTrainer.train(spark, dir)
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(got.nonEmpty)
+    assert(secs < 120.0, f"default ${BpeTrainer.NumMerges}-round train took $secs%.1f s")
+  }
 }
