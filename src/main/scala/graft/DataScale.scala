@@ -151,11 +151,21 @@ object DataScale {
     def drain(): Unit = org.apache.spark.graftshim.CoreShim
       .waitListenerBusEmpty(spark.sparkContext, 30000)
 
-    val probes: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    // SPARK_GRAFT_DATASCALE_ONLY=q61_bpe_merges,... filters the probe
+    // set (a late-round single-operator ladder shouldn't re-pay the
+    // whole family)
+    val only = sys.env.get("SPARK_GRAFT_DATASCALE_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val allProbes: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
       "q11_dedup_ngram" -> ((s, d) => operators.Dedup.ngramJaccard(s, d)),
       "q32_dup_clusters" -> ((s, d) => operators.DupClusters.clusters(s, d)),
       "q43_knn_join" -> ((s, d) => operators.Similarity.knnJoin(s, d)),
-      "q46_semdedup" -> ((s, d) => operators.Similarity.semDeDup(s, d)))
+      "q46_semdedup" -> ((s, d) => operators.Similarity.semDeDup(s, d)),
+      // round-5 session 4: the BPE trainer — corpus touches phase 1
+      // ONLY (word counts), so t(4x) should grow far LESS than 4x and
+      // shuffle records stay vocab-bounded after the first exchange
+      "q61_bpe_merges" -> ((s, d) => operators.BpeTrainer.bpeMerges(s, d)))
+    val probes = allProbes.filter { case (n, _) => only.forall(_.contains(n)) }
 
     def runRung(dir: String): Map[String, Probe] =
       probes.map { case (name, fn) =>
